@@ -1,0 +1,99 @@
+"""BigQuery-SQL idiom compatibility helpers as Spark column expressions.
+
+The reference's macro SQL uses a handful of BigQuery idioms without a
+one-call Spark twin (SURVEY.md §2.B.6 / §7.5). Each helper here is a pure
+Column expression (JVM-side, whole-stage-codegen friendly — no UDFs), so at
+100 TB they cost the same as hand-written built-ins.
+
+Reference evidence for each idiom is cited inline (manifest.json byte
+offsets per SURVEY.md citation convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Decimal wide enough for any fixture money/quantity value; scale 6 keeps
+# cents-level data exact. Used to make floating-point aggregates
+# deterministic (order-independent) and therefore oracle-comparable.
+_EXACT_DECIMAL = "decimal(30,6)"
+
+
+def scd_hash(*cols: Column | str) -> Column:
+    """Row-version hash: ``to_hex(md5(concat(coalesce(cast(c as string),''),
+    '|', ...)))`` — bigquery__snapshot_hash_arguments
+    (manifest.json:1@31511) / default__snapshot_hash_arguments (@115609).
+
+    Spark's ``md5`` already returns lowercase hex, collapsing BigQuery's
+    ``to_hex(md5(...))``. ``concat_ws`` handles the '|' separators but skips
+    NULLs, so we coalesce each argument to '' first, exactly like the
+    reference.
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit(""))
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def select_except(df: DataFrame, *cols: str) -> DataFrame:
+    """``SELECT * EXCEPT(col, ...)`` (bigquery__get_catalog,
+    manifest.json:1@3102) ≡ ``df.drop(*cols)``."""
+    return df.drop(*cols)
+
+
+def array_agg_ordered(value: Column | str, distinct: bool = False) -> Column:
+    """``array_agg([distinct] x ignore nulls order by x)`` (@3102, @34992).
+
+    Spark's ``collect_list``/``collect_set`` ignore nulls but give no
+    ordering guarantee; sorting the collected array afterwards restores the
+    deterministic order the BigQuery idiom promises (for the common
+    order-by-the-same-expression case).
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    agg = F.collect_set(col) if distinct else F.collect_list(col)
+    return F.array_sort(agg)
+
+
+def range_bucket(value: Column | str, start: int, end: int, interval: int) -> Column:
+    """BigQuery ``range_bucket(x, generate_array(start, end, interval))``
+    used for integer range partitioning (partition_by, manifest.json:1@13262).
+
+    Returns the bucket ordinal: 0 for x < start, n for x >= end, else
+    1 + floor((x-start)/interval) — matching RANGE_BUCKET's
+    insertion-point semantics on the generated array.
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    n_edges = (end - start) // interval + 1
+    return (
+        F.when(col < F.lit(start), F.lit(0))
+        .when(col >= F.lit(start + (n_edges - 1) * interval), F.lit(n_edges))
+        .otherwise((F.floor((col - F.lit(start)) / F.lit(interval)) + F.lit(1)).cast("int"))
+        .cast("int")
+    )
+
+
+def typed_null(data_type: str) -> Column:
+    """``nullif(u, u)`` — the reference's trick for a NULL of a specific type
+    (build_snapshot_table, manifest.json:1@105612)."""
+    return F.lit(None).cast(data_type)
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent SUM for double columns: accumulate in decimal
+    (exact), surface as double.
+
+    Plain double SUM is non-associative, so its low-order bits depend on
+    partition order — unacceptable both for reproducibility at 1000
+    executors and for oracle hash-comparison. Decimal accumulation costs one
+    cast per row and keeps the aggregate inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_EXACT_DECIMAL)).cast("double")
+
+
+def exact_avg(col: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_EXACT_DECIMAL)).cast("double") / F.count(c)

@@ -1,0 +1,202 @@
+"""Incremental upsert / merge family (SURVEY.md §2.B.2, B7-B13).
+
+The reference's incremental materialization emits one of three DML shapes
+against BigQuery; here each is a pure ``(target, source) → DataFrame``
+transform over plain parquet-backed DataFrames, plus helpers for the
+``is_incremental()`` watermark pattern and schema-change handling. The
+writer layer (operators/materialize.py) persists results atomically.
+
+Scale notes:
+- ``merge_upsert``/``delete_insert`` are one anti-join + union. The join
+  shuffles on the unique key — the same key BigQuery's MERGE shuffles on —
+  and broadcasts automatically when the new batch is small (the common
+  incremental case: day's delta vs years of history). No full-table rewrite
+  of untouched partitions happens at the *transform* level; pairing with
+  partition-scoped writes (insert_overwrite) keeps the 100 TB write cost
+  proportional to the delta.
+- ``insert_overwrite_partitions`` maps to Spark's native dynamic partition
+  overwrite: only partitions present in the source are rewritten, exactly
+  like the reference's merge-on-FALSE partition replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    unique_key: str | list[str] | None,
+    merge_update_columns: list[str] | None = None,
+) -> DataFrame:
+    """MERGE semantics on a unique key (default__get_merge_sql,
+    manifest.json:1@89014).
+
+    - With a key: matched target rows are replaced by source rows ("update
+      set *"), unmatched source rows are inserted. Plain-parquet idiom:
+      ``target ANTI-JOIN source  UNION  source``.
+    - ``merge_update_columns`` restricts which columns an update overwrites
+      (the reference's ``merge_update_columns`` config): matched rows keep
+      target values for the other columns.
+    - With no key the reference emits ``on FALSE`` → pure append
+      (``when not matched then insert`` fires for every source row).
+    """
+    if unique_key is None:
+        return target.unionByName(source)
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    if not merge_update_columns:
+        kept_target = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+        return kept_target.unionByName(source.select(*target.columns))
+    # Partial update: matched rows take source values only for the listed
+    # columns; unmatched source rows insert whole.
+    upd = set(merge_update_columns)
+    src = source.select(*[F.col(c).alias(f"__src_{c}") for c in source.columns])
+    key_cond = [F.col(k) == F.col(f"__src_{k}") for k in keys]
+    joined = target.join(src, on=key_cond, how="left")
+    matched_flag = F.col(f"__src_{keys[0]}").isNotNull()
+    updated_target = joined.select(
+        *[
+            (
+                F.when(matched_flag, F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
+                if c in upd
+                else F.col(c)
+            )
+            for c in target.columns
+        ]
+    )
+    inserts = source.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+    return updated_target.unionByName(inserts.select(*target.columns))
+
+
+def delete_insert(
+    target: DataFrame, source: DataFrame, unique_key: str | list[str]
+) -> DataFrame:
+    """delete+insert strategy (common_get_delete_insert_merge_sql,
+    manifest.json:1@93622): ``delete from target where key in (select key
+    from source); insert into target select * from source``.
+
+    Same anti-join + union shape as :func:`merge_upsert`; semantics differ
+    from MERGE only when the source carries duplicate keys (all source rows
+    are inserted, not one-per-key) — preserved here.
+    """
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def insert_overwrite_partitions(
+    target: DataFrame,
+    source: DataFrame,
+    partition_expr: Column,
+    partitions: list | None = None,
+) -> DataFrame:
+    """Partition-replacement semantics (bq_insert_overwrite,
+    manifest.json:1@34992; default__get_insert_overwrite_merge_sql @90709).
+
+    - Static branch (``partitions`` given): target rows in the listed
+      partitions are deleted, then all source rows inserted — the
+      reference's user-supplied partition list.
+    - Dynamic branch: replaced partitions are those *present in the source*
+      (the reference computes ``array_agg(distinct partition_expr)`` from
+      the temp table; Spark's dynamic partition overwrite does the same
+      natively at write time — this transform mirrors it for
+      oracle-checking and for non-partitioned storage).
+
+    ``partition_expr`` is evaluated against both target and source rows
+    (e.g. ``F.to_date('l_shipdate')``).
+    """
+    part = partition_expr.alias("__part")
+    tgt = target.withColumn("__part", partition_expr)
+    if partitions is not None:
+        kept = tgt.filter(~F.col("__part").isin(partitions)).drop("__part")
+        return kept.unionByName(source.select(*target.columns))
+    src_parts = source.select(part).distinct()
+    kept = tgt.join(src_parts, on="__part", how="left_anti").drop("__part")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def max_watermark(target: DataFrame, column: str):
+    """``_dbt_max_partition`` / is_incremental() watermark scalar
+    (bq_insert_overwrite @34992 declare block; is_incremental @157947):
+    ``select max(col) from target``, surfaced to the model closure so its
+    filter can prune the source scan (Catalyst then pushes the resulting
+    predicate into the parquet scan — storage partition pruning for free).
+    """
+    row = target.agg(F.max(F.col(column)).alias("wm")).first()
+    return row["wm"]
+
+
+def incremental_filter(source: DataFrame, column: str, watermark) -> DataFrame:
+    """The model-side ``where ts > (select max(ts) from {{ this }})``
+    pattern. With ``watermark`` None (first run / empty target) the source
+    passes through unfiltered, matching is_incremental() == False.
+    """
+    if watermark is None:
+        return source
+    return source.filter(F.col(column) > F.lit(watermark))
+
+
+# ---------------------------------------------------------------------------
+# Schema-change handling (B13): on_schema_change ∈ ignore/fail/append_new_
+# columns/sync_all_columns — check_for_schema_changes (manifest.json:1@133295),
+# sync_column_schemas (@135344), diff_columns (@131137).
+# ---------------------------------------------------------------------------
+
+
+class SchemaChangeError(RuntimeError):
+    pass
+
+
+def diff_columns(source: DataFrame, target: DataFrame) -> dict:
+    """Column-level diff between a source and target schema."""
+    src = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    tgt = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    return {
+        "added": [c for c in src if c not in tgt],
+        "removed": [c for c in tgt if c not in src],
+        "retyped": [c for c in src if c in tgt and src[c] != tgt[c]],
+    }
+
+
+def apply_schema_change_policy(
+    source: DataFrame, target: DataFrame, on_schema_change: str = "ignore"
+) -> tuple[DataFrame, DataFrame]:
+    """Reconcile source/target schemas per the reference's policy.
+
+    Returns (source', target') with compatible schemas:
+    - ignore: source is projected down to the target's columns (new columns
+      silently dropped — the reference's default; missing columns are an
+      error just like in SQL).
+    - fail: any difference raises :class:`SchemaChangeError`.
+    - append_new_columns: target gains source's new columns as typed NULLs.
+    - sync_all_columns: target adds new + drops removed + casts retyped
+      columns to the source's types (the reference's full rewrite).
+    """
+    d = diff_columns(source, target)
+    changed = any(d.values())
+    if on_schema_change == "fail":
+        if changed:
+            raise SchemaChangeError(f"schema changed: {d}")
+        return source, target
+    if on_schema_change == "ignore" or not changed:
+        return source.select(*target.columns), target
+    if on_schema_change == "append_new_columns":
+        tgt = target
+        for f in source.schema.fields:
+            if f.name in d["added"]:
+                tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return source.select(*tgt.columns), tgt
+    if on_schema_change == "sync_all_columns":
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        tgt = target
+        for c in d["removed"]:
+            tgt = tgt.drop(c)
+        for c in d["retyped"]:
+            tgt = tgt.withColumn(c, F.col(c).cast(src_types[c]))
+        for f in source.schema.fields:
+            if f.name in d["added"]:
+                tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return source.select(*tgt.columns), tgt
+    raise ValueError(f"unknown on_schema_change: {on_schema_change}")

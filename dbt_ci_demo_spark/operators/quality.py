@@ -1,0 +1,160 @@
+"""Generic data-quality tests + harness (SURVEY.md §2.B.4, B21-B25, B29).
+
+Each test is a pure ``DataFrame → DataFrame`` returning *violating rows* —
+the reference's contract (a test query's result set is its failures;
+default__get_test_sql, manifest.json:1@56739). The harness wraps a
+violations DataFrame with fail_calc / warn_if / error_if threshold logic
+(materialization_test_default, @57793).
+
+Scale notes: every test below is a single shuffle (groupBy on the tested
+column) or a broadcast-able anti-join; none materializes the full input.
+``relationships`` lets Spark pick broadcast-hash when the parent side is a
+dimension table, which is the common case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def test_unique(df: DataFrame, column: str) -> DataFrame:
+    """Violations of uniqueness: values (non-null) appearing more than once.
+
+    Reference: default__test_unique (manifest.json:1@201298) —
+    ``select col as unique_field, count(*) as n_records from model
+    where col is not null group by col having count(*) > 1``.
+    """
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("unique_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+def test_not_null(df: DataFrame, column: str) -> DataFrame:
+    """Violations: rows where the column is NULL.
+
+    Reference: default__test_not_null (manifest.json:1@198167).
+    """
+    return df.filter(F.col(column).isNull())
+
+
+def test_accepted_values(
+    df: DataFrame, column: str, values: list, quote: bool = True
+) -> DataFrame:
+    """Violations: distinct values outside the accepted list.
+
+    Reference: default__test_accepted_values (manifest.json:1@202767) —
+    groups by the column, keeps groups not in the value list. The reference
+    compares unquoted (numeric) values via the raw literal; Spark's typed
+    ``isin`` covers both paths, so ``quote`` only documents intent.
+    """
+    return (
+        df.groupBy(F.col(column).alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(~F.col("value_field").isin(values))
+    )
+
+
+def test_relationships(
+    child: DataFrame, child_column: str, parent: DataFrame, parent_column: str
+) -> DataFrame:
+    """Referential-integrity violations: child keys with no matching parent.
+
+    Reference: default__test_relationships (manifest.json:1@199544) —
+    ``select from_col from child where from_col is not null and from_col not
+    in (select to_col from parent)`` expressed as a LEFT JOIN keeping
+    parent-null rows. Spark idiom: LEFT ANTI join (broadcasts the parent
+    when small — the dominant case for FK checks against dimensions).
+    """
+    return (
+        child.filter(F.col(child_column).isNotNull())
+        .select(F.col(child_column).alias("from_field"))
+        .join(
+            parent.select(F.col(parent_column).alias("from_field")).distinct(),
+            on="from_field",
+            how="left_anti",
+        )
+    )
+
+
+@dataclass
+class TestResult:
+    """Outcome of one test run through the harness."""
+
+    failures: int
+    should_warn: bool
+    should_error: bool
+
+
+def run_test_harness(
+    violations: DataFrame,
+    fail_calc: str = "count(*)",
+    warn_if: str = "!= 0",
+    error_if: str = "!= 0",
+    limit: int | None = None,
+    where: str | None = None,
+) -> tuple[DataFrame, TestResult]:
+    """Wrap a violations DataFrame with the reference's test harness.
+
+    Reference: default__get_test_sql (manifest.json:1@56739) —
+    ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
+    {fail_calc} {error_if} as should_error from (main_sql limit {limit})``;
+    optional ``where`` config pre-filters the model through a subquery
+    (default__get_where_subquery, @146116).
+
+    Returns the one-row harness DataFrame plus an eagerly-evaluated
+    :class:`TestResult` (the reference fetches the row to compare against
+    thresholds; we do the same with a single collect of one row).
+    """
+    v = violations
+    if where:
+        v = v.filter(where)
+    if limit is not None:
+        v = v.limit(limit)
+    harness = v.agg(F.expr(f"{fail_calc}").cast("long").alias("failures")).select(
+        "failures",
+        F.expr(f"failures {warn_if}").alias("should_warn"),
+        F.expr(f"failures {error_if}").alias("should_error"),
+    )
+    row = harness.first()
+    return harness, TestResult(
+        failures=row["failures"] or 0,
+        should_warn=bool(row["should_warn"]),
+        should_error=bool(row["should_error"]),
+    )
+
+
+def collect_freshness(df: DataFrame, loaded_at_field: str, filter_expr: str | None = None) -> DataFrame:
+    """Source freshness probe (default__collect_freshness,
+    manifest.json:1@192559): ``select max(loaded_at) as max_loaded_at,
+    current_timestamp() as snapshotted_at from source [where filter]``.
+    """
+    probe = df.filter(filter_expr) if filter_expr else df
+    return probe.agg(
+        F.max(F.col(loaded_at_field)).alias("max_loaded_at"),
+        F.current_timestamp().alias("snapshotted_at"),
+    )
+
+
+def freshness_age_seconds(df: DataFrame, loaded_at_field: str, as_of: Column) -> DataFrame:
+    """Deterministic freshness variant: age of the newest row relative to a
+    caller-supplied ``as_of`` timestamp (instead of wall-clock
+    current_timestamp), so results are reproducible and oracle-checkable.
+    Threshold evaluation (warn_after/error_after) happens in the caller,
+    exactly like the reference's Python-side compare.
+    """
+    return df.agg(F.max(F.col(loaded_at_field)).alias("max_loaded_at")).select(
+        "max_loaded_at",
+        (
+            F.unix_micros(as_of.cast("timestamp"))
+            - F.unix_micros(F.col("max_loaded_at").cast("timestamp"))
+        ).cast("double").alias("age_us"),
+    ).select(
+        "max_loaded_at",
+        (F.col("age_us") / F.lit(1000000.0)).alias("age_seconds"),
+    )

@@ -1,0 +1,239 @@
+"""SCD2 snapshots (SURVEY.md §2.B.3, B14-B20).
+
+The reference's snapshot materialization maintains a slowly-changing-
+dimension type-2 history table with four metadata columns
+(dbt_scd_id, dbt_updated_at, dbt_valid_from, dbt_valid_to). This module
+reproduces the full pipeline as pure DataFrame transforms:
+
+  build_snapshot_table  — first-run CTAS (manifest.json:1@105612)
+  snapshot_changeset    — the insertions/updates/deletes staging UNION
+                          (snapshot_staging_table @102012)
+  apply_changeset       — the SCD2 MERGE (default__snapshot_merge_sql
+                          @97630) as close-open-rows + append
+
+Change detection strategies (strategy_dispatch @112892):
+  timestamp_strategy — changed ⇔ snapshotted.dbt_valid_from < src.updated_at
+                       (snapshot_timestamp_strategy @117832)
+  check_strategy     — changed ⇔ any tracked column differs, with full NULL
+                       asymmetry (snapshot_check_strategy @122973); Spark's
+                       null-safe ``<=>`` collapses the reference's explicit
+                       three-way NULL check into one operator.
+
+Hashing: dbt_scd_id = md5(key|version) via functions.scd_hash, matching
+bigquery__snapshot_hash_arguments (@31511). For oracle determinism,
+timestamp args are hashed via their epoch-microsecond integer rather than a
+locale/engine-dependent string rendering.
+
+Scale notes: the changeset is built from three joins of source vs *open
+rows only* (dbt_valid_to IS NULL) — at 100 TB the open subset is the
+dimension's current cardinality, not its full history, and the join key is
+the snapshot unique key, so each join is a single co-partitioned shuffle
+(or broadcast when the delta is small). apply_changeset touches history
+rows only for keys present in the changeset.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.functions.bq_compat import scd_hash
+
+META_COLS = ["dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"]
+
+
+def _hashable(col: Column, is_timestamp: bool) -> Column:
+    # Timestamps hash via epoch micros so Spark and any ANSI-SQL oracle
+    # produce identical digests (string renderings of timestamps differ
+    # between engines; integers don't).
+    return F.unix_micros(col.cast("timestamp")).cast("string") if is_timestamp else col.cast("string")
+
+
+def add_scd_metadata(
+    source: DataFrame, unique_key: str, updated_at: str
+) -> DataFrame:
+    """First-run snapshot build (build_snapshot_table @105612): source rows
+    plus the four SCD2 metadata columns; every row open (valid_to NULL)."""
+    ts_type = source.schema[updated_at].dataType.simpleString()
+    is_ts = "timestamp" in ts_type
+    scd_id = F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(unique_key).cast("string"), F.lit("")),
+            F.coalesce(_hashable(F.col(updated_at), is_ts), F.lit("")),
+        )
+    )
+    return (
+        source.withColumn("dbt_scd_id", scd_id)
+        .withColumn("dbt_updated_at", F.col(updated_at))
+        .withColumn("dbt_valid_from", F.col(updated_at))
+        .withColumn("dbt_valid_to", F.lit(None).cast(source.schema[updated_at].dataType))
+    )
+
+
+def timestamp_strategy(updated_at: str):
+    """row_changed ⇔ target's valid_from < source's updated_at
+    (snapshot_timestamp_strategy @117832)."""
+
+    def changed(src: DataFrame, snap: DataFrame) -> Column:
+        return snap["dbt_valid_from"] < src[updated_at]
+
+    return changed
+
+
+def check_strategy(check_cols: list[str]):
+    """row_changed ⇔ any tracked column differs, NULL-asymmetric
+    (snapshot_check_strategy @122973): (a<>b) OR (a NULL XOR b NULL).
+    Spark's null-safe equality ``<=>`` negated covers all three reference
+    conditions in one expression."""
+
+    def changed(src: DataFrame, snap: DataFrame) -> Column:
+        return reduce(or_, [~src[c].eqNullSafe(snap[c]) for c in check_cols])
+
+    return changed
+
+
+def snapshot_changeset(
+    source: DataFrame,
+    snapshot: DataFrame,
+    unique_key: str,
+    updated_at: str,
+    row_changed,
+    invalidate_hard_deletes: bool = False,
+) -> DataFrame:
+    """Staging changeset (snapshot_staging_table @102012): UNION ALL of
+
+    - insertions: source keys that are new, OR whose current open row
+      changed (the new version row);
+    - updates: open rows whose source changed — carries the *old*
+      dbt_scd_id so the merge can close it, with dbt_valid_to = source
+      updated_at;
+    - deletes (optional, invalidate_hard_deletes): open rows whose key
+      vanished from the source; dbt_valid_to = the snapshot-time stamp
+      (reference uses now(); we use the max source updated_at for
+      determinism, a documented deviation).
+
+    Output columns: dbt_change_type, all source columns, the four SCD
+    metadata columns.
+    """
+    ts_type = source.schema[updated_at].dataType
+    is_ts = "timestamp" in ts_type.simpleString()
+    src = source.alias("src")
+    open_rows = snapshot.filter(F.col("dbt_valid_to").isNull()).alias("snap")
+    key_eq = F.col(f"src.{unique_key}") == F.col(f"snap.{unique_key}")
+    changed = row_changed(src, open_rows)
+
+    new_scd_id = F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(f"src.{unique_key}").cast("string"), F.lit("")),
+            F.coalesce(_hashable(F.col(f"src.{updated_at}"), is_ts), F.lit("")),
+        )
+    )
+    src_cols = [F.col(f"src.{c}") for c in source.columns]
+
+    insertions = (
+        src.join(open_rows, key_eq, "left")
+        .filter(F.col(f"snap.{unique_key}").isNull() | changed)
+        .select(
+            F.lit("insert").alias("dbt_change_type"),
+            *src_cols,
+            new_scd_id.alias("dbt_scd_id"),
+            F.col(f"src.{updated_at}").alias("dbt_updated_at"),
+            F.col(f"src.{updated_at}").alias("dbt_valid_from"),
+            F.lit(None).cast(ts_type).alias("dbt_valid_to"),
+        )
+    )
+    updates = (
+        src.join(open_rows, key_eq, "inner")
+        .filter(changed)
+        .select(
+            F.lit("update").alias("dbt_change_type"),
+            *src_cols,
+            F.col("snap.dbt_scd_id").alias("dbt_scd_id"),
+            F.col("snap.dbt_updated_at").alias("dbt_updated_at"),
+            F.col("snap.dbt_valid_from").alias("dbt_valid_from"),
+            F.col(f"src.{updated_at}").alias("dbt_valid_to"),
+        )
+    )
+    out = insertions.unionByName(updates)
+    if invalidate_hard_deletes:
+        delete_stamp = source.agg(F.max(updated_at)).first()[0]
+        deletes = (
+            open_rows.join(src, key_eq, "left_anti")
+            .select(
+                F.lit("delete").alias("dbt_change_type"),
+                *[F.col(f"snap.{c}").alias(c) for c in source.columns],
+                F.col("snap.dbt_scd_id").alias("dbt_scd_id"),
+                F.col("snap.dbt_updated_at").alias("dbt_updated_at"),
+                F.col("snap.dbt_valid_from").alias("dbt_valid_from"),
+                F.lit(delete_stamp).cast(ts_type).alias("dbt_valid_to"),
+            )
+        )
+        out = out.unionByName(deletes)
+    return out
+
+
+def apply_changeset(snapshot: DataFrame, changeset: DataFrame) -> DataFrame:
+    """SCD2 merge (default__snapshot_merge_sql @97630):
+
+    - matched on dbt_scd_id, open, change_type ∈ (update, delete) → close
+      the row (set dbt_valid_to);
+    - change_type = insert, not matched → append.
+
+    Plain-parquet read-modify idiom: join history to the close-set on
+    scd_id to update valid_to, then append the inserts.
+    """
+    closes = (
+        changeset.filter(F.col("dbt_change_type").isin("update", "delete"))
+        .select(
+            F.col("dbt_scd_id").alias("__close_id"),
+            F.col("dbt_valid_to").alias("__close_to"),
+        )
+    )
+    closed = (
+        snapshot.join(closes, snapshot["dbt_scd_id"] == closes["__close_id"], "left")
+        .select(
+            *[
+                F.when(
+                    F.col("__close_id").isNotNull() & F.col("dbt_valid_to").isNull(),
+                    F.col("__close_to"),
+                )
+                .otherwise(F.col("dbt_valid_to"))
+                .alias(c)
+                if c == "dbt_valid_to"
+                else F.col(c)
+                for c in snapshot.columns
+            ]
+        )
+    )
+    inserts = changeset.filter(F.col("dbt_change_type") == "insert").drop("dbt_change_type")
+    return closed.unionByName(inserts.select(*snapshot.columns))
+
+
+def snapshot_cycle(
+    source: DataFrame,
+    snapshot: DataFrame | None,
+    unique_key: str,
+    updated_at: str,
+    strategy: str = "timestamp",
+    check_cols: list[str] | None = None,
+    invalidate_hard_deletes: bool = False,
+) -> DataFrame:
+    """One full snapshot run (materialization_snapshot_default @108699):
+    first run builds the table; later runs stage a changeset and merge it.
+    """
+    if snapshot is None:
+        return add_scd_metadata(source, unique_key, updated_at)
+    row_changed = (
+        timestamp_strategy(updated_at)
+        if strategy == "timestamp"
+        else check_strategy(check_cols or [c for c in source.columns if c != unique_key])
+    )
+    cs = snapshot_changeset(
+        source, snapshot, unique_key, updated_at, row_changed, invalidate_hard_deletes
+    )
+    return apply_changeset(snapshot, cs)
