@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write (full execution, no driver
+collect, no disk cost), after a small warm-up to exclude JVM/codegen
+startup from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_repo_languages",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "incr_merge_upsert",
+    "incr_insert_overwrite_dynamic",
+    "snap_cycle_timestamp",
+    "dedup_latest_per_user",
+    "events_sessionize",
+    "events_tumbling_hourly",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from dbt_ci_demo_spark.queries import registry_queries
+    from dbt_ci_demo_spark.session import get_spark
+
+    spark = get_spark("bench")
+    regs = registry_queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times = {name: round(run(name), 4) for name in HEADLINE}
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -593,3 +593,425 @@ def snap_check_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.join(
         open_rows, F.col("src.c_custkey") == F.col("snap.c_custkey"), "inner"
     ).select(F.col("src.c_custkey").alias("c_custkey"), changed.alias("row_changed"))
+
+
+# ---------------------------------------------------------------------------
+# Analytical queries (bench headliners). The reference's runtime executes
+# arbitrary BigQuery SQL; these TPC-H-shaped queries prove the engine's
+# general relational surface (multi-join, grouped aggregates, top-k) with
+# order-independent exact aggregates (functions.exact_sum).
+# ---------------------------------------------------------------------------
+
+from dbt_ci_demo_spark.functions.bq_compat import exact_avg, exact_sum  # noqa: E402
+
+_DEC = "decimal(30,6)"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-10-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, the canonical columnar-scan
+    benchmark. Catalyst gets partial aggregation (map-side combine) for
+    free; decimal accumulation keeps doubles order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-10-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small dims. nation/region/supplier
+    are broadcast by Catalyst (under the 10MB default threshold even at
+    100 TB fact scale — dims grow with sqrt(SF) at most), so the only
+    shuffles are the two fact-fact joins on their natural keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter + top-k. Spark executes
+    LIMIT-after-ORDER BY as TakeOrderedAndProject — a per-partition top-k
+    then a k-row driver merge, never a full sort at scale. Ordering ties
+    are broken by o_orderkey; revenue values are exact decimals so the
+    ordering itself is engine-independent."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function surface (absent in the reference — SURVEY §2.B.8 — but
+# required by the north-star dedup/sessionization ops; FIXTURES.md §3).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — cumulative window with a total
+    (tie-broken) ordering so results are deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_dense_rank
+    FROM orders
+    """,
+)
+def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "dedup_latest_per_user",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (north-star): row_number over a total
+    ordering — the scalable idiom for 'latest record wins' compaction
+    (single shuffle on the key, no self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream batch operators (sessionization, tumbling windows, JSON
+# extraction, top-k) over the stream-shaped events table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0
+             AS duration_seconds
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → gap flag →
+    cumulative session counter → per-session aggregates. One shuffle on
+    user_id; both windows share it (same partitioning), so Spark runs them
+    in a single exchange at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1000000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).cast("double")
+            / 1000000.0
+        ).alias("duration_seconds"),
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the Structured
+    Streaming windowed count (streaming/ has the readStream version)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object over the JSON props
+    column (the oracle uses an equivalent regexp since the fixture's JSON
+    is single-key flat)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_topk_users",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+)
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BigQuery-idiom expression surface (SURVEY §2.B.6) and catalog
+# introspection (B26-B28).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fx_scalar_idioms",
+    oracle="""
+    SELECT p_partkey,
+           md5(concat_ws('|', coalesce(CAST(p_name AS VARCHAR), ''),
+                              coalesce(CAST(p_brand AS VARCHAR), ''))) AS row_hash,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           CASE WHEN p_size < 1 THEN 0
+                WHEN p_size >= 41 THEN 5
+                ELSE 1 + CAST(FLOOR((p_size - 1) / 10) AS INT) END AS size_bucket,
+           CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier,
+           nullif(p_brand, 'Brand#13') AS brand_or_null
+    FROM part
+    """,
+)
+def fx_scalar_idioms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per part exercising the reference's scalar idioms: md5 row
+    hash (snapshot_hash_arguments), regexp_extract (bigquery__get_catalog),
+    range_bucket(x, generate_array(1,50,10)) (partition_by @13262),
+    case-when, nullif."""
+    from dbt_ci_demo_spark.functions.bq_compat import range_bucket, scd_hash
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        scd_hash("p_name", "p_brand").alias("row_hash"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        range_bucket("p_size", 1, 50, 10).alias("size_bucket"),
+        F.when(F.col("p_retailprice") > 1500, "premium").otherwise("standard").alias("tier"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#13")).alias("brand_or_null"),
+    )
+
+
+@query(
+    "fx_array_agg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def fx_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery ``array_to_string(array_agg(distinct x order by x))``
+    (bigquery__get_catalog @3102) → sorted collect_set + array_join."""
+    from dbt_ci_demo_spark.functions.bq_compat import array_agg_ordered
+
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(array_agg_ordered("c_mktsegment", distinct=True), ",").alias("segments")
+    )
+
+
+_SPARK_TO_SQL_TYPE = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+    "boolean": "BOOLEAN",
+    "array<float>": "FLOAT[]",
+}
+
+
+@query(
+    "meta_columns_in_query",
+    oracle="""
+    SELECT column_name, column_type AS data_type
+    FROM (DESCRIBE SELECT * FROM orders)
+    """,
+)
+def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column introspection of an arbitrary query
+    (default__get_columns_in_query @159512: ``select * from (sql) where
+    false limit 0``). Spark's lazy analysis gives the schema for free —
+    no cluster job runs; types are canonicalized to ANSI names."""
+    df = _t(spark, sf_dir, "orders")
+    rows = [
+        (f.name, _SPARK_TO_SQL_TYPE.get(f.dataType.simpleString(), f.dataType.simpleString().upper()))
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(rows, "column_name string, data_type string")
