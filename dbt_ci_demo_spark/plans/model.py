@@ -1,0 +1,127 @@
+"""Model registry — the engine's equivalent of dbt's model files.
+
+A *model* in the reference is a SELECT statement plus a materialization
+config, discovered from .sql files and wired into a DAG via ``ref()`` /
+``source()`` calls (SURVEY.md §1.1). Here a model is a Python function
+``fn(ctx) -> DataFrame`` registered with the :func:`model` decorator;
+dependencies are declared explicitly (``refs=`` / ``sources=``), playing
+the role of dbt's parse-time Jinja extraction.
+
+Checksums: dbt records ``checksum.sha256`` per node over the file contents
+(manifest.json:1) to power ``state:modified`` selection. We hash the
+function's source text plus its config — same contract: edit the model
+(or its config) and it becomes "modified".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ModelConfig:
+    """Node config (dbt_project.yml cascade → node.config in the manifest).
+
+    Mirrors the reference's observable config surface:
+    materialized ∈ {table, view, incremental, snapshot, seed}
+    (dbt_project.yml:34-36 default table; materialization macros SURVEY
+    §2.C), incremental_strategy ∈ {merge, insert_overwrite, delete+insert}
+    (dbt_bigquery_validate_get_incremental_strategy @33792 + generic),
+    partition_by/cluster_by (@13262/@14354), on_schema_change (@133295),
+    snapshot strategy fields (@112892), hooks (@43255).
+    """
+
+    materialized: str = "table"
+    unique_key: str | list[str] | None = None
+    incremental_strategy: str = "merge"
+    merge_update_columns: list[str] | None = None
+    partition_by: str | None = None
+    cluster_by: list[str] | None = None
+    on_schema_change: str = "ignore"
+    # snapshot-only
+    strategy: str = "timestamp"
+    updated_at: str | None = None
+    check_cols: list[str] | None = None
+    invalidate_hard_deletes: bool = False
+    # orchestration
+    tags: list[str] = field(default_factory=list)
+    pre_hook: list[Callable] = field(default_factory=list)
+    post_hook: list[Callable] = field(default_factory=list)
+    full_refresh: bool = False
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            k: v
+            for k, v in self.__dict__.items()
+            if k not in ("pre_hook", "post_hook") and not callable(v)
+        }
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[..., DataFrame]
+    config: ModelConfig
+    refs: list[str] = field(default_factory=list)
+    sources: list[str] = field(default_factory=list)
+
+    @property
+    def depends_on(self) -> list[str]:
+        return list(self.refs)
+
+    def checksum(self) -> str:
+        """sha256 over normalized source + config — the state:modified key
+        (manifest node ``checksum.sha256``)."""
+        try:
+            src = inspect.getsource(self.fn)
+        except (OSError, TypeError):
+            src = repr(self.fn)
+        payload = json.dumps(
+            {"src": src, "config": self.config.to_json(), "refs": self.refs, "sources": self.sources},
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+
+_REGISTRY: dict[str, Model] = {}
+
+
+def model(
+    name: str | None = None,
+    refs: list[str] | None = None,
+    sources: list[str] | None = None,
+    registry: dict[str, Model] | None = None,
+    **config_kwargs,
+):
+    """Register a model function. ``fn(ctx) -> DataFrame`` where ``ctx`` is
+    a :class:`~dbt_ci_demo_spark.plans.runner.ModelContext` exposing
+    ``ref()``, ``source()``, ``is_incremental()``, ``this`` — the same
+    resolution surface dbt gives model SQL."""
+
+    def deco(fn):
+        m = Model(
+            name=name or fn.__name__,
+            fn=fn,
+            config=ModelConfig(**config_kwargs),
+            refs=refs or [],
+            sources=sources or [],
+        )
+        (_REGISTRY if registry is None else registry)[m.name] = m
+        return fn
+
+    return deco
+
+
+def registered_models() -> dict[str, Model]:
+    return dict(_REGISTRY)
+
+
+def clear_registry() -> None:
+    _REGISTRY.clear()

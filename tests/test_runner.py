@@ -1,0 +1,321 @@
+"""End-to-end tests of the orchestration layer: model registry → DAG →
+materializations in a temp warehouse — the engine's ``dbt build``."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_ci_demo_spark.plans.graph import ModelGraph
+from dbt_ci_demo_spark.plans.model import Model, ModelConfig, model
+from dbt_ci_demo_spark.plans.runner import EnvConfig, Runner
+from dbt_ci_demo_spark.plans.state import StateManifest
+from dbt_ci_demo_spark.sources.catalog import SourceCatalog
+
+
+@pytest.fixture()
+def env(tmp_path):
+    return EnvConfig(env="test", pr_number=None, database_prefix=f"wh_{tmp_path.name.lower()}")
+
+
+def make_models(sf_dir):
+    registry: dict[str, Model] = {}
+
+    @model(name="stg_orders", sources=["orders"], registry=registry, materialized="table")
+    def stg_orders(ctx):
+        return ctx.source("orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+    @model(
+        name="cust_totals",
+        refs=["stg_orders"],
+        registry=registry,
+        materialized="table",
+        cluster_by=["o_custkey"],
+    )
+    def cust_totals(ctx):
+        return (
+            ctx.ref("stg_orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    return registry
+
+
+def make_runner(spark, sf_dir, env, models, tmp_path):
+    return Runner(
+        spark,
+        models,
+        env=env,
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=str(tmp_path / "wh"),
+    )
+
+
+def test_build_table_dag(spark, sf_dir, env, tmp_path):
+    runner = make_runner(spark, sf_dir, env, make_models(sf_dir), tmp_path)
+    results = runner.build()
+    assert all(r.status == "success" for r in results.values()), results
+    out = runner.warehouse.read("cust_totals")
+    src = SourceCatalog(spark, sf_dir).table("orders")
+    assert out.count() == src.select("o_custkey").distinct().count()
+    runner.warehouse.drop_database()
+
+
+def test_compile_analyzes_without_writing(spark, sf_dir, env, tmp_path):
+    runner = make_runner(spark, sf_dir, env, make_models(sf_dir), tmp_path)
+    schemas = runner.compile()
+    assert "o_custkey" in schemas["cust_totals"] and "n_orders" in schemas["cust_totals"]
+    assert not runner.warehouse.exists("cust_totals")
+    runner.warehouse.drop_database()
+
+
+def test_incremental_merge_two_runs(spark, sf_dir, env, tmp_path):
+    registry: dict[str, Model] = {}
+    state = {"batch": 1}
+
+    @model(
+        name="inc_orders",
+        sources=["orders"],
+        registry=registry,
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="o_orderkey",
+    )
+    def inc_orders(ctx):
+        o = ctx.source("orders")
+        if state["batch"] == 1:
+            return o.filter(F.col("o_orderkey") % 2 == 0)
+        # batch 2: odd keys plus re-delivery of some even keys with changed price
+        return o.filter(
+            (F.col("o_orderkey") % 2 == 1) | (F.col("o_orderkey") % 10 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    r1 = runner.build()
+    assert r1["inc_orders"].action == "ctas"
+    n1 = runner.warehouse.read("inc_orders").count()
+    state["batch"] = 2
+    r2 = runner.build()
+    assert r2["inc_orders"].action == "merge"
+    out = runner.warehouse.read("inc_orders")
+    total = SourceCatalog(spark, sf_dir).table("orders").count()
+    assert out.count() == total  # all keys present exactly once
+    assert n1 < total
+    # re-delivered keys must carry the updated price
+    doubled = out.filter(F.col("o_orderkey") % 10 == 0).count()
+    orig = SourceCatalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") % 10 == 0)
+    joined = (
+        out.filter(F.col("o_orderkey") % 10 == 0)
+        .alias("n")
+        .join(orig.alias("o"), "o_orderkey")
+        .filter(F.col("n.o_totalprice") == F.col("o.o_totalprice") * 2)
+    )
+    assert joined.count() == doubled
+    runner.warehouse.drop_database()
+
+
+def test_incremental_insert_overwrite_partitions(spark, sf_dir, env, tmp_path):
+    registry: dict[str, Model] = {}
+    state = {"batch": 1}
+
+    @model(
+        name="li_daily",
+        sources=["lineitem"],
+        registry=registry,
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by="ship_month",
+    )
+    def li_daily(ctx):
+        li = ctx.source("lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        if state["batch"] == 2:
+            li = li.filter(F.col("ship_month") == "2024-03").withColumn(
+                "l_quantity", F.col("l_quantity") + 1000
+            )
+        return li
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    runner.build()
+    before = runner.warehouse.read("li_daily")
+    n_total = before.count()
+    n_march = before.filter(F.col("ship_month") == "2024-03").count()
+    state["batch"] = 2
+    r2 = runner.build()
+    assert r2["li_daily"].action == "insert_overwrite_dynamic"
+    after = runner.warehouse.read("li_daily")
+    assert after.count() == n_total  # only March replaced, same cardinality
+    assert after.filter((F.col("ship_month") == "2024-03") & (F.col("l_quantity") > 1000)).count() == n_march
+    assert after.filter((F.col("ship_month") != "2024-03") & (F.col("l_quantity") > 1000)).count() == 0
+    runner.warehouse.drop_database()
+
+
+def test_snapshot_two_cycles(spark, sf_dir, env, tmp_path):
+    registry: dict[str, Model] = {}
+    state = {"batch": 1}
+
+    @model(
+        name="cust_snap",
+        sources=["customer"],
+        registry=registry,
+        materialized="snapshot",
+        unique_key="c_custkey",
+        updated_at="updated_at",
+        strategy="timestamp",
+        invalidate_hard_deletes=True,
+    )
+    def cust_snap(ctx):
+        c = ctx.source("customer")
+        if state["batch"] == 1:
+            return c.withColumn("updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        return (
+            c.filter(F.col("c_custkey") % 5 != 0)
+            .withColumn(
+                "c_acctbal",
+                F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + 1).otherwise(
+                    F.col("c_acctbal")
+                ),
+            )
+            .withColumn(
+                "updated_at",
+                F.when(
+                    F.col("c_custkey") % 2 == 0, F.lit("2024-02-01 00:00:00")
+                )
+                .otherwise(F.lit("2024-01-01 00:00:00"))
+                .cast("timestamp_ntz"),
+            )
+        )
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    r1 = runner.build()
+    assert r1["cust_snap"].action == "snapshot_build"
+    state["batch"] = 2
+    r2 = runner.build()
+    assert r2["cust_snap"].action == "snapshot_merge"
+    hist = runner.warehouse.read("cust_snap")
+    n_cust = SourceCatalog(spark, sf_dir).table("customer").count()
+    changed = (
+        SourceCatalog(spark, sf_dir)
+        .table("customer")
+        .filter((F.col("c_custkey") % 5 != 0) & (F.col("c_custkey") % 2 == 0))
+        .count()
+    )
+    assert hist.count() == n_cust + changed  # one history row per original + new versions
+    # hard-deleted keys are closed
+    deleted_open = hist.filter(
+        (F.col("c_custkey") % 5 == 0) & F.col("dbt_valid_to").isNull()
+    ).count()
+    assert deleted_open == 0
+    runner.warehouse.drop_database()
+
+
+def test_state_modified_selection_and_defer(spark, sf_dir, env, tmp_path):
+    models = make_models(sf_dir)
+    runner = make_runner(spark, sf_dir, env, models, tmp_path)
+    state_path = str(tmp_path / "state.json")
+    runner.build(state_out=state_path)
+    state = StateManifest.load(state_path)
+
+    # unchanged models → nothing selected
+    graph = ModelGraph(models)
+    assert graph.select(state, "state:modified") == set()
+
+    # modify downstream model → only it (+closure) selected
+    models["cust_totals"].config.cluster_by = None
+    sel = graph.select(state, "state:modified+")
+    assert sel == {"cust_totals"}
+
+    # defer: drop the upstream table from the warehouse; ref() must resolve
+    # via the state manifest's recorded relation instead
+    results = runner.build(select="state:modified+", state=state, defer=True)
+    assert results["cust_totals"].status == "success"
+    assert "stg_orders" not in results  # not selected, not rebuilt
+    runner.warehouse.drop_database()
+
+
+def test_seed_and_copy(spark, env, tmp_path):
+    csv = tmp_path / "seed.csv"
+    csv.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n3,c,\n")
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+
+    wh = Warehouse(spark, env.database() + "_seed", location=str(tmp_path / "whs"))
+    wh.load_seed(str(csv), "my_seed", column_types={"score": "double", "id": "bigint"})
+    df = wh.read("my_seed")
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    assert df.schema["score"].dataType.simpleString() == "double"
+    assert df.count() == 3
+    wh.copy_table([f"{wh.database}.my_seed", f"{wh.database}.my_seed"], "my_seed_copy")
+    assert wh.read("my_seed_copy").count() == 6
+    wh.drop_database()
+
+
+def test_hooks_and_failure_skips_downstream(spark, sf_dir, env, tmp_path):
+    registry: dict[str, Model] = {}
+    hook_log = []
+
+    @model(
+        name="good",
+        sources=["orders"],
+        registry=registry,
+        pre_hook=[lambda s, rel: hook_log.append(("pre", rel))],
+        post_hook=[lambda s, rel: hook_log.append(("post", rel))],
+    )
+    def good(ctx):
+        return ctx.source("orders").limit(10)
+
+    @model(name="bad", registry=registry)
+    def bad(ctx):
+        raise RuntimeError("boom")
+
+    @model(name="downstream_of_bad", refs=["bad"], registry=registry)
+    def downstream_of_bad(ctx):
+        return ctx.ref("bad")
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    results = runner.build()
+    assert results["good"].status == "success"
+    assert results["bad"].status == "error" and "boom" in results["bad"].error
+    assert results["downstream_of_bad"].status == "skipped"
+    assert [h[0] for h in hook_log] == ["pre", "post"]
+    runner.warehouse.drop_database()
+
+
+def test_schema_change_policies(spark, sf_dir):
+    from dbt_ci_demo_spark.operators.incremental import (
+        SchemaChangeError,
+        apply_schema_change_policy,
+    )
+
+    cat = SourceCatalog(spark, sf_dir)
+    tgt = cat.table("customer")
+    src = tgt.withColumn("new_col", F.lit(1)).drop("c_acctbal")
+
+    with pytest.raises(SchemaChangeError):
+        apply_schema_change_policy(src, tgt, "fail")
+
+    s_i, t_i = apply_schema_change_policy(src.withColumn("c_acctbal", F.lit(0.0)), tgt, "ignore")
+    assert s_i.columns == tgt.columns
+
+    s_a, t_a = apply_schema_change_policy(src, tgt.drop("c_acctbal"), "append_new_columns")
+    assert "new_col" in t_a.columns and s_a.columns == t_a.columns
+
+    s_s, t_s = apply_schema_change_policy(src, tgt, "sync_all_columns")
+    assert "c_acctbal" not in t_s.columns and "new_col" in t_s.columns
+    assert s_s.columns == t_s.columns
+
+
+def test_env_namespace_resolution():
+    assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
+    assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"
+    assert EnvConfig(env="dev", database_prefix="dbt_ci").database() == "dbt_ci_dev"
+
+
+def test_graph_cycle_detection():
+    from dbt_ci_demo_spark.plans.graph import CycleError
+
+    a = Model("a", lambda ctx: None, ModelConfig(), refs=["b"])
+    b = Model("b", lambda ctx: None, ModelConfig(), refs=["a"])
+    with pytest.raises(CycleError):
+        ModelGraph({"a": a, "b": b}).topo_order()
