@@ -1,0 +1,164 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(north-star operator family).
+
+Design for 100 TB of media:
+- Media travels as a ``media`` STRUCT column: ``bytes BINARY`` (opaque
+  payload) + typed metadata (uri, modality, byte length, content hash).
+  Parquet stores the binary column contiguously; queries that only touch
+  metadata never deserialize payloads (column pruning).
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` pipelines — the payload crosses the JVM↔Python boundary
+  once per batch, not per row, and the operator parallelizes per
+  partition. ``spark.sql.files.maxPartitionBytes`` (not row count) is the
+  partition-sizing knob because payloads dominate.
+- The actual codec calls (PIL/ffmpeg/librosa) are STUBBED behind
+  ``_decode_image_stub`` — this container has no media libraries. The stub
+  is deterministic (derived from the payload hash) so tests pin the full
+  Spark-side contract: schema, batching, partition behavior, null
+  handling. Swapping in a real codec changes only the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_column(
+    df: DataFrame, payload_col: str, id_col: str, modality: str = "image"
+) -> DataFrame:
+    """Bundle an existing binary payload column into the typed media struct
+    (metadata computed JVM-side: length, md5 — no Python involved)."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.struct(
+            F.concat(F.lit(f"mem://{modality}/"), F.col(id_col).cast("string")).alias("uri"),
+            F.lit(modality).alias("modality"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.md5(p.cast("string")).alias("content_hash"),
+            p.alias("bytes"),
+        ).cast(MEDIA_SCHEMA).alias("media"),
+    )
+
+
+def synthesize_media_from_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic fixture builder: encode the text column as the binary
+    payload (the fixtures ship no real media; the pipeline doesn't care)."""
+    return attach_media_column(
+        df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("__payload")),
+        "__payload",
+        id_col,
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
+    """STUB for the real image decoder (PIL.Image.open). Deterministic fake:
+    dimensions and format derived from the payload's md5 — replace the body
+    with a real codec in production; the surrounding Spark plumbing is the
+    tested artifact.
+
+    Raises NotImplementedError for empty payloads, mirroring how a real
+    decoder rejects corrupt input (exercises the error path)."""
+    if not payload:
+        raise NotImplementedError("real decoder required for empty/corrupt payloads")
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192  # 64..255
+    height = 64 + h[1] % 192
+    fmt = ["jpeg", "png", "webp"][h[2] % 3]
+    return width, height, fmt
+
+
+def decode_image_metadata(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode stage as mapInPandas: one Arrow batch in, one out. Output
+    schema is fixed (IMAGE_META_SCHEMA) so downstream SQL composes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["bytes"]
+            dims = [_decode_image_stub(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "format": [d[2] for d in dims],
+                    "n_bytes": pdf["n_bytes"].astype("int64"),
+                }
+            )
+
+    flat = media_df.select(
+        F.col(id_col), F.col("media.bytes").alias("bytes"), F.col("media.n_bytes").alias("n_bytes")
+    )
+    return flat.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction stage (the embedding-model call in production):
+    deterministic 16-dim vector from the payload hash, Arrow-batched."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["bytes"]:
+                h = hashlib.md5(p).digest()
+                feats.append(np.frombuffer(h, dtype=np.uint8).astype("float32") / 255.0)
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
+
+    flat = media_df.select(F.col(id_col), F.col("media.bytes").alias("bytes"))
+    return flat.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media_df: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 1024
+) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: emit (doc_id, frame_idx,
+    byte_offset) rows JVM-side (sequence + explode — no Python), so the
+    decode stage only touches sampled offsets. With a real container
+    format the offsets would come from the index atom; the fan-out shape
+    is identical."""
+    n = F.col("media.n_bytes")
+    return media_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest((n / every_n_bytes).cast("long") - 1, F.lit(0)))
+        ).alias("frame_idx", "offset_block"),
+    ).select(
+        id_col, "frame_idx", (F.col("offset_block") * every_n_bytes).alias("byte_offset")
+    )

@@ -1,0 +1,289 @@
+"""Similarity search over embedding columns (north-star operator).
+
+Embeddings are ``array<float>`` columns (the ``embeddings`` fixture:
+64-dim). All distance math uses built-in higher-order functions
+(``zip_with`` + ``aggregate`` — a sequential left fold, deterministic
+order) in double precision, cast from float once. No UDFs.
+
+Three tiers:
+- :func:`cosine_topk_bruteforce` — exact top-k: corpus × queries with a
+  rank-window per query. The baseline and the verifier for the ANN tiers.
+  Scale: O(|Q|·|C|) — fine for small query sets against big corpora
+  (broadcast the queries), wrong for all-pairs.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: deterministic pseudo-random
+  planes derived from md5, bucket by sign pattern, search only the query's
+  bucket (multi-probe = hamming-1 neighbors optional). The 100 TB path:
+  bucket join instead of cross join.
+- :func:`ivf_topk` — IVF-style coarse quantization: centroids from a
+  deterministic per-cluster mean, probe the nearest ``n_probe`` centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    The query side is broadcast (small by construction); ranking uses
+    round(cosine, 6) with an id tie-break so the ordering — and therefore
+    the result set — is engine-independent. Output: (query_id, neighbor_id,
+    cosine_r, rank)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes with integer components in
+    [-8, 7], derived from md5 so any engine (or test) can re-derive them.
+    Component d of plane p = nibble value of md5("seed:p:d") mapped to
+    -8..7 (seed 0 keeps the legacy "p:d" form)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            key = f"{p}:{d}" if seed == 0 else f"{seed}:{p}:{d}"
+            h = hashlib.md5(key.encode()).hexdigest()
+            row.append(int(h[0], 16) - 8)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: ``n_tables``
+    independent tables of ``n_planes`` planes each; a corpus vector is a
+    candidate iff it shares the query's bucket in ANY table (recall
+    ≈ 1 − (1 − p^b)^L, p = 1 − θ/π). Exact cosine ranks the candidates.
+
+    Scale shape: corpus-side bucketing is a narrow map producing
+    ``n_tables`` (table, bucket) rows per vector; the search is a
+    (table, bucket) equi-join against broadcast queries — at 100 TB this
+    is an L-times-replicated partitioned join, never an all-pairs cross
+    join. Tune n_planes up for selectivity, n_tables up for recall;
+    verify against cosine_topk_bruteforce on samples."""
+    from pyspark.sql.window import Window
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vecc), _hyperplanes(dim, n_planes, seed=t + 1)).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(idc, vecc, F.explode(tb).alias("tb"))
+
+    c = with_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+    )
+    q = with_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+    )
+    scored = (
+        c.join(F.broadcast(q), on="tb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(
+    corpus: DataFrame, cluster_col: str, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-cluster centroid via positional explode + decimal-exact mean —
+    deterministic (order-independent) centroid coordinates."""
+    pos = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    means = (
+        pos.groupBy("cluster", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean"
+            )
+        )
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["mean"]).alias("centroid"))
+    )
+    return means
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF search: rank clusters by query-centroid cosine, probe the top
+    ``n_probe`` clusters, exact-rank within them. The corpus is read only
+    in the probed partitions — with the corpus written partitioned by
+    cluster id, Catalyst prunes the rest at the storage layer."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "cluster",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
+    probes = qc.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= n_probe
+    ).select("query_id", "qv", "cluster")
+    c = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_r").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """All-pairs near-duplicate detection by cosine ≥ threshold, with LSH
+    bucketing as the candidate generator (near-identical vectors share a
+    bucket with high probability at 8 planes; exact cosine verifies)."""
+    planes = _hyperplanes(dim, n_planes)
+    v = corpus.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    l, r = v.alias("l"), v.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vid") < F.col("r.vid")),
+    ).select(
+        F.col("l.vid").alias("id_a"),
+        F.col("r.vid").alias("id_b"),
+        F.col("l.v").alias("va"),
+        F.col("r.v").alias("vb"),
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_r")
+        )
+        .filter(F.col("cosine_r") >= threshold)
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators (north-star): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All column expressions over built-ins (split/regexp/length/aggregate) —
+no UDFs, so a 100 TB documents table is scored in one codegen'd scan with
+zero shuffles (per-document metrics) or one shuffle (corpus aggregates).
+
+Engine-portability: token/character-class regexes use explicit ASCII
+classes (identical semantics in Java regex and RE2) so DuckDB oracles
+reproduce every number exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+# Deterministic tie-break: languages are scored then compared in this order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "nicht", "von", "ist", "ein"],
+    "zh": ["de", "shi", "bu", "le", "wo", "you", "zai", "ta"],
+}
+
+_WORD_RE = "[a-z0-9]+"
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count (regexp occurrences of non-space runs is
+    portable; split-based counting differs on leading/trailing space)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count of matches of the GPT-2-style
+    pre-tokenizer classes (letter runs | single digits | punctuation runs),
+    a deterministic upper-ish proxy for subword token counts."""
+    return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality metrics + composite quality score.
+
+    Heuristics follow the public C4/Gopher-style filters: length, mean
+    word length, punctuation density, stopword ratio."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_words = F.regexp_count(lower, F.lit(_WORD_RE))
+    n_punct = F.regexp_count(t, F.lit(_PUNCT_RE))
+    n_stop = sum(
+        [F.regexp_count(lower, F.lit(f"\\b{w}\\b")) for w in STOPWORDS_EN],
+        F.lit(0),
+    )
+    word_chars = F.length(F.regexp_replace(lower, F.lit("[^a-z0-9]"), F.lit("")))
+    avg_word_len = F.round(
+        F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    punct_ratio = F.round(
+        F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+    )
+    stop_ratio = F.round(
+        F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    quality = F.round(
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-marker language heuristic: score each language by marker
+    hits per word; argmax with a fixed language-order tie-break. Pure
+    column expressions → one scan, no shuffle."""
+    lower = F.lower(F.col(text_col))
+    scores = {
+        lang: sum(
+            [F.regexp_count(lower, F.lit(f"\\b{w}\\b")) for w in words], F.lit(0)
+        ).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+    )
+    pred = F.lit(langs[0])
+    acc = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        better = F.col(f"score_{lang}") > acc
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        acc = F.when(better, F.col(f"score_{lang}")).otherwise(acc)
+    return out.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("predicted_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed) — robust to
+    formatting-only edits; the exact-dedup key for 'same content, different
+    whitespace' duplicates."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), F.lit("[^a-z0-9 ]"), F.lit("")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("normalized_len"),
+    )

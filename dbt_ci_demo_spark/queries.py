@@ -1015,3 +1015,7 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in df.schema.fields
     ]
     return spark.createDataFrame(rows, "column_name string, data_type string")
+
+
+# Register the north-star extension queries (dedup / similarity / text).
+from dbt_ci_demo_spark import queries_northstar  # noqa: E402,F401

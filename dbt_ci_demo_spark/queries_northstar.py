@@ -1,0 +1,563 @@
+"""North-star query registrations: dedup, similarity search, text analysis
+(driver BASELINE.json extensions; SURVEY.md §7.4).
+
+The MinHash/SimHash/LSH oracles replicate the *exact same* md5-derived
+signatures in DuckDB SQL (generated programmatically below from the same
+parameters), so candidate generation matches bit-for-bit — the correctness
+gate covers the approximate pipeline end-to-end, not just its exact
+verifier stage.
+
+Duplicate injection: the fixture corpus has no planted duplicates, so
+near-dup queries derive a dup-injected corpus deterministically (append
+perturbed copies of every 25th document / 20th vector) identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.operators import dedup as dd
+from dbt_ci_demo_spark.operators import similarity as sim
+from dbt_ci_demo_spark.operators import text as tx
+from dbt_ci_demo_spark.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Shared derived fixtures
+# ---------------------------------------------------------------------------
+
+_DOCS_DUP = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate trailing marker' AS text
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate trailing marker")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_EXACT_DUP = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _docs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    WITH docs AS ({_DOCS_EXACT_DUP})
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM docs GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content duplicate groups over a dup-injected corpus."""
+    return dd.exact_duplicates(_docs_exact_dup(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle=f"""
+    WITH docs AS ({_DOCS_EXACT_DUP}),
+    keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text))
+    SELECT d.doc_id, d.text FROM docs d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows surviving exact dedup (min doc_id per content hash)."""
+    return dd.dedup_keep_first(_docs_exact_dup(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS normalized_len
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup — oracle generated from the same parameters
+# ---------------------------------------------------------------------------
+
+_MINHASH_N = 32
+_MINHASH_BANDS = 8
+_MINHASH_K = 3
+_MINHASH_THRESHOLD = 0.7
+
+
+def _minhash_oracle() -> str:
+    n, bands, k = _MINHASH_N, _MINHASH_BANDS, _MINHASH_K
+    rows = n // bands
+    sig_cols = ",\n      ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n)
+    )
+    band_structs = ",\n        ".join(
+        "struct_pack(band_id := {b}, band_hash := md5(concat_ws('|', {sigs})))".format(
+            b=b, sigs=", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS ({_DOCS_DUP}),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM docs
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {k - 2}),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks WHERE len(t) >= {k}
+      )
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id AS band_id, b.band_hash AS band_hash FROM (
+        SELECT doc_id, unnest([
+        {band_structs}
+        ]) AS b FROM sigs
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(coalesce(i.n_inter, 0)::DOUBLE /
+                   (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {_MINHASH_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8×4) near-dup pairs, exact-Jaccard verified ≥ 0.7.
+    The oracle replays the identical md5-minhash banding, so Spark and
+    DuckDB produce the same candidates AND the same verified pairs."""
+    return dd.minhash_near_duplicates(
+        _docs_dup(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_MINHASH_K,
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                  UNION ALL
+                  SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id % 25 = 0),
+    toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM docs),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks WHERE len(t) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             round(coalesce(i.n_inter, 0)::DOUBLE /
+                   (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes na ON na.doc_id = p.id_a
+      JOIN sizes nb ON nb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard pairs ≥ 0.5 on a subsampled corpus —
+    the exact baseline the LSH pipeline is verified against. (All-pairs is
+    deliberately the non-scale path; it exists as the verifier.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") % 5 == 0)
+    dups = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = sub.unionByName(dups)
+    sh = dd.word_shingles(corpus, "text", "doc_id", k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sizes.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(sizes.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return dd.jaccard_scores(sh, "doc_id", pairs).filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — oracle is brute force (banding has guaranteed recall
+# for hamming <= 3, so banded == brute force provably)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    bit_terms = ",\n      ".join(
+        "sum(CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) / {den}) AS BIGINT) % 2) AS bit_{j}".format(
+            pos=j // 4 + 1, den=2 ** (j % 4), j=j
+        )
+        for j in range(32)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN bit_{j} * 2 >= n_tok THEN {2**j} ELSE 0 END" for j in range(32)
+    )
+    return f"""
+    WITH docs AS ({_DOCS_DUP}),
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM docs
+      ) WHERE tok != ''
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, count(*) AS n_tok,
+      {bit_terms}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs (hamming ≤ 3) via 4-block banded
+    candidates + exact hamming filter. Oracle brute-forces all pairs — the
+    pigeonhole guarantee makes the banded result provably identical."""
+    return dd.simhash_near_duplicates(_docs_dup(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _regex_count(expr: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def _text_stats_oracle() -> str:
+    stop_sum = " + ".join(
+        _regex_count("lower(text)", f"\\b{w}\\b") for w in tx.STOPWORDS_EN
+    )
+    n_words = _regex_count("lower(text)", "[a-z0-9]+")
+    n_tokens = _regex_count("text", "\\S+")
+    n_punct = _regex_count("text", "[.,;:!?''\"()\\[\\]{{}}-]".replace("''", "''"))
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             {n_tokens} AS n_tokens,
+             {n_words} AS n_words,
+             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS word_chars,
+             {n_punct} AS n_punct,
+             {stop_sum} AS n_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, n_tokens, n_words,
+             round(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END, 6) AS avg_word_len,
+             round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN n_words > 0 THEN n_stop::DOUBLE / n_words ELSE 0.0 END, 6) AS stopword_ratio
+      FROM m
+    )
+    SELECT doc_id, n_chars, n_tokens, n_words, avg_word_len, punct_ratio, stopword_ratio,
+           round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN avg_word_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+    FROM r
+    """
+
+
+@query("text_stats", oracle=_text_stats_oracle())
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (C4/Gopher-style heuristics)."""
+    return tx.text_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    langs = list(tx.LANG_MARKERS)
+    score_cols = ",\n             ".join(
+        "CAST({} AS BIGINT) AS score_{}".format(
+            " + ".join(_regex_count("lower(text)", f"\\b{w}\\b") for w in words), lang
+        )
+        for lang, words in tx.LANG_MARKERS.items()
+    )
+    # argmax with first-language-wins tie-break, mirroring the Spark fold
+    pred = f"'{langs[0]}'"
+    acc = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {acc} THEN '{lang}' ELSE {pred} END"
+        acc = f"greatest({acc}, score_{lang})"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+           {pred} AS predicted_lang
+    FROM s
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification with deterministic argmax."""
+    return tx.language_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — oracles share the deterministic md5-derived planes
+# ---------------------------------------------------------------------------
+
+
+def _planes_sql(dim: int = 64, n_planes: int = 8, seed: int = 0) -> list[str]:
+    planes = sim._hyperplanes(dim, n_planes, seed=seed)
+    return ["[" + ", ".join(f"{w}.0" for w in row) + "]::DOUBLE[]" for row in planes]
+
+
+_COS = (
+    "round(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS.format(a='qv', b='cv')} AS cosine_r
+      FROM c, q WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 5 against the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+
+
+def _lsh_oracle() -> str:
+    # One bucketed SELECT per table (same md5-seeded planes as the Spark
+    # operator), UNION ALL'd into long form; candidate iff co-bucketed in
+    # any table, deduped per pair before exact ranking.
+    per_table = []
+    for t in range(_LSH_TABLES):
+        planes = _planes_sql(n_planes=_LSH_PLANES, seed=t + 1)
+        bucket_terms = " + ".join(
+            f"CASE WHEN list_inner_product(v, {planes[p]}) >= 0 THEN {2**p} ELSE 0 END"
+            for p in range(len(planes))
+        )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS t, CAST({bucket_terms} AS BIGINT) AS bucket FROM base"
+        )
+    bucketed = "\n      UNION ALL\n      ".join(per_table)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (
+      {bucketed}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, t, bucket FROM bucketed WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, t, bucket FROM bucketed),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id,
+             {_COS.format(a='q.qv', b='c.cv')} AS cosine_r
+      FROM c JOIN q ON c.t = q.t AND c.bucket = q.bucket
+                   AND c.neighbor_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_lsh_ann", oracle=_lsh_oracle())
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 — the oracle re-derives the same
+    md5-seeded planes and bucket assignment, verifying the approximate
+    index itself, not just the final ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_EMB_DUP = """
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([embedding[1]::DOUBLE + 0.01], (embedding[2:])::DOUBLE[])
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def _emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pert = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.col("embedding").getItem(0).cast("double") + 0.01),
+                F.transform(F.slice("embedding", 2, 63), lambda x: x.cast("double")),
+            ).alias("v"),
+        )
+    )
+    return base.unionByName(pert)
+
+
+def _neardup_oracle() -> str:
+    planes = _planes_sql()
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_inner_product(v, {planes[p]}) >= 0 THEN {2**p} ELSE 0 END"
+        for p in range(len(planes))
+    )
+    return f"""
+    WITH base AS ({_EMB_DUP}),
+    bucketed AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM base),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, {_COS.format(a='va', b='vb')} AS cosine_r FROM cand
+    )
+    SELECT id_a, id_b, cosine_r FROM scored WHERE cosine_r >= 0.99
+    """
+
+
+@query("sim_embedding_neardup", oracle=_neardup_oracle())
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates (cosine ≥ 0.99) over a dup-injected
+    corpus, LSH-bucketed candidates + exact verification."""
+    corpus = _emb_dup(spark, sf_dir).withColumnRenamed("v", "embedding")
+    return sim.embedding_near_duplicates(corpus, id_col="vec_id", threshold=0.99)
+
+
+@query("sim_ivf_topk")  # rows-only: centroid training is iterative/numeric
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids (decimal-exact means), probe the
+    2 nearest clusters. Rows-only check; recall is validated against the
+    brute-force oracle in tests/test_northstar.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -1,0 +1,119 @@
+"""Structured Streaming variants of the event-table operators.
+
+The reference is batch-only (SURVEY.md §2.B.8: no watermarks, no
+event-time windows); the north star adds a stream-shaped ``events`` table.
+These builders express the batch queries (queries.py events_*) as
+streaming plans — same logical semantics, incremental execution:
+
+- tumbling/sliding window counts with event-time watermarks (late data
+  dropped after the watermark horizon);
+- session windows via ``F.session_window`` (gap-based, the streaming twin
+  of the batch lag/cumsum sessionization);
+- keep-latest-per-key dedup via ``dropDuplicatesWithinWatermark``.
+
+Tests run them with ``trigger(availableNow=True)`` against the parquet
+fixtures — the same code deploys against Kafka by swapping the reader.
+
+Scale notes: state-store size is bounded by the watermark horizon ×
+key cardinality; shuffle partitioning of streaming aggregates follows
+``spark.sql.shuffle.partitions`` at plan time, so it must be set before
+the first micro-batch (done in session.get_spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (1 file per trigger keeps
+    micro-batches deterministic in tests). The nanos→micros normalization
+    matches sources/catalog.py."""
+    # The fixture is a single parquet FILE; the streaming file source
+    # requires a directory, so stream the parent dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed count/sum per event_type with an event-time watermark —
+    the streaming twin of queries.events_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user — the streaming twin of
+    queries.events_sessionize (same 30-minute inactivity semantics,
+    maintained incrementally in the state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the bounded-state form of keep-first dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan to completion over the available input
+    (availableNow trigger) into an in-memory sink; returns the result as a
+    batch DataFrame. Test/driver harness helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
