@@ -29,6 +29,10 @@ HEADLINE = [
     "dedup_latest_per_user",
     "events_sessionize",
     "events_tumbling_hourly",
+    "dedup_minhash_lsh",
+    "sim_lsh_ann",
+    "text_stats",
+    "text_winnowing",
 ]
 
 

@@ -135,3 +135,47 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).alias("normalized_len"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every k-gram of the lowered text (rolling-hash
+    selection — md5 stands in for Karp-Rabin; selection semantics are
+    identical), then keep the minimum hash of each ``window`` of
+    consecutive k-gram hashes, distinct per document.
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint — the property
+    near-dup/plagiarism detection builds on.
+
+    Whole pipeline is higher-order array functions in one codegen'd
+    projection: zero shuffles until the per-doc distinct (array_distinct,
+    also shuffle-free). Output: (id, fingerprint) rows."""
+    t = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    hashes = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(t, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Materialize the k-gram hash array before the window pass: a lambda
+    # that referenced the `hashes` EXPRESSION would re-evaluate all n md5s
+    # per window (no CSE inside higher-order lambdas) — O(n²) md5 calls.
+    # Against a column reference the window pass is O(n·window).
+    staged = df.select(F.col(id_col), hashes.alias("__kgram_hashes"))
+    h = F.col("__kgram_hashes")
+    n_windows = F.greatest(F.size(h) - F.lit(window - 1), F.lit(0))
+    fps = F.when(
+        n_windows > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda w: F.array_min(F.slice(h, w, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))

@@ -1017,5 +1017,6 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
 
-# Register the north-star extension queries (dedup / similarity / text).
-from dbt_ci_demo_spark import queries_northstar  # noqa: E402,F401
+# Register the north-star extension queries (dedup / similarity / text)
+# and the metadata/seed/fingerprinting queries.
+from dbt_ci_demo_spark import queries_meta, queries_northstar  # noqa: E402,F401

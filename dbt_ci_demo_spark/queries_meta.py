@@ -1,0 +1,138 @@
+"""Metadata, seed, and fingerprinting query registrations (SURVEY.md §2
+B3 seeds, B26 catalog, B30 partitions; plus winnowing fingerprints from
+the north-star text-analysis family).
+
+The seed oracle is generated from the committed CSV so the two engines
+read the exact same bytes; the catalog oracle uses DuckDB's
+information_schema over the pre-registered fixture views.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.operators import text as tx
+from dbt_ci_demo_spark.queries import _t, query
+from dbt_ci_demo_spark.sources import metadata as md
+
+_SEED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "seeds", "country_codes.csv")
+_SEED_TYPES = {"dial_code": "int", "population_m": "double", "gdp_usd_b": "double"}
+
+# Catalog fixture tables (every pre-registered oracle view).
+_CATALOG_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _seed_values_sql() -> str:
+    """Inline-VALUES oracle built from the committed CSV file — no file
+    dependency on the oracle side, no drift possible on the Spark side."""
+    with open(_SEED_PATH, newline="") as f:
+        rows = list(csv.DictReader(f))
+    values = ",\n      ".join(
+        "('{code}', '{name}', {dial_code}, {population_m}, {gdp_usd_b})".format(**r)
+        for r in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(code, name, dial_code, population_m, gdp_usd_b)
+    """
+
+
+@query("seed_csv_typed", oracle=_seed_values_sql())
+def seed_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: seed CSV load — header, schema inference, per-column type
+    overrides (the reference's column_types config:
+    default__create_csv_table @68626). The write step (saveAsTable) is
+    exercised in tests/test_runner.py; this query checks the read+cast."""
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(_SEED_PATH)
+    )
+    for col, dtype in _SEED_TYPES.items():
+        df = df.withColumn(col, F.col(col).cast(dtype))
+    return df
+
+
+def _catalog_oracle() -> str:
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT '{t}' AS table_name, "
+        f"(SELECT count(*) FROM information_schema.columns WHERE table_name = '{t}') AS n_columns, "
+        f"(SELECT count(*) FROM {t}) AS row_count"
+        for t in _CATALOG_TABLES
+    )
+    return f"""
+    SELECT table_name, n_columns, row_count FROM (
+      {per_table}
+    ) ORDER BY table_name
+    """
+
+
+@query("meta_catalog_fixture", oracle=_catalog_oracle())
+def meta_catalog_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 (bigquery__get_catalog @3102): per-relation column count + row
+    count rollup, here over the fixture tables so DuckDB can mirror it
+    from information_schema. Row counts are parquet-footer reads."""
+    return md.fixture_catalog(spark, sf_dir, _CATALOG_TABLES)
+
+
+_WINNOW_K = 8
+_WINNOW_WINDOW = 4
+
+
+def _winnow_oracle() -> str:
+    k, w = _WINNOW_K, _WINNOW_WINDOW
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= {k}
+                  THEN list_transform(range(1, length(t) - {k} + 2),
+                                      i -> md5(substr(t, i::INT, {k})))
+                  ELSE [] END AS h
+      FROM norm
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= {w}
+                  THEN list_distinct(list_transform(range(1, len(h) - {w} + 2),
+                       j -> list_aggregate(list_slice(h, j::INT, (j + {w - 1})::INT), 'min')))
+                  ELSE [] END AS f
+      FROM hashed
+    )
+    SELECT doc_id, unnest(f) AS fingerprint FROM fps
+    """
+
+
+@query("text_winnowing", oracle=_winnow_oracle())
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8, window=4) over documents — the
+    rolling-hash document-fingerprinting entry of the text family."""
+    return tx.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW
+    )
+
+
+@query("flagship_approx_distinct")  # rows-only: HLL sketches differ per engine
+def flagship_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregation with approx_count_distinct — the
+    documented 100 TB variant (SURVEY §7.5): one pass, no exact-distinct
+    expand, HLL merge instead of a distinct shuffle. Rows-only check
+    (sketch estimates are engine-specific by construction)."""
+    from dbt_ci_demo_spark.queries import repo_languages
+
+    rl = repo_languages(spark, sf_dir)
+    return (
+        rl.select("repo_name", F.explode("language").alias("lang"))
+        .groupBy(F.col("lang.name").alias("name"))
+        .agg(F.approx_count_distinct("repo_name").alias("repositories_number_approx"))
+    )

@@ -27,6 +27,16 @@ from dbt_ci_demo_spark.queries import _t, query
 # Shared derived fixtures
 # ---------------------------------------------------------------------------
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table spread across the cluster before CPU-heavy text
+    expressions. The fixture parquet is one row group (one input split);
+    the repartition is a tiny exchange that buys full-core parallelism for
+    the md5/regex projections. On a real multi-file 100 TB table the scan
+    already yields many splits and this is a cheap no-op-sized shuffle."""
+    par = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(par)
+
 _DOCS_DUP = """
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -36,7 +46,7 @@ _DOCS_DUP = """
 
 
 def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir)
     dups = (
         d.filter(F.col("doc_id") % 25 == 0)
         .select(
@@ -55,7 +65,7 @@ _DOCS_EXACT_DUP = """
 
 
 def _docs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir)
     return d.unionByName(
         d.filter(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -106,7 +116,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return tx.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +247,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard pairs ≥ 0.5 on a subsampled corpus —
     the exact baseline the LSH pipeline is verified against. (All-pairs is
     deliberately the non-scale path; it exists as the verifier.)"""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
     sub = docs.filter(F.col("doc_id") % 5 == 0)
     dups = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -345,7 +355,7 @@ def _text_stats_oracle() -> str:
 @query("text_stats", oracle=_text_stats_oracle())
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics (C4/Gopher-style heuristics)."""
-    return tx.text_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return tx.text_stats(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _langid_oracle() -> str:
@@ -377,7 +387,7 @@ def _langid_oracle() -> str:
 @query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language identification with deterministic argmax."""
-    return tx.language_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return tx.language_id(_docs(spark, sf_dir), "text", "doc_id")
 
 
 @query(
@@ -390,7 +400,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_ws_tokens"),
