@@ -33,6 +33,8 @@ HEADLINE = [
     "sim_lsh_ann",
     "text_stats",
     "text_winnowing",
+    "events_asof_attribution",
+    "events_range_join_campaigns",
 ]
 
 

@@ -100,21 +100,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
+
+    Built as ONE SQL expression string (F.expr) rather than composed
+    Column objects: a 64-dim plane as F.array(*64 F.lit(...)) costs 64
+    py4j round trips, and 8 tables × 4 planes of them put seconds of
+    driver-side plan construction ahead of a sub-second query. The
+    generated expression is identical to the Column form."""
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    terms = []
     for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ",".join(f"{float(w)}D" for w in plane)
+        dot = (
+            f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {2 ** p}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_ann_topk(
@@ -145,7 +148,7 @@ def lsh_ann_topk(
             *[
                 F.struct(
                     F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vecc), _hyperplanes(dim, n_planes, seed=t + 1)).alias("b"),
+                    lsh_bucket(vecc, _hyperplanes(dim, n_planes, seed=t + 1)).alias("b"),
                 )
                 for t in range(n_tables)
             ]
@@ -270,7 +273,7 @@ def embedding_near_duplicates(
     planes = _hyperplanes(dim, n_planes)
     v = corpus.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    ).withColumn("bucket", lsh_bucket("v", planes))
     l, r = v.alias("l"), v.alias("r")
     cand = l.join(
         r,

@@ -1017,6 +1017,10 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
 
-# Register the north-star extension queries (dedup / similarity / text)
-# and the metadata/seed/fingerprinting queries.
-from dbt_ci_demo_spark import queries_meta, queries_northstar  # noqa: E402,F401
+# Register the north-star extension queries (dedup / similarity / text),
+# the metadata/seed/fingerprinting queries, and the time-series joins.
+from dbt_ci_demo_spark import (  # noqa: E402,F401
+    queries_joins,
+    queries_meta,
+    queries_northstar,
+)

@@ -1,0 +1,164 @@
+"""As-of join and range join query registrations (north-star time-series
+join operators; oracles use DuckDB's native ASOF JOIN and a plain theta
+join, verifying the Spark compositions against first-class reference
+implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_ci_demo_spark.operators import asof as aj
+from dbt_ci_demo_spark.queries import _t, query
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, event_id AS view_event_id FROM events
+      WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           v.view_event_id,
+           round(CAST(epoch_us(p.ts) - epoch_us(v.ts) AS DOUBLE) / 1e6, 6) AS seconds_since_view
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase matched to the most recent
+    at-or-before view by the same user — a backward as-of join, verified
+    against DuckDB's native ASOF JOIN. Spark side is the union-window
+    formulation: one shuffle, no join."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("view_event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = aj.asof_join(purchases, views, on=["user_id"], ts_col="ts", right_cols=["view_event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "view_event_id",
+        F.round(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("asof_ts").cast("timestamp"))).cast("double")
+            / 1e6,
+            6,
+        ).alias("seconds_since_view"),
+    )
+
+
+_CAMPAIGN_DAYS = 3
+_N_CAMPAIGNS = 10
+
+
+@query(
+    "events_range_join_campaigns",
+    oracle=f"""
+    WITH t0 AS (SELECT min(ts) AS start0 FROM events),
+    campaigns AS (
+      SELECT i AS campaign_id,
+             start0 + to_microseconds((i * {_CAMPAIGN_DAYS}) * 86400000000) AS c_start,
+             start0 + to_microseconds(((i + 1) * {_CAMPAIGN_DAYS}) * 86400000000) AS c_end
+      FROM t0, range(0, {_N_CAMPAIGNS}) r(i)
+    )
+    SELECT c.campaign_id,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           round(sum(CAST(e.value AS DECIMAL(30,6))), 6)::DOUBLE AS sum_value
+    FROM events e
+    JOIN campaigns c ON e.ts >= c.c_start AND e.ts < c.c_end
+    GROUP BY c.campaign_id
+    """,
+)
+def events_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events assigned to {_N}-day campaign windows derived
+    from the global min timestamp, aggregated per campaign. Spark side is
+    the bucketized equi-join (intervals exploded into day buckets), the
+    scale path for interval joins; oracle is the naive theta join."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("start0"))
+    day_us = 86400 * 1_000_000
+    campaigns = (
+        t0.crossJoin(spark.range(_N_CAMPAIGNS).withColumnRenamed("id", "campaign_id"))
+        .select(
+            "campaign_id",
+            F.timestamp_micros(
+                F.unix_micros(F.col("start0").cast("timestamp")) + F.col("campaign_id") * _CAMPAIGN_DAYS * day_us
+            ).alias("c_start"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("start0").cast("timestamp")) + (F.col("campaign_id") + 1) * _CAMPAIGN_DAYS * day_us
+            ).alias("c_end"),
+        )
+    )
+    joined = aj.bucketized_range_join(
+        ev.select("user_id", "ts", "value"),
+        campaigns,
+        point_ts="ts",
+        start_col="c_start",
+        end_col="c_end",
+        bucket_seconds=86400,
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 6).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "events_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id AS click_event_id FROM events
+      WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000::BIGINT
+                THEN c.click_event_id END AS click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance (merge_asof semantics): clicks
+    older than the horizon do not attribute."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("click_event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = aj.asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        right_cols=["click_event_id"], tolerance_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "click_event_id")
