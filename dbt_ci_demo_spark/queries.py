@@ -1021,6 +1021,7 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the metadata/seed/fingerprinting queries, and the time-series joins.
 from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_joins,
+    queries_media,
     queries_meta,
     queries_northstar,
 )

@@ -1,0 +1,154 @@
+"""Multimodal-column and Structured Streaming query registrations.
+
+Multimodal (SURVEY.md §7.4 / north star): the media pipeline's decode
+stub is *deterministic* (metadata derived from the payload md5, see
+operators/multimodal.py), so even the mapInPandas decode stage is fully
+oracle-checkable — DuckDB reproduces the stub's byte arithmetic from
+``md5(text)`` hex. This pins the entire Spark-side contract (struct
+schema, Arrow batching, column pruning of the binary payload) against an
+independent engine, not just against itself.
+
+Streaming: the streaming plans run to completion over the parquet fixture
+with ``trigger(availableNow=True)``. In *complete* output mode a windowed
+aggregation emits every window regardless of watermark, so the finished
+stream is value-identical to the batch aggregation — giving Structured
+Streaming operators a full DuckDB oracle instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.operators import multimodal as mm
+from dbt_ci_demo_spark.queries import _t, query
+from dbt_ci_demo_spark.streaming import events_stream as es
+
+# DuckDB: byte k (0-based) of md5 digest from the hex string.
+def _oracle_md5_byte(expr: str, k: int) -> str:
+    return f"(('0x' || substr(md5({expr}), {2 * k + 1}, 2))::INT)"
+
+
+_DOCS_NONEMPTY = "text IS NOT NULL AND length(text) > 0"
+
+
+@query(
+    "mm_image_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           64 + ({_oracle_md5_byte('text', 0)} % 192) AS width,
+           64 + ({_oracle_md5_byte('text', 1)} % 192) AS height,
+           ['jpeg', 'png', 'webp'][({_oracle_md5_byte('text', 2)} % 3) + 1] AS format,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    WHERE {_DOCS_NONEMPTY}
+    """,
+)
+def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode stage end-to-end: documents.text → binary payload →
+    typed media struct (JVM-side metadata) → Arrow-batched mapInPandas
+    decode. The stub's md5-derived dimensions let DuckDB verify the whole
+    chain, including utf-8 payload encoding and batch handling."""
+    docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
+    media = mm.synthesize_media_from_text(docs, "text", "doc_id")
+    return mm.decode_image_metadata(media)
+
+
+_FRAME_BYTES = 256
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, frame_idx,
+           frame_idx * {_FRAME_BYTES} AS byte_offset
+    FROM (
+      SELECT doc_id,
+             unnest(range(
+               0,
+               greatest(CAST(floor(octet_length(encode(text)) / {_FRAME_BYTES}.0) AS BIGINT) - 1, 0) + 1
+             )) AS frame_idx
+      FROM documents
+      WHERE {_DOCS_NONEMPTY}
+    )
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video-shaped payloads: per-media byte
+    offsets fanned out JVM-side (sequence + posexplode, no Python), so a
+    downstream decoder touches only sampled offsets."""
+    docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
+    media = mm.synthesize_media_from_text(docs, "text", "doc_id")
+    return mm.frame_sample_plan(media, every_n_bytes=_FRAME_BYTES)
+
+
+@query("mm_features")  # rows-only: float32 feature vectors (no exact SQL twin)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (the embedding-model call in production):
+    Arrow-batched mapInPandas producing fixed-dim float vectors."""
+    docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
+    media = mm.synthesize_media_from_text(docs, "text", "doc_id")
+    return mm.extract_features(media)
+
+
+_sink_seq = itertools.count()
+
+
+def _run_stream(spark: SparkSession, df: DataFrame, base: str, mode: str) -> DataFrame:
+    name = f"{base}_{next(_sink_seq)}"
+    return es.run_to_memory(spark, df, name, output_mode=mode)
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate run to completion
+    (availableNow) in complete mode — value-identical to the batch window
+    aggregation, so the streaming operator gets a full oracle."""
+    stream = es.read_events_stream(spark, sf_dir)
+    return _run_stream(spark, es.tumbling_counts(stream), "q_stream_tumbling", "complete")
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window) run to completion in
+    complete mode. Session semantics: a new session starts when the gap is
+    >= 30 min (end-exclusive window merge), and session_end is
+    last-event + gap — the oracle mirrors both exactly with lag/cumsum."""
+    stream = es.read_events_stream(spark, sf_dir)
+    return _run_stream(spark, es.session_windows(stream), "q_stream_session", "complete")
