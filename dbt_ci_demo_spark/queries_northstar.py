@@ -132,8 +132,10 @@ _MINHASH_THRESHOLD = 0.7
 def _minhash_oracle() -> str:
     n, bands, k = _MINHASH_N, _MINHASH_BANDS, _MINHASH_K
     rows = n // bands
+    prime = dd._MINHASH_PRIME
     sig_cols = ",\n      ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n)
+        f"min(({a} * h + {b}) % {prime}) AS sig_{i}"
+        for i, (a, b) in enumerate(dd._affine_params(n))
     )
     band_structs = ",\n        ".join(
         "struct_pack(band_id := {b}, band_hash := md5(concat_ws('|', {sigs})))".format(
@@ -157,7 +159,10 @@ def _minhash_oracle() -> str:
     sigs AS (
       SELECT doc_id,
       {sig_cols}
-      FROM shingles GROUP BY doc_id
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+            FROM shingles)
+      GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b.band_id AS band_id, b.band_hash AS band_hash FROM (
