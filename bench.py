@@ -23,6 +23,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
+    "q4_late_shipment_priority",
+    "q18_large_orders",
     "incr_merge_upsert",
     "incr_insert_overwrite_dynamic",
     "snap_cycle_timestamp",

@@ -1024,4 +1024,5 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_media,
     queries_meta,
     queries_northstar,
+    queries_relational,
 )

@@ -1,0 +1,134 @@
+"""Additional relational query shapes: semi-join (EXISTS), anti-join
+(NOT EXISTS), aggregate-subquery (HAVING-driven selection), and
+schema-evolution merge — widening the oracle-checked surface over the
+join/subquery patterns the reference's runtime executes via BigQuery
+(SURVEY.md §2.B.8 scalar/IN subqueries; §2.B.2 B13 on_schema_change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.functions.bq_compat import exact_sum
+from dbt_ci_demo_spark.operators import incremental as incr
+from dbt_ci_demo_spark.queries import _t, query
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with any lineitem
+    shipped after the order date, counted per priority. The semi-join
+    shuffles both sides on l_orderkey once and emits at most one match per
+    order — no fan-out, no post-join dedup, the scale-correct EXISTS plan."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    sel = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q16_unsold_parts",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_parts
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    GROUP BY p.p_brand
+    """,
+)
+def q16_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: parts never sold in quantity > 45,
+    counted per brand. The extra predicate is pushed below the anti-join
+    into the lineitem scan (PushedFilters), shrinking the build side
+    before the shuffle — the scale-correct NOT-EXISTS plan."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(l, p["p_partkey"] == l["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+_Q18_QTY = 150
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY})
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN-subquery over an aggregate): orders whose total
+    quantity exceeds a threshold, with customer detail. The qualifying-key
+    set is computed once (groupBy + filter) and applied as a semi-join —
+    at scale the aggregate's output is tiny relative to lineitem, so the
+    semi-join broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("__tq"))
+        .filter(F.col("__tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(l.select("l_orderkey", "l_quantity"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "incr_schema_evolution",
+    oracle="""
+    WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+    src AS (SELECT c_custkey, c_name, c_acctbal + 5.0 AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0)
+    SELECT t.c_custkey, t.c_name, t.c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src
+    """,
+)
+def incr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """on_schema_change='append_new_columns' (B13) through a live merge:
+    the incoming batch carries a new column (c_mktsegment); the target is
+    widened with a typed NULL, then the batch merges on the unique key.
+    Exercises apply_schema_change_policy + merge_upsert end-to-end."""
+    cust = _t(spark, sf_dir, "customer")
+    tgt = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name", "c_acctbal")
+    src = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 5.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    src2, tgt2 = incr.apply_schema_change_policy(src, tgt, "append_new_columns")
+    return incr.merge_upsert(tgt2, src2, "c_custkey")
