@@ -1,0 +1,118 @@
+"""Edge-case unit tests for the as-of join and bucketized range join
+(operators/asof.py): tie inclusivity, no-match nulls, tolerance expiry,
+bucket-boundary correctness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.operators import asof as aj
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_inclusive_tie_and_backward(spark):
+    left = _mk(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), "a"), (1, _ts("2024-01-01 12:00:00"), "b")],
+        "k int, ts timestamp, payload string",
+    )
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100),
+            (1, _ts("2024-01-01 11:00:00"), 200),
+            (1, _ts("2024-01-01 12:30:00"), 300),
+        ],
+        "k int, ts timestamp, v int",
+    )
+    out = {
+        (r["payload"]): (r["v"], r["asof_ts"])
+        for r in aj.asof_join(left, right, on=["k"], ts_col="ts", right_cols=["v"]).collect()
+    }
+    # tie at 10:00 matches (inclusive); 12:00 takes the latest at-or-before (11:00)
+    assert out["a"] == (100, _ts("2024-01-01 10:00:00"))
+    assert out["b"] == (200, _ts("2024-01-01 11:00:00"))
+
+
+def test_asof_no_match_is_null(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01 09:00:00"), "x")], "k int, ts timestamp, p string")
+    right = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), 1)], "k int, ts timestamp, v int")
+    rows = aj.asof_join(left, right, on=["k"], ts_col="ts", right_cols=["v"]).collect()
+    assert len(rows) == 1 and rows[0]["v"] is None and rows[0]["asof_ts"] is None
+
+
+def test_asof_key_isolation(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), "x")], "k int, ts timestamp, p string")
+    right = _mk(spark, [(2, _ts("2024-01-01 09:00:00"), 7)], "k int, ts timestamp, v int")
+    rows = aj.asof_join(left, right, on=["k"], ts_col="ts", right_cols=["v"]).collect()
+    assert rows[0]["v"] is None  # other key's rows never leak
+
+
+def test_asof_tolerance_expiry(spark):
+    left = _mk(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), "in"), (1, _ts("2024-01-01 13:00:00"), "out")],
+        "k int, ts timestamp, p string",
+    )
+    right = _mk(spark, [(1, _ts("2024-01-01 09:30:00"), 5)], "k int, ts timestamp, v int")
+    out = {
+        r["p"]: r["v"]
+        for r in aj.asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["v"], tolerance_seconds=3600
+        ).collect()
+    }
+    assert out["in"] == 5  # 30 min old: within tolerance
+    assert out["out"] is None  # 3.5 h old: expired
+
+
+def test_range_join_boundaries(spark):
+    points = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: in (inclusive)
+            (2, _ts("2024-01-01 23:59:59")),  # inside
+            (3, _ts("2024-01-02 00:00:00")),  # == end: out (exclusive)
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = _mk(
+        spark,
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+        "iid int, c_start timestamp, c_end timestamp",
+    )
+    got = sorted(
+        r["pid"]
+        for r in aj.bucketized_range_join(
+            points, intervals, "ts", "c_start", "c_end", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_matches_naive_theta(spark, sf_dir):
+    """Bucketized result == naive theta join on a real slice of events."""
+    ev = (
+        __import__("dbt_ci_demo_spark.queries", fromlist=["_t"])
+        ._t(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .limit(500)
+    )
+    t0 = ev.agg(F.min("ts").alias("s")).first()["s"]
+    iv = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=6 * i), t0 + dt.timedelta(hours=6 * (i + 1))) for i in range(4)],
+        "iid int, c_start timestamp, c_end timestamp",
+    )
+    fast = aj.bucketized_range_join(ev, iv, "ts", "c_start", "c_end", bucket_seconds=3600)
+    naive = ev.join(iv, (ev["ts"] >= iv["c_start"]) & (ev["ts"] < iv["c_end"]))
+    assert sorted((r["event_id"], r["iid"]) for r in fast.collect()) == sorted(
+        (r["event_id"], r["iid"]) for r in naive.collect()
+    )
