@@ -1,0 +1,64 @@
+"""Skew-handling operators: explicit salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew,
+but two patterns still need explicit salting at 100 TB:
+
+- **Join skew with a replicable build side** (:func:`salted_join`): when a
+  few join keys dominate (one user = 5% of events), all their rows land on
+  one reducer. Salting the probe side into S sub-keys and replicating the
+  build side S× bounds any reducer at 1/S of the hot key. Deterministic:
+  the salt is derived from a hash of a probe-side column, not rand(), so
+  results are reproducible and oracle-checkable.
+
+- **Exact distinct-count under key skew** (:func:`salted_count_distinct`):
+  count(distinct v) per hot key funnels every (key, v) pair through the
+  key's reducer. Salting by hash(v) % S makes the per-(key, salt) distinct
+  sets *disjoint*, so partial distinct counts sum to the exact global
+  count — two balanced shuffles instead of one hot one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side salted into ``n_salts`` sub-keys and
+    the build side replicated once per salt. Result is identical to
+    ``probe.join(build, key, how)``; the shuffle key becomes (key, salt),
+    so a hot key spreads over ``n_salts`` reducers.
+
+    ``salt_from`` names a probe column whose hash derives the salt
+    (default: the key's row-unique companion is not known, so the key
+    itself plus a per-row monotonic component would not be deterministic —
+    callers pass a row-distinguishing column, e.g. an event id)."""
+    salt_col = F.pmod(F.xxhash64(F.col(salt_from if salt_from else key)), F.lit(n_salts))
+    p = probe.withColumn("__salt", salt_col.cast("int"))
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return p.join(b, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, key: str, value: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact count(distinct value) per key via disjoint salt partitions:
+    salt = hash(value) % S ⇒ each distinct value belongs to exactly one
+    (key, salt) group ⇒ the partial distinct counts are disjoint and sum
+    to the exact answer. Output: (key, n_distinct)."""
+    salt = F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).cast("int")
+    partial = (
+        df.select(F.col(key), F.col(value), salt.alias("__salt"))
+        .groupBy(key, "__salt")
+        .agg(F.count_distinct(F.col(value)).alias("__n"))
+    )
+    return partial.groupBy(key).agg(F.sum("__n").alias("n_distinct"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dbt_ci_demo_spark.functions.bq_compat import exact_sum
 from dbt_ci_demo_spark.operators import incremental as incr
+from dbt_ci_demo_spark.operators import skew
 from dbt_ci_demo_spark.queries import _t, query
 
 
@@ -132,3 +133,48 @@ def incr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src2, tgt2 = incr.apply_schema_change_policy(src, tgt, "append_new_columns")
     return incr.merge_upsert(tgt2, src2, "c_custkey")
+
+
+@query(
+    "events_salted_user_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact-dim join (operators/skew.salted_join): events
+    salted on hash(event_id) into 8 sub-keys, customer replicated 8x, join
+    on (user_id, salt) — identical results to the plain join (the oracle),
+    with any hot user bounded to 1/8 of a reducer. The aggregate after the
+    join is keyed by segment, so the salt never leaks downstream."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew.salted_join(ev, cust, key="user_id", n_salts=8, salt_from="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "events_salted_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via disjoint-salt partial
+    distincts (operators/skew.salted_count_distinct): with only ~5 hot
+    event_type keys, the naive count(distinct) funnels all (type, user)
+    pairs through 5 reducers; salting by hash(user) % 16 spreads each key
+    over 16 while keeping the count exact (partial sets are disjoint)."""
+    ev = _t(spark, sf_dir, "events")
+    return skew.salted_count_distinct(ev, key="event_type", value="user_id", n_salts=16)
