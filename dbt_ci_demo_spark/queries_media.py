@@ -121,6 +121,24 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals across micro-batches. The fixture is one file → one
+    micro-batch, so the final update equals the batch aggregate and the
+    oracle checks the stateful path end-to-end (exact decimal-quantized
+    accumulation keeps doubles engine-identical)."""
+    stream = es.read_events_stream(spark, sf_dir)
+    return _run_stream(spark, es.stateful_user_totals(stream), "q_stream_stateful", "update")
+
+
+@query(
     "stream_sessionize",
     oracle="""
     WITH flagged AS (

@@ -102,6 +102,51 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) maintained in the state store across
+    micro-batches, emitted (update mode) after each batch touches the key.
+
+    Accumulation is exact: values are quantized to 6 decimal places as
+    Python Decimals before summing (matching ``CAST(value AS
+    DECIMAL(30,6))`` in SQL), so emitted doubles are order-independent
+    and oracle-comparable. State per key is two scalars — store size is
+    O(distinct users), independent of event volume; at 100 TB the state
+    store shards by the groupBy key across executors (RocksDB-backed in
+    production configs)."""
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("micros", T.LongType())]
+    )
+    q6 = Decimal("0.000001")
+
+    def update(key, pdfs, state: GroupState):
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                micros += int(Decimal(str(v)).quantize(q6) * 1_000_000)
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [micros / 1_000_000]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
