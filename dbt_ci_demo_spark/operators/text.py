@@ -169,12 +169,16 @@ def winnow_fingerprints(
     staged = df.select(F.col(id_col), hashes.alias("__kgram_hashes"))
     h = F.col("__kgram_hashes")
     n_windows = F.greatest(F.size(h) - F.lit(window - 1), F.lit(0))
+    # least() over `window` direct element_at lookups instead of
+    # array_min(slice(...)): same minimum, but no per-window array
+    # allocation — the window pass is the O(n·window) inner loop, so the
+    # allocation was the dominant constant factor.
     fps = F.when(
         n_windows > 0,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n_windows),
-                lambda w: F.array_min(F.slice(h, w, window)),
+                lambda w: F.least(*[F.element_at(h, w + j) for j in range(window)]),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))

@@ -778,6 +778,57 @@ def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_lead_lag_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch_us(o_orderdate) -
+                epoch_us(lag(o_orderdate) OVER w) AS BIGINT) AS micros_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag over a per-customer total order (orderdate with orderkey
+    tiebreak): inter-order gap + next-order pointer. Both functions share
+    one window spec, so Spark evaluates them in a single shuffle+sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp"))
+    ).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        gap.alias("micros_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "win_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile(4) over a deterministic total order. A single
+    unpartitioned window is the one window shape that does NOT scale (all
+    rows through one task) — acceptable for ranked-bucket reports over
+    aggregated outputs; for raw-fact bucketing use range_bucket
+    (functions/bq_compat) or approx percentile boundaries instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@query(
     "dedup_latest_per_user",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM (
