@@ -79,6 +79,54 @@ class Warehouse:
     def list_tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables(self.database)]
 
+    def truncate(self, name: str) -> None:
+        """default__truncate_relation (@181945). TRUNCATE TABLE works for
+        Spark managed tables; partitioned tables drop all partitions."""
+        self.spark.sql(f"TRUNCATE TABLE {self.qualified(name)}")
+
+    def add_columns(self, name: str, columns: dict[str, str]) -> None:
+        """bigquery__alter_relation_add_columns (@28020): metadata-only
+        ALTER TABLE ADD COLUMNS — existing parquet files are unchanged,
+        readers fill the new columns with NULL."""
+        if not columns:
+            return
+        cols = ", ".join(f"`{c}` {t}" for c, t in columns.items())
+        self.spark.sql(f"ALTER TABLE {self.qualified(name)} ADD COLUMNS ({cols})")
+
+    def drop_columns(self, name: str, columns: list[str]) -> None:
+        """bigquery__alter_relation_drop_columns (@28991): plain-parquet
+        tables cannot drop columns in metadata, so this is the reference's
+        CTAS-rewrite path (same as bigquery__alter_column_type): project
+        the survivors and swap."""
+        if not columns:
+            return
+        self.swap_in(self.read(name).drop(*columns), name)
+
+    def alter_column_type(self, name: str, column: str, new_type: str) -> None:
+        """bigquery__alter_column_type (@29950): CTAS rewrite with CAST —
+        read, cast the one column, stage, swap. (Widening types on a v2
+        catalog would be metadata-only; parquet v1 requires the rewrite,
+        exactly like BigQuery.)"""
+        df = self.read(name).withColumn(column, F.col(column).cast(new_type))
+        self.swap_in(df, name)
+
+    def persist_docs(
+        self, name: str, description: str | None = None,
+        column_comments: dict[str, str] | None = None,
+    ) -> None:
+        """bigquery__persist_docs (@25819): table description →
+        TBLPROPERTIES comment; column docs → ALTER COLUMN COMMENT."""
+        if description is not None:
+            safe = description.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {self.qualified(name)} SET TBLPROPERTIES ('comment' = '{safe}')"
+            )
+        for col, comment in (column_comments or {}).items():
+            safe = comment.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {self.qualified(name)} ALTER COLUMN `{col}` COMMENT '{safe}'"
+            )
+
     # -- writers ----------------------------------------------------------
 
     def write_table(

@@ -319,3 +319,33 @@ def test_graph_cycle_detection():
     b = Model("b", lambda ctx: None, ModelConfig(), refs=["a"])
     with pytest.raises(CycleError):
         ModelGraph({"a": a, "b": b}).topo_order()
+
+
+def test_ddl_suite(spark, env, tmp_path):
+    """B6: truncate, add/drop columns, alter column type, comments."""
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+
+    wh = Warehouse(spark, env.database() + "_ddl", location=str(tmp_path / "whd"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    wh.write_table(df, "t")
+
+    wh.add_columns("t", {"score": "double"})
+    assert wh.read("t").schema["score"].dataType.simpleString() == "double"
+    assert wh.read("t").filter("score IS NULL").count() == 2
+
+    wh.alter_column_type("t", "id", "bigint")
+    assert wh.read("t").schema["id"].dataType.simpleString() == "bigint"
+
+    wh.drop_columns("t", ["score"])
+    assert "score" not in wh.read("t").columns
+
+    wh.persist_docs("t", description="demo table", column_comments={"name": "the name"})
+    comment = [
+        r for r in spark.sql(f"DESCRIBE TABLE {wh.qualified('t')}").collect()
+        if r["col_name"] == "name"
+    ][0]["comment"]
+    assert comment == "the name"
+
+    wh.truncate("t")
+    assert wh.read("t").count() == 0
+    wh.drop_database()
