@@ -116,10 +116,18 @@ def _winnow_oracle() -> str:
 @query("text_winnowing", oracle=_winnow_oracle())
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — the
-    rolling-hash document-fingerprinting entry of the text family."""
-    return tx.winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW
+    rolling-hash document-fingerprinting entry of the text family.
+
+    The fixture parquet is one input split; repartitioning to cluster
+    parallelism before the CPU-heavy k-gram/window projection buys
+    full-core execution for a text-sized exchange (on a many-file 100 TB
+    table the scan already yields enough splits for this to be moot)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    return tx.winnow_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW)
 
 
 @query("flagship_approx_distinct")  # rows-only: HLL sketches differ per engine

@@ -28,6 +28,10 @@ from dbt_ci_demo_spark.queries import _t, query
 # ---------------------------------------------------------------------------
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table spread across the cluster before CPU-heavy text
     expressions. The fixture parquet is one row group (one input split);
@@ -35,7 +39,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5/regex projections. On a real multi-file 100 TB table the scan
     already yields many splits and this is a cheap no-op-sized shuffle."""
     par = spark.sparkContext.defaultParallelism
-    return _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(par)
+    return _docs_raw(spark, sf_dir).repartition(par)
 
 _DOCS_DUP = """
   SELECT doc_id, text FROM documents
@@ -46,7 +50,11 @@ _DOCS_DUP = """
 
 
 def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # Union BEFORE the parallelism repartition: one exchange over the
+    # combined corpus instead of two, and downstream stages see
+    # defaultParallelism partitions rather than the union's 2× that —
+    # halves per-stage task count through the whole minhash pipeline.
+    d = _docs_raw(spark, sf_dir)
     dups = (
         d.filter(F.col("doc_id") % 25 == 0)
         .select(
@@ -54,7 +62,7 @@ def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" near duplicate trailing marker")).alias("text"),
         )
     )
-    return d.unionByName(dups)
+    return d.unionByName(dups).repartition(spark.sparkContext.defaultParallelism)
 
 
 _DOCS_EXACT_DUP = """
@@ -65,12 +73,12 @@ _DOCS_EXACT_DUP = """
 
 
 def _docs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     return d.unionByName(
         d.filter(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +437,14 @@ _COS = (
 )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings spread across the cluster before the dot-product-heavy
+    plane projections / scoring joins — same single-input-split rationale
+    as _docs."""
+    par = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "embeddings").repartition(par)
+
+
 @query(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -451,7 +467,7 @@ _COS = (
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id < 5 against the corpus."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = sim.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -503,7 +519,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 — the oracle re-derives the same
     md5-seeded planes and bucket assignment, verifying the approximate
     index itself, not just the final ranking."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = sim.lsh_ann_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -536,7 +552,8 @@ def _emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
-    return base.unionByName(pert)
+    # union before the parallelism repartition — one exchange, no 2× fan-out
+    return base.unionByName(pert).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _neardup_oracle() -> str:
@@ -573,6 +590,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroids (decimal-exact means), probe the
     2 nearest clusters. Rows-only check; recall is validated against the
     brute-force oracle in tests/test_northstar.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
