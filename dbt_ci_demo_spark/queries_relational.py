@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_ci_demo_spark.functions.bq_compat import exact_sum
+from dbt_ci_demo_spark.functions.bq_compat import exact_avg, exact_sum
 from dbt_ci_demo_spark.operators import incremental as incr
 from dbt_ci_demo_spark.operators import skew
 from dbt_ci_demo_spark.queries import _t, query
@@ -248,5 +248,198 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .agg(
             (F.lit(100.0) * F.sum(promo) / F.sum(dec)).cast("double").alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + scalar aggregate.
+    All three predicates reach the parquet scan as PushedFilters, so at
+    100 TB the scan reads only row groups whose min/max stats overlap the
+    ship-date year — the canonical predicate-pushdown query."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-from-returns top-20 per customer.
+    The returnflag filter is pushed into the lineitem scan before the
+    fact-fact shuffle join; nation broadcasts; LIMIT-after-ORDER BY
+    executes as TakeOrderedAndProject (per-partition top-k + k-row driver
+    merge), never a full sort. Decimal-exact revenue makes the ordering
+    engine-independent; c_custkey breaks ties."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, count(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.qty_limit
+    GROUP BY p.p_brand
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average subquery, decorrelated
+    into an aggregate + self-join. Both the per-part aggregate and the
+    join back to lineitem hash on l_partkey, so AQE coalesces them into
+    one co-partitioned exchange; part is broadcast. The 0.2×avg threshold
+    is computed as exact-decimal sum / count, so the double compare is
+    identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avgq = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (exact_avg("l_quantity"))).alias("qty_limit")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        l.join(avgq, l["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (exact_sum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides.
+    Catalyst derives the single-side residuals (brand ∈ {…}, size ≤ 25,
+    quantity ≤ 30) and pushes them below the broadcast join into each
+    scan, so the disjunction only evaluates on pre-filtered rows — the
+    query Q19 exists to test in an optimizer."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS lim
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation, count(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT lim FROM cutoff)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar-aggregate subquery + NOT EXISTS.
+    The positive-balance average is one tiny scalar aggregate whose
+    result enters the plan as a literal-like broadcast (no per-row
+    recompute); the NOT EXISTS is a left-anti join against orders
+    pre-filtered to high-value rows — the anti-join's build side shrinks
+    in the scan, not after the shuffle. Threshold arithmetic is
+    exact-decimal sum / count so the filter is engine-identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    n = _t(spark, sf_dir, "nation")
+    lim_df = c.filter(F.col("c_acctbal") > 0).agg(exact_avg("c_acctbal").alias("lim"))
+    rich = c.join(F.broadcast(lim_df)).filter(F.col("c_acctbal") > F.col("lim"))
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
         )
     )
