@@ -443,3 +443,101 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP grouping shapes beyond flat GROUP BY: rollup, set operations, pivot.
+# Absent in the reference (its models only flat-group — SURVEY §2.A), but
+# table stakes for the warehouse workloads this engine replaces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "olap_rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def olap_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail rows plus per-flag and
+    grand-total subtotals in one pass. Spark plans rollup as a single
+    Expand + hash aggregate — one scan, one shuffle for all grouping
+    levels, which is the scale-correct alternative to unioning three
+    aggregates. Neither column is ever NULL in the data, so the 'ALL'
+    sentinel unambiguously marks subtotal rows in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "set_repeat_vs_churned",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'repeat' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+)
+def set_repeat_vs_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: 1996 buyers INTERSECT / EXCEPT 1997 buyers, tagged
+    by cohort. Spark plans INTERSECT as a left-semi and EXCEPT as a
+    left-anti aggregate join on the full row — both single-shuffle on
+    o_custkey, and the two branches reuse the same year-filtered scans
+    (the date predicates are pushed to parquet)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey").distinct()
+
+    y96, y97 = year(1996), year(1997)
+    repeat = y96.intersect(y97).select(F.lit("repeat").alias("cohort"), "o_custkey")
+    churned = y96.exceptAll(y97).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return repeat.unionByName(churned)
+
+
+@query(
+    "olap_pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def olap_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status. The status values are
+    enumerated explicitly, so Spark skips the extra distinct-values job
+    and plans a single aggregate with one pivot expression per column —
+    one scan, one shuffle, no per-value passes. Missing cells are 0 (not
+    NULL) to match the oracle's FILTER counts."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
