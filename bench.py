@@ -24,7 +24,12 @@ HEADLINE = [
     "q3_top_orders",
     "q5_local_supplier_volume",
     "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
     "q18_large_orders",
+    "olap_rollup_pricing",
     "incr_merge_upsert",
     "incr_insert_overwrite_dynamic",
     "snap_cycle_timestamp",
