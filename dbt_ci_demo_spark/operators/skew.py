@@ -36,11 +36,18 @@ def salted_join(
     ``probe.join(build, key, how)``; the shuffle key becomes (key, salt),
     so a hot key spreads over ``n_salts`` reducers.
 
-    ``salt_from`` names a probe column whose hash derives the salt
-    (default: the key's row-unique companion is not known, so the key
-    itself plus a per-row monotonic component would not be deterministic —
-    callers pass a row-distinguishing column, e.g. an event id)."""
-    salt_col = F.pmod(F.xxhash64(F.col(salt_from if salt_from else key)), F.lit(n_salts))
+    ``salt_from`` is REQUIRED: a probe-side column whose hash varies
+    *within* a join key (e.g. an event id). Hashing the key itself would
+    give every row of a hot key the same salt — no skew mitigation while
+    still paying the ``n_salts``× build-side replication — so that is
+    rejected rather than silently accepted."""
+    if salt_from is None or salt_from == key:
+        raise ValueError(
+            "salted_join: pass salt_from= a probe-side column that varies "
+            f"within a join key (got {salt_from!r}); hash({key!r}) is "
+            "constant per key and cannot spread a hot key across reducers"
+        )
+    salt_col = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     p = probe.withColumn("__salt", salt_col.cast("int"))
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -43,6 +43,34 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _value_kind(series: pd.Series) -> str:
+    """Classify a column by its first non-null cell, the way a strict
+    value-hasher sees it (int vs float vs str ...). DuckDB HUGEINT surfaces
+    as float64 while Spark LONG stays int64 — value-equality hides that,
+    the driver's hash does not, so the local gate must flag it too."""
+    import numpy as np
+
+    for v in series:
+        if v is None or v is pd.NaT:
+            continue
+        if isinstance(v, float) and math.isnan(v):
+            continue
+        if isinstance(v, (list, dict, np.ndarray)):
+            return "unhashable"
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, (pd.Timestamp,)) or hasattr(v, "tzinfo"):
+            return "datetime"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        return type(v).__name__
+    return "all-null"
+
+
 def _values_equal(a, b, float_tol: float = 0.0) -> bool:
     if a is None and b is None:
         return True
@@ -81,6 +109,18 @@ def compare_frames(
         )
     if len(s) != len(o):
         return CompareResult(name, False, len(s), len(o), "row count differs")
+    for col in s.columns:
+        ks, ko = _value_kind(s[col]), _value_kind(o[col])
+        if "unhashable" in (ks, ko):
+            return CompareResult(
+                name, False, len(s), len(o),
+                f"column {col!r} holds list/array cells — the driver's hasher rejects these",
+            )
+        if ks != ko and "all-null" not in (ks, ko):
+            return CompareResult(
+                name, False, len(s), len(o),
+                f"dtype kind mismatch on {col!r}: spark={ks} oracle={ko} (driver hash would fail)",
+            )
     mism = []
     sv, ov = s.to_numpy(dtype=object), o.to_numpy(dtype=object)
     for i in range(len(s)):

@@ -866,9 +866,11 @@ def dedup_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+             -- BIGINT cast: DuckDB integer SUM yields HUGEINT (float64 in
+             -- pandas) while Spark yields LONG; the driver hash is strict.
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, min(ts) AS session_start,
@@ -940,7 +942,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,

@@ -84,13 +84,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(media, every_n_bytes=_FRAME_BYTES)
 
 
-@query("mm_features")  # rows-only: float32 feature vectors (no exact SQL twin)
+def _mm_features_oracle() -> str:
+    # The stub's feature vector is md5-digest-byte[k] / 255 (float32). The
+    # round trip round(x * 255) recovers byte[k] exactly (float32 relative
+    # error ≤ 2^-24 → absolute error ≤ 0.004 after ×255), so the digest of
+    # the recovered bytes is an exact, driver-hashable fingerprint.
+    bytes_csv = ", ".join(_oracle_md5_byte("text", k) for k in range(16))
+    return f"""
+    SELECT doc_id,
+           16 AS feature_dim,
+           md5(concat_ws(',', {bytes_csv})) AS feature_digest
+    FROM documents
+    WHERE {_DOCS_NONEMPTY}
+    """
+
+
+@query("mm_features", oracle=_mm_features_oracle())
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stage (the embedding-model call in production):
-    Arrow-batched mapInPandas producing fixed-dim float vectors."""
+    Arrow-batched mapInPandas producing fixed-dim float32 vectors. The
+    raw array<float> column is not driver-hashable, so the registered
+    query projects an exact byte-round-trip digest computed JVM-side —
+    any drift in batching, encoding, or vector contents changes it."""
     docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
     media = mm.synthesize_media_from_text(docs, "text", "doc_id")
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("feature_dim"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+            )
+        ).alias("feature_digest"),
+    )
 
 
 _sink_seq = itertools.count()

@@ -130,12 +130,42 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW)
 
 
-@query("flagship_approx_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "flagship_distinct_preagg",
+    oracle="""
+    SELECT name, count(*) AS repositories_number FROM (
+      SELECT DISTINCT p.p_type AS name, o.o_orderkey AS repo_name
+      FROM lineitem l
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) GROUP BY name
+    """,
+)
+def flagship_distinct_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregation's scale formulation: pre-aggregate the
+    distinct (name, repo_name) pairs (map-side partial dedup, one shuffle
+    on the pair), then a cheap count per name — the exact two-phase shape
+    that replaces countDistinct's expand at 100 TB. The HLL one-pass
+    variant (`flagship_approx_distinct`, engine-specific estimates, so not
+    oracle-comparable) is accuracy-tested against this exact result in
+    tests/test_oracle_correctness.py."""
+    from dbt_ci_demo_spark.queries import repo_languages
+
+    rl = repo_languages(spark, sf_dir)
+    pairs = (
+        rl.select("repo_name", F.explode("language").alias("lang"))
+        .select(F.col("lang.name").alias("name"), "repo_name")
+        .distinct()
+    )
+    return pairs.groupBy("name").agg(F.count(F.lit(1)).alias("repositories_number"))
+
+
 def flagship_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship aggregation with approx_count_distinct — the
     documented 100 TB variant (SURVEY §7.5): one pass, no exact-distinct
-    expand, HLL merge instead of a distinct shuffle. Rows-only check
-    (sketch estimates are engine-specific by construction)."""
+    expand, HLL merge instead of a distinct shuffle. Not registered (HLL
+    estimates are engine-specific by construction); its accuracy bound vs
+    the exact formulation is pinned in pytest."""
     from dbt_ci_demo_spark.queries import repo_languages
 
     rl = repo_languages(spark, sf_dir)

@@ -585,11 +585,61 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_duplicates(corpus, id_col="vec_id", threshold=0.99)
 
 
-@query("sim_ivf_topk")  # rows-only: centroid training is iterative/numeric
+def _ivf_oracle() -> str:
+    # The IVF "training" is a single deterministic pass: per-cluster,
+    # per-dimension decimal-exact means (order-independent, so DuckDB
+    # reproduces the centroids bit-for-bit). Probe ranking and final
+    # ranking both round cosines to 6 dp with the same tie-breakers as the
+    # Spark operator.
+    return f"""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pos AS (
+      SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM base
+    ),
+    means AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+      FROM pos GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS cluster, list(mean ORDER BY pos) AS centroid
+      FROM means GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    qc AS (
+      SELECT query_id, qv, cluster,
+             {_COS.format(a='qv', b='centroid')} AS ccos
+      FROM q, cents
+    ),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cluster) AS crank
+        FROM qc
+      ) WHERE crank <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a='p.qv', b='c.v')} AS cosine_r
+      FROM base c JOIN probes p ON c.label = p.cluster
+      WHERE c.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: per-label centroids (decimal-exact means), probe the
-    2 nearest clusters. Rows-only check; recall is validated against the
-    brute-force oracle in tests/test_northstar.py."""
+    """IVF-style ANN: per-label centroids (decimal-exact means — fully
+    deterministic, so the oracle re-derives them in SQL), probe the 2
+    nearest clusters, exact-rank within them. Recall vs brute force is
+    additionally validated in tests/test_northstar.py."""
     emb = _emb(spark, sf_dir)
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))

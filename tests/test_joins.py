@@ -116,3 +116,28 @@ def test_range_join_matches_naive_theta(spark, sf_dir):
     assert sorted((r["event_id"], r["iid"]) for r in fast.collect()) == sorted(
         (r["event_id"], r["iid"]) for r in naive.collect()
     )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A hot key must actually occupy n_salts distinct salt groups, and the
+    salted join must equal the plain join."""
+    import pytest as _pytest
+
+    from dbt_ci_demo_spark.operators import skew
+
+    n_salts = 8
+    probe = spark.range(0, 800).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    build = spark.createDataFrame([(1, "hot")], "k int, label string")
+    out = skew.salted_join(probe, build, key="k", n_salts=n_salts, salt_from="row_id")
+    assert out.count() == 800
+
+    salt_col = F.pmod(F.xxhash64(F.col("row_id")), F.lit(n_salts)).cast("int")
+    n_groups = probe.select(salt_col.alias("s")).distinct().count()
+    assert n_groups == n_salts
+
+    with _pytest.raises(ValueError, match="salt_from"):
+        skew.salted_join(probe, build, key="k", n_salts=n_salts)
+    with _pytest.raises(ValueError, match="salt_from"):
+        skew.salted_join(probe, build, key="k", n_salts=n_salts, salt_from="k")

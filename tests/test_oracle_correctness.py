@@ -30,6 +30,24 @@ def test_all_queries_have_entries():
     assert not unknown, f"oracles without queries: {unknown}"
 
 
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """The unregistered HLL variant must estimate within the default rsd
+    (~5%) of the exact pre-aggregated distinct counts."""
+    from dbt_ci_demo_spark.queries_meta import (
+        flagship_approx_distinct,
+        flagship_distinct_preagg,
+    )
+
+    exact = {r["name"]: r["repositories_number"] for r in flagship_distinct_preagg(spark, sf_dir).collect()}
+    approx = {
+        r["name"]: r["repositories_number_approx"]
+        for r in flagship_approx_distinct(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for name, n in exact.items():
+        assert abs(approx[name] - n) <= max(2, 0.1 * n), (name, approx[name], n)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry
 
