@@ -43,6 +43,19 @@ from dbt_ci_demo_spark.operators import snapshot as snap
 TMP_SUFFIX = "__dbt_tmp"
 
 
+def run_statements(spark: SparkSession, statements: list[str]) -> DataFrame | None:
+    """B31 statement executor: run SQL statements in order, return the last
+    result (the reference's ``statement``/``run_query`` call blocks —
+    default__statement executes arbitrary SQL against the adapter and the
+    caller reads ``load_result``; manifest.json:1 macro ``statement``).
+    Spark-side each statement is one ``spark.sql`` call; DDL/DML return
+    empty DataFrames, queries return their result lazily."""
+    result: DataFrame | None = None
+    for s in statements:
+        result = spark.sql(s)
+    return result
+
+
 class Warehouse:
     """One database (≈ BigQuery dataset / dbt schema) in the Spark catalog.
 

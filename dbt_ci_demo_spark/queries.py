@@ -1071,12 +1071,138 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
 
-# Register the north-star extension queries (dedup / similarity / text),
-# the metadata/seed/fingerprinting queries, and the time-series joins.
+# Register the remaining query families.
 from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_joins,
     queries_media,
     queries_meta,
     queries_northstar,
     queries_relational,
+    queries_writer,
 )
+
+# ---------------------------------------------------------------------------
+# Driver check order. The registry is an insertion-ordered dict and the
+# driver verifies a bounded prefix of it per round (round 1 stopped at 50 of
+# 78), so the order below is the coverage budget: every SURVEY §2 operator
+# first, then the queries that were red last round, then one query per
+# LLM-pipeline operator family, then variants and TPC-H/OLAP breadth.
+# Names not listed keep their insertion order after the listed ones, so a
+# new query is never silently dropped — it lands in the breadth tail until
+# it is slotted here (tests/test_oracle_correctness.py pins list == registry).
+# ---------------------------------------------------------------------------
+
+_PRIORITY: list[str] = [
+    # -- §2.A flagship (A1-A7) --------------------------------------------
+    "flagship_repo_languages",
+    "flagship_sql_lateral",
+    "test_model_literal",
+    # -- §2.B writer / orchestration (B1-B7, B13, B28, B30-B38) -----------
+    "wr_ctas_roundtrip",
+    "wr_view_roundtrip",
+    "wr_copy_concat",
+    "wr_date_sharded",
+    "wr_ddl_suite",
+    "wr_incremental_dispatch",
+    "wr_list_relations",
+    "wr_partitions_metadata",
+    "wr_dag_topo_run",
+    "wr_compile_schemas",
+    "wr_hooks_audit",
+    "wr_state_cycle",
+    "wr_defer",
+    # -- §2.B incremental strategies (B8-B13) ------------------------------
+    "incr_merge_upsert",
+    "incr_delete_insert",
+    "incr_insert_overwrite_dynamic",
+    "incr_watermark",
+    "incr_schema_evolution",
+    # -- §2.B snapshots / SCD2 (B14-B20) -----------------------------------
+    "snap_first_build",
+    "snap_changeset_timestamp",
+    "snap_cycle_timestamp",
+    "snap_check_strategy",
+    # -- §2.B data-quality tests + freshness (B21-B25, B29) ----------------
+    "dq_unique_violations",
+    "dq_not_null_violations",
+    "dq_accepted_values",
+    "dq_relationships",
+    "dq_test_harness",
+    "dq_freshness_age",
+    # -- §2.B seeds + metadata (B3, B26, B27) ------------------------------
+    "seed_csv_typed",
+    "meta_catalog_fixture",
+    "meta_columns_in_query",
+    # -- §2.B.6 scalar idioms ----------------------------------------------
+    "fx_scalar_idioms",
+    "fx_array_agg_ordered",
+    # -- red in CORRECTNESS_r01, fixed since --------------------------------
+    "events_sessionize",
+    "events_json_props",
+    "mm_features",
+    "flagship_distinct_preagg",
+    "sim_ivf_topk",
+    # -- one query per LLM-pipeline operator family -------------------------
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "sim_topk_bruteforce",
+    "sim_lsh_ann",
+    "sim_embedding_neardup",
+    "mm_image_metadata",
+    "mm_frame_sample",
+    "text_stats",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_winnowing",
+    "events_asof_attribution",
+    "events_range_join_campaigns",
+    "events_salted_user_join",
+    "events_salted_distinct",
+    "stream_tumbling_hourly",
+    "stream_stateful_totals",
+    "stream_sessionize",
+    # -- previously-green variants ------------------------------------------
+    "win_running_total",
+    "win_rank_orders",
+    "win_lead_lag_gaps",
+    "win_ntile_quartiles",
+    "dedup_latest_per_user",
+    "dedup_exact_survivors",
+    "events_tumbling_hourly",
+    "events_topk_users",
+    "dq_unique_pass",
+    "incr_merge_partial_update",
+    "incr_merge_append",
+    "events_asof_tolerance",
+    # -- TPC-H / OLAP breadth ----------------------------------------------
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_unsold_parts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "olap_rollup_pricing",
+    "olap_pivot_status_counts",
+    "set_repeat_vs_churned",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    ordered.update((n, e) for n, e in _REGISTRY.items() if n not in ordered)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_reorder_registry()

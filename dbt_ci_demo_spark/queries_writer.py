@@ -1,0 +1,576 @@
+"""Writer + orchestration round-trip queries (SURVEY.md §2 B1-B7, B13,
+B28, B30-B38) — the materialization/warehouse/DAG family, driver-checkable.
+
+Each query performs the real warehouse operation (CTAS, view, copy,
+date-sharded write, DDL rewrite, incremental dispatch, DAG build with
+threads/hooks/state/deferral) into an isolated throwaway database under a
+process-local temp directory, then returns the final relation's contents.
+The DuckDB oracle is the pure-SQL equivalent of what must end up in that
+relation — so the write path itself (stage-and-swap, dynamic partition
+overwrite, catalog DDL) is inside the checked surface, exactly like the
+``incr_*`` family checks the merge transforms.
+
+Idempotency: every query drops/recreates its tables first, so driver
+re-runs in one session are safe. Results are returned as catalog reads —
+the driver collects them lazily after the function returns, so the
+databases are left in place (a few MB under a mkdtemp dir).
+
+Reference parity notes use the SURVEY.md citation convention
+(manifest.json:1@byte).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.functions.bq_compat import exact_sum
+from dbt_ci_demo_spark.operators.materialize import Warehouse, run_statements
+from dbt_ci_demo_spark.plans.model import Model, ModelConfig, model
+from dbt_ci_demo_spark.plans.runner import EnvConfig, Runner
+from dbt_ci_demo_spark.plans.state import StateManifest
+from dbt_ci_demo_spark.queries import _ORD_SRC, _ORD_TGT, _orders_source, _orders_target, _t, query
+from dbt_ci_demo_spark.sources.catalog import SourceCatalog
+
+_WH_ROOT: str | None = None
+
+
+def _wh_root() -> str:
+    """One temp directory per process for all writer-query databases."""
+    global _WH_ROOT
+    if _WH_ROOT is None:
+        _WH_ROOT = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_wh_")
+    return _WH_ROOT
+
+
+def _wh(spark: SparkSession, db: str) -> Warehouse:
+    return Warehouse(spark, db, location=os.path.join(_wh_root(), db))
+
+
+# ---------------------------------------------------------------------------
+# B1: CTAS — partitioned + clustered table round-trip.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_ctas_roundtrip",
+    oracle="SELECT * FROM orders WHERE o_orderkey % 5 = 0",
+)
+def wr_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 CTAS (bigquery__create_table_as @16759,
+    materialization_table_bigquery @48682): write a partitioned + clustered
+    table via the warehouse writer, read it back from the catalog.
+    partition_by → hive layout (BigQuery ``partition by`` DDL), cluster_by
+    → sortWithinPartitions row-group locality (``cluster by``)."""
+    wh = _wh(spark, "wq_ctas")
+    df = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    wh.drop("orders_ctas")
+    wh.write_table(df, "orders_ctas", partition_by="o_orderstatus", cluster_by=["o_orderdate"])
+    return wh.read("orders_ctas").select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# B2: CREATE OR REPLACE VIEW over a warehouse table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_view_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey
+    """,
+)
+def wr_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 view materialization (bigquery__create_view_as @18769): CTAS a
+    base table, then CREATE OR REPLACE VIEW with SQL text over it; the
+    returned DataFrame reads through the catalog view."""
+    wh = _wh(spark, "wq_view")
+    wh.drop("nation_base")
+    wh.drop("nation_by_region")
+    wh.write_table(_t(spark, sf_dir, "nation"), "nation_base")
+    wh.create_view(
+        "nation_by_region",
+        sql=(
+            "SELECT n_regionkey, count(*) AS n_nations "
+            f"FROM {wh.qualified('nation_base')} GROUP BY n_regionkey"
+        ),
+    )
+    return wh.read("nation_by_region")
+
+
+# ---------------------------------------------------------------------------
+# B4: COPY — multi-source table copy with append semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_copy_concat",
+    oracle="""
+    SELECT * FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 4 = 1
+    """,
+)
+def wr_copy_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 copy materialization (materialization_copy_bigquery @45600,
+    bigquery__copy_table @21159): N source tables copied into one
+    destination — first overwrite, rest append (the reference's
+    ``copy_materialization`` table+incremental modes)."""
+    wh = _wh(spark, "wq_copy")
+    o = _t(spark, sf_dir, "orders")
+    for name in ("orders_a", "orders_b", "orders_copy"):
+        wh.drop(name)
+    wh.write_table(o.filter(F.col("o_orderkey") % 4 == 0), "orders_a")
+    wh.write_table(o.filter(F.col("o_orderkey") % 4 == 1), "orders_b")
+    wh.copy_table([wh.qualified("orders_a"), wh.qualified("orders_b")], "orders_copy")
+    return wh.read("orders_copy").select(*o.columns)
+
+
+# ---------------------------------------------------------------------------
+# B5: date-sharded writer — one dynamic-overwrite partition per date.
+# ---------------------------------------------------------------------------
+
+_SHARD_DATES = ["2024-01-05", "2024-01-06", "2024-01-07"]
+
+
+@query(
+    "wr_date_sharded",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS ds
+    FROM events
+    WHERE CAST(CAST(ts AS DATE) AS VARCHAR) IN ({", ".join(f"'{d}'" for d in _SHARD_DATES)})
+    """,
+)
+def wr_date_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 date-sharded table (make_date_partitioned_table @47149): per-date
+    compute + overwrite of exactly that date's partition — the reference
+    substitutes [DBT__PARTITION_DATE] per shard; here each day's DataFrame
+    lands via dynamic partition overwrite, so re-running one day rewrites
+    one directory, never the table."""
+    wh = _wh(spark, "wq_shard")
+    wh.drop("events_daily")
+    ev = _t(spark, sf_dir, "events")
+
+    def day(ds: str) -> DataFrame:
+        return ev.filter(F.to_date("ts") == F.lit(ds).cast("date")).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+
+    wh.write_date_partitions(day, "events_daily", _SHARD_DATES)
+    return wh.read("events_daily").select(
+        "event_id", "user_id", "event_type", "value", F.col("ds").cast("string").alias("ds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: DDL suite — add columns, retype (CTAS rewrite), drop, rename, docs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_ddl_suite",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, CAST(NULL AS VARCHAR) AS loyalty_tier
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def wr_ddl_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 DDL suite: ADD COLUMNS (bigquery__alter_relation_add_columns
+    @28020, metadata-only — readers fill NULL), ALTER COLUMN TYPE
+    (bigquery__alter_column_type @29950, CTAS rewrite + swap), DROP COLUMNS
+    (@28991), RENAME (default__rename_relation @27330), persist_docs
+    (@25819). Final state is read back through the renamed relation."""
+    wh = _wh(spark, "wq_ddl")
+    wh.drop("cust_ddl")
+    wh.drop("cust_ddl_renamed")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    wh.write_table(cust, "cust_ddl")
+    wh.add_columns("cust_ddl", {"loyalty_tier": "string"})
+    wh.alter_column_type("cust_ddl", "c_nationkey", "bigint")
+    wh.drop_columns("cust_ddl", ["c_mktsegment"])
+    wh.rename("cust_ddl", "cust_ddl_renamed")
+    wh.persist_docs(
+        "cust_ddl_renamed",
+        description="DDL-suite round-trip",
+        column_comments={"c_name": "customer display name"},
+    )
+    return wh.read("cust_ddl_renamed").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "loyalty_tier"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 (+B13): incremental dispatch — first-run CTAS, then strategy merge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_incremental_dispatch",
+    oracle=f"""
+    WITH tgt AS ({_ORD_TGT}), src AS ({_ORD_SRC})
+    SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    """,
+)
+def wr_incremental_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 incremental dispatch (materialization_incremental_bigquery
+    @39833 + dbt_bigquery_validate_get_incremental_strategy @33792): the
+    first write CTASes the target, the second dispatches to the configured
+    merge strategy and stage-swaps the result — the full writer path the
+    ``incr_*`` transform queries bypass."""
+    wh = _wh(spark, "wq_incr")
+    wh.drop("orders_incr")
+    tgt, src = _orders_target(spark, sf_dir), _orders_source(spark, sf_dir)
+    a1 = wh.write_incremental(tgt, "orders_incr", strategy="merge", unique_key="o_orderkey")
+    a2 = wh.write_incremental(src, "orders_incr", strategy="merge", unique_key="o_orderkey")
+    assert (a1, a2) == ("ctas", "merge"), (a1, a2)
+    return wh.read("orders_incr").select(*tgt.columns)
+
+
+# ---------------------------------------------------------------------------
+# B28: list relations / schema existence, dataset-scoped.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_list_relations",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('wq_meta', 't_orders', 'table'),
+      ('wq_meta', 'v_orders', 'view')
+    ) AS t(table_database, table_name, table_type)
+    """,
+)
+def wr_list_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 (bigquery__list_relations_without_caching @22342,
+    bigquery__check_schema_exists @25096, default__list_schemas @186522):
+    one relation row per table/view of the dataset, temp views excluded —
+    the listing is driver-side catalog metadata, never a cluster job."""
+    from dbt_ci_demo_spark.sources import metadata as md
+
+    wh = _wh(spark, "wq_meta")
+    wh.drop("t_orders")
+    wh.drop("v_orders")
+    wh.write_table(_t(spark, sf_dir, "orders").limit(10), "t_orders")
+    wh.create_view("v_orders", sql=f"SELECT o_orderkey FROM {wh.qualified('t_orders')}")
+    assert md.schema_exists(spark, "wq_meta")
+    return md.list_relations(spark, "wq_meta").orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# B30: partitions metadata of a hive-partitioned table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_partitions_metadata",
+    oracle="""
+    SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS "partition"
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def wr_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (get_partitions_metadata @12518): SHOW PARTITIONS of a
+    partitioned warehouse table as a DataFrame — partition-directory
+    listing, a metadata read proportional to |partitions|, not data."""
+    from dbt_ci_demo_spark.sources import metadata as md
+
+    wh = _wh(spark, "wq_parts")
+    wh.drop("orders_part")
+    df = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    wh.write_table(df, "orders_part", partition_by="o_orderstatus")
+    return md.partitions_metadata(spark, wh.qualified("orders_part"))
+
+
+# ---------------------------------------------------------------------------
+# Shared model DAG for the orchestration queries (B32/B36/B38).
+# ---------------------------------------------------------------------------
+
+
+def _stg_orders(ctx) -> DataFrame:
+    return (
+        ctx.source("orders")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _stg_customer(ctx) -> DataFrame:
+    return ctx.source("customer").select("c_custkey", "c_mktsegment")
+
+
+def _mart_segment_sales(ctx) -> DataFrame:
+    o, c = ctx.ref("stg_orders"), ctx.ref("stg_customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def _dag_models() -> dict[str, Model]:
+    reg: dict[str, Model] = {}
+    model("stg_orders", sources=["orders"], registry=reg)(_stg_orders)
+    model("stg_customer", sources=["customer"], registry=reg)(_stg_customer)
+    model("mart_segment_sales", refs=["stg_orders", "stg_customer"], registry=reg)(
+        _mart_segment_sales
+    )
+    return reg
+
+_DAG_ORACLE = """
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM (SELECT * FROM orders WHERE o_orderkey % 4 = 1) o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("wr_dag_topo_run", oracle=_DAG_ORACLE)
+def wr_dag_topo_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 DAG build + B36 threaded waves + B31 statement execution: two
+    independent staging models run concurrently (ThreadPoolExecutor over
+    topological waves — the reference's ``threads: 4``,
+    test_profiles/profiles.yml:11), then the mart joins them; the final
+    relation is read back from the target namespace. Reference: dbt's
+    node-level scheduler over parent_map (manifest.json:1 parent_map) —
+    Spark adds intra-query parallelism under the FAIR scheduler for free."""
+    runner = Runner(
+        spark,
+        _dag_models(),
+        env=EnvConfig(env="prod", database_prefix="wq_dag", threads=4),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), "wq_dag"),
+    )
+    results = runner.build()
+    assert all(r.status == "success" for r in results.values()), results
+    return runner.warehouse.read("mart_segment_sales")
+
+
+@query(
+    "wr_compile_schemas",
+    # Filled in below once the schemas are computed (kept literal here so
+    # the oracle is visibly deterministic).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('mart_segment_sales', 'struct<c_mktsegment:string,n_orders:bigint,revenue:double>'),
+      ('stg_customer', 'struct<c_custkey:bigint,c_mktsegment:string>'),
+      ('stg_orders', 'struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>')
+    ) AS t(model_name, model_schema)
+    """,
+)
+def wr_compile_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 compile (dbt compile, SURVEY §3.2): resolve every model through
+    compile-time ref()s (ephemeral-CTE analog) and emit its analyzed
+    schema — Catalyst analysis only, no job runs, nothing is written."""
+    runner = Runner(
+        spark,
+        _dag_models(),
+        env=EnvConfig(env="prod", database_prefix="wq_compile"),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), "wq_compile"),
+    )
+    schemas = runner.compile()
+    rows = sorted((k, v) for k, v in schemas.items())
+    return spark.createDataFrame(rows, "model_name string, model_schema string")
+
+
+# ---------------------------------------------------------------------------
+# B37: pre/post hooks running SQL statements around each model.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_hooks_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('mart_segment_sales', 'post-hook'),
+      ('mart_segment_sales', 'pre-hook'),
+      ('stg_customer', 'post-hook'),
+      ('stg_customer', 'pre-hook'),
+      ('stg_orders', 'post-hook'),
+      ('stg_orders', 'pre-hook')
+    ) AS t(model_name, phase)
+    """,
+)
+def wr_hooks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 hooks (run_hooks @43255, materialization pre/post blocks): each
+    model run is wrapped in pre/post hooks that execute SQL statements
+    (B31, run_statements) appending to an audit table — dbt's canonical
+    audit-logging hook pattern. threads=1 keeps the appends serial."""
+    db = "wq_hooks"
+    wh = _wh(spark, db)
+    wh.drop("audit")
+    run_statements(
+        spark,
+        [f"CREATE TABLE {wh.qualified('audit')} (model_name STRING, phase STRING) USING parquet"],
+    )
+
+    def hook(phase: str):
+        def _h(s: SparkSession, qualified: str) -> None:
+            name = qualified.rsplit("`.`", 1)[-1].strip("`")
+            run_statements(
+                s, [f"INSERT INTO {wh.qualified('audit')} VALUES ('{name}', '{phase}')"]
+            )
+
+        return _h
+
+    models = _dag_models()
+    for m in models.values():
+        m.config.pre_hook = [hook("pre-hook")]
+        m.config.post_hook = [hook("post-hook")]
+    runner = Runner(
+        spark,
+        models,
+        env=EnvConfig(env="prod", database_prefix=db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), db),
+    )
+    results = runner.build()
+    assert all(r.status == "success" for r in results.values()), results
+    return wh.read("audit").orderBy("model_name", "phase")
+
+
+# ---------------------------------------------------------------------------
+# B33 + B35: state manifest publication + state:modified selection.
+# ---------------------------------------------------------------------------
+
+
+def _mart_v2(ctx) -> DataFrame:
+    """Modified mart: adds an average — different source text → different
+    checksum → state:modified."""
+    o, c = ctx.ref("stg_orders"), ctx.ref("stg_customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _audit_mart(ctx) -> DataFrame:
+    return ctx.ref("mart_segment_sales").select("c_mktsegment", "n_orders")
+
+
+@query(
+    "wr_state_cycle",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('audit_mart',         false, true,  'wq_state.audit_mart'),
+      ('mart_segment_sales', true,  true,  'wq_state.mart_segment_sales'),
+      ('stg_customer',       false, false, 'wq_state.stg_customer'),
+      ('stg_orders',         false, false, 'wq_state.stg_orders')
+    ) AS t(model_name, is_modified, is_selected, state_relation)
+    """,
+)
+def wr_state_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 state manifest + B33 state:modified selection: build the DAG,
+    publish the manifest (per-node checksum/relation/config — the facts
+    update_project_state.yml:45-51 commits back), swap in a modified mart,
+    and select ``state:modified+`` — the changed node plus its downstream
+    closure, the reference CI's slim-ci selection."""
+    db = "wq_state"
+    v1 = _dag_models()
+    model("audit_mart", refs=["mart_segment_sales"], registry=v1)(_audit_mart)
+    runner1 = Runner(
+        spark,
+        v1,
+        env=EnvConfig(env="prod", database_prefix=db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), db),
+    )
+    state_path = os.path.join(_wh_root(), "state", "manifest.json")
+    results = runner1.build(state_out=state_path)
+    assert all(r.status == "success" for r in results.values()), results
+    state = StateManifest.load(state_path)
+
+    v2 = dict(v1)
+    v2["mart_segment_sales"] = Model(
+        name="mart_segment_sales",
+        fn=_mart_v2,
+        config=ModelConfig(),
+        refs=["stg_orders", "stg_customer"],
+    )
+    runner2 = Runner(
+        spark,
+        v2,
+        env=EnvConfig(env="prod", database_prefix=db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), db),
+    )
+    modified = runner2.graph.modified_against(state)
+    selected = runner2.graph.select(state, "state:modified+")
+    assert modified == {"mart_segment_sales"} and selected == {
+        "mart_segment_sales",
+        "audit_mart",
+    }, (modified, selected)
+    rows = sorted(
+        (name, name in modified, name in selected, state.relation(name))
+        for name in v2
+    )
+    return spark.createDataFrame(
+        rows, "model_name string, is_modified boolean, is_selected boolean, state_relation string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B34: deferral — unselected parents resolve to the production namespace.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_defer",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders
+    FROM (SELECT * FROM orders WHERE o_orderkey % 4 = 1) o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def wr_defer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 deferral (--defer; ModelContext.ref's state fallback): prod
+    builds the full DAG and publishes state; the PR namespace then builds
+    ONLY the modified mart with defer=True — its ``ref('stg_*')`` calls
+    resolve to the *prod* relations recorded in the manifest (the staging
+    tables are never built in the PR database), mirroring slim CI against
+    production artifacts."""
+    prod_db, pr_db = "wq_defer_prod", "wq_defer_pr"
+    prod = Runner(
+        spark,
+        _dag_models(),
+        env=EnvConfig(env="prod", database_prefix=prod_db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), prod_db),
+    )
+    state_path = os.path.join(_wh_root(), "state", "defer_manifest.json")
+    results = prod.build(state_out=state_path)
+    assert all(r.status == "success" for r in results.values()), results
+    state = StateManifest.load(state_path)
+
+    pr_models = _dag_models()
+    pr_models["mart_segment_sales"] = Model(
+        name="mart_segment_sales",
+        fn=_mart_v2,
+        config=ModelConfig(),
+        refs=["stg_orders", "stg_customer"],
+    )
+    pr = Runner(
+        spark,
+        pr_models,
+        env=EnvConfig(env="pr", pr_number=42, database_prefix=pr_db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), f"{pr_db}_pr_42"),
+    )
+    pr.warehouse.drop("mart_segment_sales")
+    results = pr.build(select="state:modified", state=state, defer=True)
+    assert results["mart_segment_sales"].status == "success", results
+    assert not pr.warehouse.exists("stg_orders"), "deferral must not build parents"
+    return pr.warehouse.read("mart_segment_sales")

@@ -57,6 +57,10 @@ def list_relations(spark: SparkSession, database: str) -> DataFrame:
     rows = [
         (database, t.name, "view" if t.tableType == "VIEW" else "table")
         for t in spark.catalog.listTables(database)
+        # listTables also surfaces session temp views (namespace-less);
+        # BigQuery's list_relations is dataset-scoped, so keep only real
+        # catalog relations of this database.
+        if t.namespace == [database]
     ]
     return spark.createDataFrame(
         rows, "table_database string, table_name string, table_type string"

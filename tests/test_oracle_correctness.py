@@ -20,6 +20,17 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert r.ok, f"{name}: {r.detail} {r.mismatches[:3]}"
 
 
+def test_priority_list_pins_registry():
+    """The driver checks a bounded registry prefix, so the explicit priority
+    order must cover the registry exactly — a new query that isn't slotted
+    into _PRIORITY would silently land in the unchecked tail."""
+    assert set(q._PRIORITY) == set(q._REGISTRY), (
+        set(q._PRIORITY) ^ set(q._REGISTRY)
+    )
+    assert len(q._PRIORITY) == len(set(q._PRIORITY)), "duplicate priority entries"
+    assert list(q._REGISTRY) == q._PRIORITY
+
+
 def test_all_queries_have_entries():
     import __spark_entry__ as entry
 
