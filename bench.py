@@ -37,11 +37,14 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_hourly",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_lsh_ann",
     "text_stats",
     "text_winnowing",
     "events_asof_attribution",
     "events_range_join_campaigns",
+    "q22_idle_rich_customers",
+    "wr_ctas_roundtrip",
 ]
 
 

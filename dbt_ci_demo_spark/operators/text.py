@@ -118,6 +118,36 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("predicted_lang"))
 
 
+# PII patterns: explicit ASCII classes only — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), so redaction is oracle-checkable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied in order; URL first so an
+    # address inside a URL is consumed as URL, not as email.
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scrub URLs / emails / phone numbers, keeping per-document counts.
+
+    Counts are measured on the original text (before any replacement) so
+    they are order-independent; replacements are applied in PII_PATTERNS
+    order so nested matches resolve deterministically. Pure regexp
+    expressions — a 100 TB corpus is scrubbed in one codegen'd scan with
+    zero shuffles, the same shape as the C4 cleanup pass."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = t
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, F.lit(pat), F.lit(repl))
+    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Canonical document fingerprint: md5 of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed) — robust to

@@ -1078,6 +1078,7 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_meta,
     queries_northstar,
     queries_relational,
+    queries_sampling,
     queries_writer,
 )
 
@@ -1164,6 +1165,10 @@ _PRIORITY: list[str] = [
     "stream_tumbling_hourly",
     "stream_stateful_totals",
     "stream_sessionize",
+    "samp_hash_fraction",
+    "samp_train_test_split",
+    "samp_stratified_lang",
+    "text_redact_pii",
     # -- previously-green variants ------------------------------------------
     "win_running_total",
     "win_rank_orders",

@@ -1,0 +1,147 @@
+"""Sampling / splitting / cleaning query registrations (north-star:
+reproducible training-data curation; the reference has no sampling surface,
+SURVEY.md §2.B.8).
+
+Every keep/drop/assign decision is a pure md5 expression of a stable key,
+so the DuckDB oracles check the *decisions* bit-for-bit — row counts alone
+would accept a differently-seeded sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.operators import sampling as sp
+from dbt_ci_demo_spark.operators import text as tx
+from dbt_ci_demo_spark.queries import _t, query
+
+# DuckDB twin of sampling._key_hash: first 8 md5 hex chars as an integer.
+_DUCK_HASH = "('0x' || substr(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "samp_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE {_DUCK_HASH.format(seed='sample', key='doc_id')} % {sp.BUCKETS} < {sp.BUCKETS // 10}
+    """,
+)
+def samp_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of the corpus, keyed on doc_id: scan-only
+    (the keep predicate runs inside the scan's codegen stage — no shuffle,
+    no RNG state), reproducible across runs/partitionings/engines, stable
+    under appends. The decision itself is oracle-checked row-by-row."""
+    return sp.hash_sample(_docs(spark, sf_dir), "doc_id", 0.1, seed="sample")
+
+
+@query(
+    "samp_train_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_DUCK_HASH.format(seed='split', key='doc_id')} % {sp.BUCKETS}
+                     < {sp.BUCKETS // 10} THEN 'test'
+                WHEN {_DUCK_HASH.format(seed='split', key='doc_id')} % {sp.BUCKETS}
+                     < {sp.BUCKETS // 5} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def samp_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (10% test, 10% val) from the
+    same hash-bucket family: disjoint, exhaustive, append-stable. Every
+    per-document assignment is oracle-checked."""
+    return sp.train_val_test_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        test_fraction=0.1,
+        val_fraction=0.1,
+        seed="split",
+    )
+
+
+@query(
+    "samp_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_HASH.format(seed='strat', key='doc_id')}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 200
+    """,
+)
+def samp_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus: exactly min(200, |stratum|) documents per language,
+    chosen uniformly by hash order — the bounded reservoir for rebalancing
+    a skewed corpus. One shuffle on the strata column."""
+    return sp.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), ["lang"], "doc_id", 200,
+        seed="strat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction over a deterministically PII-injected corpus (the fixture
+# text contains no addresses, so both engines append the same synthetic
+# contact block to every 10th document).
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX_SQL = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' or call 555-010-1234 or see https://example.com/u/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.concat(
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-010-1234 or see https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+def _redact_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in tx.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in tx.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || {_PII_SUFFIX_SQL} ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, {redacted} AS redacted,
+           {counts}
+    FROM docs
+    """
+
+
+@query("text_redact_pii", oracle=_redact_oracle())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email/phone scrubbing with per-document match counts — the
+    C4-style cleanup pass as one codegen'd scan. The oracle replays the
+    same injection + patterns, checking redacted text byte-for-byte."""
+    out = tx.redact_pii(_docs_pii(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id", "redacted",
+        *[F.col(f"n_{name}").cast("int").alias(f"n_{name}") for name, _, _ in tx.PII_PATTERNS],
+    )

@@ -30,6 +30,39 @@ def test_minhash_finds_injected_dups(spark, sf_dir):
     assert injected <= found, f"missed {injected - found}"
 
 
+def test_minhash_xxhash64_production_path(spark, sf_dir):
+    """The xxhash64 production path must recover the same injected
+    near-dup pairs as the md5 oracle path (verification is hash-agnostic
+    exact Jaccard; only LSH candidate recall could differ, and the
+    injected high-jaccard pairs are ~certain at 8 bands x 4 rows)."""
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir)
+    injected = {
+        (r.doc_id, r.doc_id + 1000000)
+        for r in docs.filter(F.col("doc_id") % 25 == 0)
+        .filter(F.col("doc_id") < 1000000)
+        .select("doc_id")
+        .collect()
+    }
+    fast = dd.minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.7, hash_fn="xxhash64"
+    )
+    found = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+    assert injected <= set(found), f"missed {injected - set(found)}"
+    # scores come from the shared exact-Jaccard verifier: identical to md5 path
+    md5_pairs = dd.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.7)
+    md5_found = {(r.id_a, r.id_b): r.jaccard for r in md5_pairs.collect()}
+    common = set(found) & set(md5_found)
+    assert all(found[p] == md5_found[p] for p in common)
+
+
+def test_minhash_bad_hash_fn_rejected(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.minhash_near_duplicates(docs, "text", "doc_id", hash_fn="sha1").collect()
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
     sig = dd.simhash32(docs, "text", "doc_id")

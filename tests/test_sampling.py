@@ -1,0 +1,77 @@
+"""Behavioral tests for deterministic sampling/splitting beyond the oracle
+gate: partition-invariance, append-stability, split disjointness, exact
+stratum caps."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_ci_demo_spark.operators import sampling as sp
+from dbt_ci_demo_spark.sources.catalog import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+
+def test_hash_sample_partition_invariant(spark, sf_dir):
+    """The kept set must not depend on physical partitioning (the failure
+    mode of seeded per-partition sampling)."""
+    d = _docs(spark, sf_dir)
+    a = {r.doc_id for r in sp.hash_sample(d, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in sp.hash_sample(d.repartition(7), "doc_id", 0.2).collect()}
+    c = {r.doc_id for r in sp.hash_sample(d.coalesce(1), "doc_id", 0.2).collect()}
+    assert a == b == c
+    n = d.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # roughly the requested fraction
+
+
+def test_hash_sample_append_stable(spark, sf_dir):
+    """Adding rows must not change decisions for existing rows."""
+    d = _docs(spark, sf_dir)
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    full_kept = {r.doc_id for r in sp.hash_sample(d, "doc_id", 0.3).collect()}
+    half_kept = {r.doc_id for r in sp.hash_sample(half, "doc_id", 0.3).collect()}
+    assert half_kept == {i for i in full_kept if i % 2 == 0}
+
+
+def test_hash_sample_seed_independence(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r.doc_id for r in sp.hash_sample(d, "doc_id", 0.2, seed="a").collect()}
+    b = {r.doc_id for r in sp.hash_sample(d, "doc_id", 0.2, seed="b").collect()}
+    assert a != b  # different seeds give different (roughly independent) samples
+
+
+def test_split_disjoint_exhaustive(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = sp.train_val_test_split(d, "doc_id", test_fraction=0.2, val_fraction=0.1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()
+    # test ⊂ the 20% hash_sample with the same seed: the bucket families nest
+    test_ids = {r.doc_id for r in out.filter(F.col("split") == "test").collect()}
+    sampled = {r.doc_id for r in sp.hash_sample(d, "doc_id", 0.2, seed="split").collect()}
+    assert test_ids <= sampled
+
+
+def test_stratified_exact_cap_and_determinism(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = sp.stratified_sample(d, ["lang"], "doc_id", 50)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(50, sizes[lang]), (lang, n, sizes[lang])
+    again = sp.stratified_sample(d.repartition(5), ["lang"], "doc_id", 50)
+    assert {(r.doc_id, r.lang) for r in out.collect()} == {
+        (r.doc_id, r.lang) for r in again.collect()
+    }
+
+
+def test_sampling_validation():
+    with pytest.raises(ValueError):
+        sp.hash_sample(None, "k", 1.5)
+    with pytest.raises(ValueError):
+        sp.train_val_test_split(None, "k", test_fraction=0.8, val_fraction=0.3)
+    with pytest.raises(ValueError):
+        sp.stratified_sample(None, ["s"], "k", 0)
