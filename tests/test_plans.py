@@ -1,0 +1,95 @@
+"""Plan-quality gate: every registered query's physical plan must be free
+of scale-killers. This is the 100 TB regression guard — correctness tests
+can't catch a plan that silently degrades to a cartesian product or a
+driver-side loop when an expression change defeats a join condition.
+
+Checks (plan-only; nothing is executed):
+- no CartesianProduct / BroadcastNestedLoopJoin, except the whitelisted
+  queries that intentionally build 1-row×N fixtures or documented
+  brute-force verifiers over bounded subsamples;
+- parquet scans of the big fact tables carry pushed filters whenever the
+  query filters on a scan column (spot-checked on representative queries).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_ci_demo_spark import queries as q
+
+# Queries allowed to contain a nested-loop/cartesian stage. Each is a
+# documented bounded fan-out, not a data-sized cross product:
+#   - *_campaigns: 1-row → N-campaign fixture build / day-bucket expansion
+#   - sim_topk_bruteforce / dedup_jaccard_pairs: documented brute-force
+#     baselines over bounded subsamples (the LSH/IVF variants are the
+#     scale path)
+#   - sim_ivf_topk: broadcast of the tiny centroid table against which
+#     Spark picks BroadcastNestedLoopJoin for the non-equi probe condition
+#   - q22: the global scalar-aggregate subquery enters as a broadcast of a
+#     1-row DataFrame (the standard Spark scalar-subquery-as-join shape)
+_CARTESIAN_OK = {
+    "events_range_join_campaigns",
+    "sim_topk_bruteforce",
+    "dedup_jaccard_pairs",
+    "sim_ivf_topk",
+    "q22_idle_rich_customers",
+}
+
+# Queries whose construction performs warehouse writes/DDL; building their
+# final plan is still cheap, but they mutate session state — run them last
+# and in isolation from the assertion on scan pushdown.
+_SLOW_SETUP = {name for name in q.registry_queries() if name.startswith("wr_")}
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = q.registry_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(q.registry_queries()) - _SLOW_SETUP))
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    for killer in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if killer in plan:
+            assert name in _CARTESIAN_OK, f"{name}: plan contains {killer}"
+
+
+def test_whitelist_is_tight(spark, sf_dir):
+    """Every whitelisted query must actually need its exemption — remove
+    stale entries so the whitelist can't mask future regressions."""
+    stale = [
+        name
+        for name in sorted(_CARTESIAN_OK)
+        if not any(
+            k in _plan(spark, name, sf_dir)
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        )
+    ]
+    assert not stale, f"whitelisted but clean: {stale}"
+
+
+@pytest.mark.parametrize(
+    ("name", "expectations"),
+    [
+        # q6: tight range filters on lineitem must reach the parquet scan.
+        ("q6_forecast_revenue", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+        # q1: the shipdate predicate must be pushed, not post-scan.
+        ("q1_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+        # flagship: join-key null filters pushed into all three scans.
+        ("flagship_repo_languages", ["PushedFilters: [IsNotNull("]),
+        # sampling: the keep predicate is md5-derived (not pushable), but
+        # column pruning must hold — the scan must not read `text`.
+        ("samp_hash_fraction", ["ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"]),
+    ],
+)
+def test_scan_pushdown(spark, sf_dir, name, expectations):
+    plan = _plan(spark, name, sf_dir)
+    for fragment in expectations:
+        assert fragment in plan, f"{name}: missing {fragment!r}"
+
+
+def test_broadcasts_present(spark, sf_dir):
+    """Dimension joins in the TPC-H shapes must broadcast, not sort-merge."""
+    for name in ("q5_local_supplier_volume", "q3_top_orders", "q10_returned_revenue"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
