@@ -1148,6 +1148,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard_pairs",
+    "dedup_cluster_components",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_embedding_neardup",
@@ -1169,6 +1170,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "samp_stratified_lang",
     "text_redact_pii",
+    "text_vocab_topk",
     # -- previously-green variants ------------------------------------------
     "win_running_total",
     "win_rank_orders",

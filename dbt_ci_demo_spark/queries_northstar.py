@@ -322,6 +322,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(_docs_dup(spark, sf_dir), "text", "doc_id", max_hamming=3)
 
 
+@query(
+    "dedup_cluster_components",
+    # The oracle computes the exact transitive closure with a recursive CTE
+    # (label flows along bidirected edges; min reachable label = component),
+    # over the same SimHash pair graph the Spark side clusters.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_simhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           (node = min(lab)) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the SimHash near-dup
+    pair graph (A~B, B~C ⇒ one cluster even though (A,C) was never
+    emitted), with the cluster-minimum as survivor — the step that turns
+    pairwise detections into corpus dedup decisions. Pregel-style
+    min-label propagation (one shuffle per round, lineage truncated per
+    round); the dense banded pair graph converges in a handful of rounds."""
+    pairs = dd.simhash_near_duplicates(_docs_dup(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    return dd.duplicate_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -395,6 +428,39 @@ def _langid_oracle() -> str:
            {pred} AS predicted_lang
     FROM s
     """
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    f AS (
+      SELECT tok, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+      FROM toks WHERE tok != '' GROUP BY tok
+    )
+    SELECT tok, term_freq, doc_freq
+    FROM f ORDER BY term_freq DESC, tok LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: corpus-wide term and document frequencies,
+    top-100 by term frequency (deterministic tie-break on token). The
+    top-k is orderBy+limit — Spark's TakeOrderedAndProject computes
+    per-partition heaps then merges k rows on the driver, so there is no
+    global sort and no single-partition window at any corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return freq.orderBy(F.desc("term_freq"), F.asc("tok")).limit(100)
 
 
 @query("text_langid", oracle=_langid_oracle())

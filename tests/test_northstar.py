@@ -30,6 +30,30 @@ def test_minhash_finds_injected_dups(spark, sf_dir):
     assert injected <= found, f"missed {injected - found}"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Transitivity across a chain (no direct A-C pair), separate
+    components, and survivor marking."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, island pair 10-11, triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dd.duplicate_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
+
+
+def test_connected_components_empty_and_bound(spark):
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dd.duplicate_clusters(empty).count() == 0
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dd.connected_components(chain, max_iter=1)
+
+
 def test_minhash_xxhash64_production_path(spark, sf_dir):
     """The xxhash64 production path must recover the same injected
     near-dup pairs as the md5 oracle path (verification is hash-agnostic
