@@ -148,19 +148,28 @@ class Warehouse:
         name: str,
         partition_by: str | None = None,
         cluster_by: list[str] | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
         mode: str = "overwrite",
     ) -> None:
         """CTAS (B1). partition_by → hive-style partition layout (the
         BigQuery ``partition by`` DDL); cluster_by → sortWithinPartitions
         before write, giving parquet row-group locality (the ``cluster by``
-        analog; judge note: bucketBy is the stricter equivalent but pins a
-        bucket count — sorted writes keep AQE free to choose)."""
+        analog — keeps AQE free to choose join strategies); bucket_by →
+        ``bucketBy(n, cols) + sortBy(cols)``, the stricter contract: two
+        tables bucketed on the same keys with the same bucket count join
+        with NO shuffle on either side (verified by
+        tests/test_runner.py::test_bucketed_join_is_shuffle_free) — the
+        co-location lever for fact-to-fact joins that repeat every run,
+        where paying one bucketed write amortizes across all later joins."""
         out = df
-        if cluster_by:
+        if cluster_by and not bucket_by:
             out = out.sortWithinPartitions(*cluster_by)
         writer = out.write.format("parquet").mode(mode)
         if partition_by:
             writer = writer.partitionBy(partition_by)
+        if bucket_by:
+            cols, n_buckets = bucket_by
+            writer = writer.bucketBy(n_buckets, *cols).sortBy(*(cluster_by or cols))
         writer.saveAsTable(f"{self.database}.{name}")
 
     def swap_in(self, df: DataFrame, name: str, partition_by: str | None = None,

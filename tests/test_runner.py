@@ -349,3 +349,42 @@ def test_ddl_suite(spark, env, tmp_path):
     wh.truncate("t")
     assert wh.read("t").count() == 0
     wh.drop_database()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    sort-merge join with NO Exchange on either side — the co-location
+    contract bucket_by exists for."""
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    wh = Warehouse(spark, f"wh_{tmp_path.name.lower()}_bkt", location=str(tmp_path / "whb"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    wh.write_table(orders, "orders_bkt", bucket_by=(["o_orderkey"], 8))
+    wh.write_table(lineitem, "lineitem_bkt", bucket_by=(["l_orderkey"], 8))
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, l = wh.read("orders_bkt"), wh.read("lineitem_bkt")
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"]).groupBy("o_custkey").agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the agg: the join subtree
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, f"bucketed join still shuffles:\n{join_part}"
+        # and the numbers must match the unbucketed join
+        expected = (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .groupBy("o_custkey").agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    wh.drop_database()
