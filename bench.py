@@ -45,6 +45,9 @@ HEADLINE = [
     "events_range_join_campaigns",
     "q22_idle_rich_customers",
     "wr_ctas_roundtrip",
+    "samp_stratified_lang",
+    "text_redact_pii",
+    "pipe_curation_end_to_end",
 ]
 
 

@@ -1171,6 +1171,7 @@ _PRIORITY: list[str] = [
     "samp_stratified_lang",
     "text_redact_pii",
     "text_vocab_topk",
+    "pipe_curation_end_to_end",
     # -- previously-green variants ------------------------------------------
     "win_running_total",
     "win_rank_orders",
@@ -1200,6 +1201,7 @@ _PRIORITY: list[str] = [
     "q19_disjunctive_revenue",
     "q22_idle_rich_customers",
     "olap_rollup_pricing",
+    "olap_cube_volumes",
     "olap_pivot_status_counts",
     "set_repeat_vs_churned",
 ]

@@ -487,6 +487,39 @@ def olap_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "olap_cube_volumes",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def olap_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping levels — detail,
+    each one-dimension margin, and the grand total — in one Expand + hash
+    aggregate: one scan, one shuffle for 2^2 groupings (vs four unioned
+    aggregates). Neither column is NULL in the data, so the 'ALL'
+    sentinel is unambiguous in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
     "set_repeat_vs_churned",
     oracle="""
     WITH y96 AS (SELECT DISTINCT o_custkey FROM orders

@@ -135,6 +135,76 @@ def _redact_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality filter → fingerprint dedup →
+# stratified cap → leakage-safe split, composed from the real operators.
+# ---------------------------------------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _pipeline_oracle() -> str:
+    from dbt_ci_demo_spark.queries_northstar import _text_stats_oracle
+
+    hash_expr = _DUCK_HASH.format(seed="strat", key="doc_id")
+    split_hash = _DUCK_HASH.format(seed="split", key="doc_id")
+    return f"""
+    WITH stats AS ({_text_stats_oracle()}),
+    kept AS (
+      SELECT d.doc_id, d.lang, s.quality_score, md5({_NORM}) AS fp
+      FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+      WHERE s.quality_score >= 0.5
+    ),
+    surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
+    dedup AS (SELECT k.doc_id, k.lang, k.quality_score
+              FROM kept k JOIN surv v ON v.doc_id = k.doc_id),
+    strat AS (
+      SELECT doc_id, lang, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {hash_expr}, doc_id) AS rk
+      FROM dedup
+    )
+    SELECT doc_id, lang, quality_score,
+           CASE WHEN {split_hash} % {sp.BUCKETS} < {sp.BUCKETS // 10} THEN 'test'
+                ELSE 'train' END AS split
+    FROM strat WHERE rk <= 100
+    """
+
+
+@query("pipe_curation_end_to_end", oracle=_pipeline_oracle())
+def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE composed plan:
+    C4/Gopher-style quality filter (text_stats) → normalized-fingerprint
+    dedup (min-id survivor) → per-language stratified cap of 100 →
+    leakage-safe hash split. Every stage is the same operator the
+    individual queries check; the oracle replays the whole composition, so
+    stage *interactions* (filter-before-dedup, dedup-before-cap) are
+    value-checked too. Plan shape: one scan, two key-partitioned shuffles
+    (fingerprint group, strata window) — nothing quadratic, nothing
+    driver-side."""
+    from dbt_ci_demo_spark.operators import text as txops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    par = spark.sparkContext.defaultParallelism
+    d = d.repartition(par)
+    stats = txops.text_stats(d, "text", "doc_id").select("doc_id", "quality_score")
+    kept = (
+        d.join(stats, on="doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+    )
+    fp = txops.fingerprint(kept, "text", "doc_id").select("doc_id", "fingerprint")
+    kept_fp = kept.join(fp, on="doc_id")
+    surv = kept_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    dedup = kept_fp.join(surv.select("doc_id"), on="doc_id", how="left_semi").select(
+        "doc_id", "lang", "quality_score"
+    )
+    capped = sp.stratified_sample(dedup, ["lang"], "doc_id", 100, seed="strat")
+    split = sp.train_val_test_split(capped, "doc_id", test_fraction=0.1, seed="split")
+    return split.select("doc_id", "lang", "quality_score", "split")
+
+
 @query("text_redact_pii", oracle=_redact_oracle())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/email/phone scrubbing with per-document match counts — the
