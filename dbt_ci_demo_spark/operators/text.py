@@ -43,12 +43,11 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"))
 
 
-def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document quality metrics + composite quality score.
-
-    Heuristics follow the public C4/Gopher-style filters: length, mean
-    word length, punctuation density, stopword ratio."""
-    t = F.col(text_col)
+def quality_metrics(t: Column) -> dict[str, Column]:
+    """The C4/Gopher-style per-document metric expressions, as columns —
+    usable inline in any scan (no join needed to attach a quality score).
+    Keys: n_chars, n_tokens, n_words, avg_word_len, punct_ratio,
+    stopword_ratio, quality_score."""
     lower = F.lower(t)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -75,15 +74,25 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0)),
         6,
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": quality,
+    }
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality metrics + composite quality score.
+
+    Heuristics follow the public C4/Gopher-style filters: length, mean
+    word length, punctuation density, stopword ratio."""
+    metrics = quality_metrics(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in metrics.items()]
     )
 
 
@@ -148,18 +157,24 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
 
 
+def normalized_text(t: Column) -> Column:
+    """Lowercase, punctuation stripped, whitespace collapsed — the
+    formatting-insensitive canonical form fingerprints hash."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), F.lit("[^a-z0-9 ]"), F.lit("")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Canonical document fingerprint: md5 of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed) — robust to
     formatting-only edits; the exact-dedup key for 'same content, different
     whitespace' duplicates."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), F.lit("[^a-z0-9 ]"), F.lit("")),
-            F.lit(" +"),
-            F.lit(" "),
-        )
-    )
+    normalized = normalized_text(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),

@@ -181,24 +181,27 @@ def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-safe hash split. Every stage is the same operator the
     individual queries check; the oracle replays the whole composition, so
     stage *interactions* (filter-before-dedup, dedup-before-cap) are
-    value-checked too. Plan shape: one scan, two key-partitioned shuffles
-    (fingerprint group, strata window) — nothing quadratic, nothing
-    driver-side."""
-    from dbt_ci_demo_spark.operators import text as txops
+    value-checked too. Plan shape: ONE scan (quality score and fingerprint
+    are inline expressions — no self-join to attach scores) and two
+    key-partitioned window shuffles (min-per-fingerprint, per-stratum
+    rank) — nothing quadratic, nothing driver-side."""
+    from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     par = spark.sparkContext.defaultParallelism
     d = d.repartition(par)
-    stats = txops.text_stats(d, "text", "doc_id").select("doc_id", "quality_score")
     kept = (
-        d.join(stats, on="doc_id")
+        d.withColumn("quality_score", tx.quality_metrics(F.col("text"))["quality_score"])
         .filter(F.col("quality_score") >= 0.5)
+        .withColumn("fp", F.md5(tx.normalized_text(F.col("text"))))
     )
-    fp = txops.fingerprint(kept, "text", "doc_id").select("doc_id", "fingerprint")
-    kept_fp = kept.join(fp, on="doc_id")
-    surv = kept_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    dedup = kept_fp.join(surv.select("doc_id"), on="doc_id", how="left_semi").select(
-        "doc_id", "lang", "quality_score"
+    # dedup = first row per fingerprint, as ONE window shuffle (equivalent
+    # to min-id group + semi-join back, without the join).
+    w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    dedup = (
+        kept.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "quality_score")
     )
     capped = sp.stratified_sample(dedup, ["lang"], "doc_id", 100, seed="strat")
     split = sp.train_val_test_split(capped, "doc_id", test_fraction=0.1, seed="split")
