@@ -1100,6 +1100,7 @@ _PRIORITY: list[str] = [
     "test_model_literal",
     # -- §2.B writer / orchestration (B1-B7, B13, B28, B30-B38) -----------
     "wr_ctas_roundtrip",
+    "wr_bucketed_join",
     "wr_view_roundtrip",
     "wr_copy_concat",
     "wr_date_sharded",

@@ -73,6 +73,56 @@ def wr_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B1 (bucketed): co-located fact-to-fact join over bucketed CTAS tables.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wr_bucketed_join",
+    oracle="""
+    SELECT o.o_custkey, count(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+    JOIN (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0) l
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def wr_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 bucketed CTAS (BigQuery ``cluster by`` taken to its co-location
+    conclusion): two fact tables bucketBy(8)+sortBy the join key, then
+    sort-merge join with ZERO exchanges on either side (asserted on the
+    physical plan with broadcast disabled) — the pay-one-write,
+    amortize-every-join layout for repeated fact-to-fact joins."""
+    wh = _wh(spark, "wq_bucket")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    wh.drop("orders_bkt")
+    wh.drop("lineitem_bkt")
+    wh.write_table(o, "orders_bkt", bucket_by=(["o_orderkey"], 8))
+    wh.write_table(l, "lineitem_bkt", bucket_by=(["l_orderkey"], 8))
+
+    ob, lb = wh.read("orders_bkt"), wh.read("lineitem_bkt")
+    joined = (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_quantity").alias("total_qty"),
+        )
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        below_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in below_join, f"bucketed join shuffles:\n{below_join}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    return joined
+
+
+# ---------------------------------------------------------------------------
 # B2: CREATE OR REPLACE VIEW over a warehouse table.
 # ---------------------------------------------------------------------------
 
