@@ -12,11 +12,13 @@ concurrency/timeout/priority (test_profiles/profiles.yml:11-13). Here Spark
   (bq_insert_overwrite, manifest.json:1@34992).
 - FAIR scheduler — inter-model parallelism (profiles.yml ``threads: 4``)
   maps to concurrent Spark jobs from a thread pool.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver testdata stores
-  ``events.ts`` as parquet TIMESTAMP(NANOS), which Spark cannot represent
-  natively; we read it as nanos-since-epoch and normalize in the source
-  layer (sources/catalog.py) by truncating to microseconds, matching what
-  DuckDB's TIMESTAMP_NS→TIMESTAMP cast does.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — back-compat with earlier
+  driver testdata that stored ``events.ts`` as parquet TIMESTAMP(NANOS)
+  (current fixtures store TIMESTAMP(µs), where this config is a no-op).
+  The source layer (sources/catalog.py) normalizes conditionally: a BIGINT
+  ``ts`` is treated as nanos-since-epoch and truncated to microseconds,
+  matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast; a native timestamp passes
+  through unchanged.
 - Session timezone pinned to UTC so timestamp semantics are reproducible
   and oracle-comparable.
 """

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,18 +40,17 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (1 file per trigger keeps
-    micro-batches deterministic in tests). The nanos→micros normalization
-    matches sources/catalog.py."""
+    micro-batches deterministic in tests). The fixture's ``ts`` is stored as
+    parquet TIMESTAMP(µs); the streaming source must declare the schema
+    up front (no inference), so it is pinned here to match
+    sources/catalog.py's batch read."""
     # The fixture is a single parquet FILE; the streaming file source
     # requires a directory, so stream the parent dir with a glob filter.
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
     )
 
 
