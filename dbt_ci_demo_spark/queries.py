@@ -1079,6 +1079,7 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_northstar,
     queries_relational,
     queries_sampling,
+    queries_tpch2,
     queries_writer,
 )
 
@@ -1201,6 +1202,14 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
     "olap_rollup_pricing",
     "olap_cube_volumes",
     "olap_pivot_status_counts",
