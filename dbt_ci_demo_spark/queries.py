@@ -1077,6 +1077,7 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
     queries_media,
     queries_meta,
     queries_northstar,
+    queries_olap2,
     queries_relational,
     queries_sampling,
     queries_tpch2,
@@ -1213,6 +1214,9 @@ _PRIORITY: list[str] = [
     "olap_rollup_pricing",
     "olap_cube_volumes",
     "olap_pivot_status_counts",
+    "olap_grouping_sets",
+    "stats_exact_moments",
+    "ts_date_spine_gapfill",
     "set_repeat_vs_churned",
 ]
 

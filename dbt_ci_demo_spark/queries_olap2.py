@@ -1,0 +1,173 @@
+"""OLAP grouping/statistics/time-spine shapes completing the warehouse
+analytics surface: explicit GROUPING SETS (beyond the rollup/cube pair in
+queries_relational), exact second-moment statistics (variance / stddev /
+correlation) computed engine-portably, and a date-spine gap-fill — the
+canonical reporting-table idiom over sparse daily facts.
+
+Engine-portability rule for the statistics: Spark's and DuckDB's built-in
+STDDEV/CORR use different streaming algorithms, so their low-order float
+bits differ and the driver's exact hash would fail. Instead both sides
+aggregate exact decimal moments (sum x, sum x², sum xy — order-independent)
+and evaluate the *same* closed-form double expression on top, which is
+bit-identical under IEEE arithmetic. At 100 TB this is also the cheaper
+plan: one pass, no per-group sorted state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.queries import _t, query
+
+
+@query(
+    "olap_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    (detail, per-status, and grand total, skipping the per-flag level a
+    rollup would force). Spark plans it as one Expand + one hash
+    aggregate: a single scan and a single shuffle for all three levels.
+    GROUPING() markers are emitted so subtotal rows stay unambiguous even
+    where the 'ALL' sentinel could collide with data values."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "stats_exact_moments",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(xd) AS DOUBLE) AS sx,
+             CAST(SUM(yd) AS DOUBLE) AS sy,
+             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             CAST(SUM(yd * yd) AS DOUBLE) AS syy,
+             CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev of quantity and its correlation with price,
+    per return flag — via exact decimal moments + closed-form doubles (see
+    module docstring for why the built-in STDDEV/CORR aggregates are not
+    engine-portable). One pass over lineitem, six codegen'd decimal sums;
+    the closed forms run on the handful of group rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    # Quantize to decimal BEFORE multiplying: products of decimals are
+    # exact in both engines, whereas rounding a double product to a
+    # decimal hits engine-specific double→decimal conversion in the low
+    # digits (observed on sum(price²) at sf0.01). The source values carry
+    # at most 2 decimal places, so DECIMAL(p,2) is lossless.
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "ts_date_spine_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+      FROM b
+    ),
+    daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def ts_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a continuous daily series over the full order
+    date range, with zero-filled days where no orders exist — the standard
+    reporting-table densification idiom (dbt-utils' date_spine macro is
+    this pattern; the reference's date-sharded writer, SURVEY §2.B.5
+    make_date_partitioned_table manifest.json:1@47149, enumerates the same
+    Python-side date range). Spark builds the spine with
+    sequence()+explode from the min/max scalar — no driver-side loop. The
+    daily aggregate is the only shuffle; the spine (≤ a few thousand rows)
+    joins broadcast, so gap-filling costs nothing extra at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_d")
+    ).select(F.col("day_d").cast("timestamp").alias("day"))
+    daily = o.groupBy(
+        F.to_date("o_orderdate").cast("timestamp").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        spine.join(F.broadcast(daily), "day", "left_outer")
+        .select("day", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+    )
