@@ -1073,6 +1073,7 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the remaining query families.
 from dbt_ci_demo_spark import (  # noqa: E402,F401
+    queries_embed,
     queries_joins,
     queries_media,
     queries_meta,
@@ -1155,6 +1156,9 @@ _PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_embedding_neardup",
+    "emb_label_centroids",
+    "emb_normalize_digest",
+    "emb_label_affinity",
     "mm_image_metadata",
     "mm_frame_sample",
     "text_stats",

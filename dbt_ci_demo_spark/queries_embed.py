@@ -1,0 +1,177 @@
+"""Embedding-column operators beyond ANN search: per-label centroid
+aggregation, L2 normalization (verified by digest), and label-affinity
+(cosine between label centroids) — the vector building blocks of a
+training-data curation pipeline (cluster summaries, normalized inputs,
+inter-class contamination checks).
+
+Engine-portability rule for vector aggregates: double sums are
+partition-order-dependent and DuckDB's double→decimal cast is not
+correctly rounded in the last digit (observed 1-in-256k divergence at
+DECIMAL(30,12)), so cross-engine-exact vector math here uses explicit
+fixed-point: ``CAST(round(v * 1e6) AS BIGINT)``. round() ties away from
+zero in both engines, integer sums are exact and order-independent, and
+cosine is scale-invariant so the fixed-point factor cancels entirely.
+This is also the fast path at 100 TB: plain codegen'd integer aggregation,
+no sorted collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.queries import _t, query
+
+_FX = 1_000_000.0  # fixed-point scale: 6 decimal places
+
+
+def _exploded_fixed(emb: DataFrame) -> DataFrame:
+    """(label, dim, fx): one row per vector element, value as exact
+    fixed-point BIGINT. posexplode is a 64× fan-out but stays inside
+    whole-stage codegen; the follow-up (label, dim) aggregate partial-
+    aggregates map-side, so the shuffle carries only |labels|×|dims| rows
+    regardless of corpus size."""
+    return emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("v") * F.lit(_FX)).cast("long").alias("fx"),
+    )
+
+
+_EMB_FIXED_SQL = """
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS fx
+      FROM embeddings
+"""
+
+
+@query(
+    "emb_label_centroids",
+    oracle=f"""
+    WITH f AS (
+      {_EMB_FIXED_SQL}
+    ),
+    c AS (
+      SELECT label, dim, CAST(SUM(fx) AS BIGINT) AS s, count(*) AS n
+      FROM f GROUP BY label, dim
+    )
+    SELECT label, dim,
+           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS centroid
+    FROM c
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim, mean value) —
+    the cluster-summary primitive behind IVF coarse quantizers and
+    per-class drift monitoring. Exact fixed-point mean (module docstring);
+    one scan, one tiny shuffle keyed (label, dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        _exploded_fixed(emb)
+        .groupBy("label", "dim")
+        .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n") / F.lit(_FX), 6).alias("centroid"),
+        )
+    )
+
+
+@query(
+    "emb_normalize_digest",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS l2
+      FROM base
+    )
+    SELECT vec_id,
+           round(l2, 6) AS l2_norm,
+           md5(array_to_string(
+             list_transform(v, x -> CAST(CAST(round(x / l2, 6) + 0 AS DECIMAL(10,6)) AS VARCHAR)),
+             ',')) AS norm_digest
+    FROM n
+    """,
+)
+def emb_normalize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of every embedding, emitted driver-comparably: the
+    norm plus an md5 digest of the normalized vector (elements rounded to
+    6 decimals, decimal-formatted so both engines render identical
+    strings; `+ 0` collapses IEEE negative zero). The norm is a
+    sequential-fold dot product — deterministic order, matching DuckDB's
+    list_inner_product. Pure per-row expressions: embarrassingly parallel
+    at any scale, no shuffle at all."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("vec_id", v.alias("v"), l2.alias("l2"))
+    elem_str = lambda x: (F.round(x / F.col("l2"), 6) + F.lit(0)).cast("decimal(10,6)").cast(
+        "string"
+    )  # noqa: E731
+    return base.select(
+        "vec_id",
+        F.round(F.col("l2"), 6).alias("l2_norm"),
+        F.md5(F.array_join(F.transform(F.col("v"), elem_str), ",")).alias("norm_digest"),
+    )
+
+
+@query(
+    "emb_label_affinity",
+    oracle=f"""
+    WITH f AS (
+      {_EMB_FIXED_SQL}
+    ),
+    c AS (
+      SELECT label, dim, CAST(SUM(fx) AS BIGINT) AS s
+      FROM f GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS DOUBLE) AS num,
+             CAST(SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0))) AS DOUBLE) AS da,
+             CAST(SUM(CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS DOUBLE) AS db
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(num / (sqrt(da) * sqrt(db)), 6) AS cos_sim
+    FROM pairs
+    """,
+)
+def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between every pair of label centroids — the
+    inter-class contamination / label-confusion matrix. Cosine is
+    scale-invariant, so the centroid's 1/(n·1e6) factor cancels and the
+    whole computation runs on exact integer sums (decimal-widened before
+    multiplication to avoid BIGINT overflow); only the final division is
+    floating point, identical on both engines. The self-join is on the
+    64-row-per-label long form — |labels|×|dims| rows — so the pairwise
+    stage costs nothing even with thousands of classes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = (
+        _exploded_fixed(emb)
+        .groupBy("label", "dim")
+        .agg(F.sum("fx").cast("decimal(19,0)").alias("s"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    sa, sb = F.col("a.s"), F.col("b.s")
+    pairs = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(sa * sb).cast("double").alias("num"),
+            F.sum(sa * sa).cast("double").alias("da"),
+            F.sum(sb * sb).cast("double").alias("db"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("num") / (F.sqrt(F.col("da")) * F.sqrt(F.col("db"))), 6).alias("cos_sim"),
+    )
