@@ -48,6 +48,13 @@ HEADLINE = [
     "samp_stratified_lang",
     "text_redact_pii",
     "pipe_curation_end_to_end",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_sole_late_supplier",
+    "olap_grouping_sets",
+    "stats_exact_moments",
+    "ts_date_spine_gapfill",
+    "emb_label_affinity",
 ]
 
 

@@ -1173,6 +1173,7 @@ _PRIORITY: list[str] = [
     "stream_tumbling_hourly",
     "stream_stateful_totals",
     "stream_sessionize",
+    "stream_dedup_watermark",
     "samp_hash_fraction",
     "samp_train_test_split",
     "samp_stratified_lang",

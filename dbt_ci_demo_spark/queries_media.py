@@ -198,3 +198,26 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-event + gap — the oracle mirrors both exactly with lag/cumsum."""
     stream = es.read_events_stream(spark, sf_dir)
     return _run_stream(spark, es.session_windows(stream), "q_stream_session", "complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_first_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): bounded-state keep-first semantics — state per
+    key is retained only for the watermark horizon, so the store stays
+    O(active keys) regardless of stream length. WHICH row survives per key
+    depends on arrival order, so the registered result is the
+    arrival-order-independent projection: surviving-row count per
+    event_type, which must equal the batch count(DISTINCT user_id)."""
+    stream = es.read_events_stream(spark, sf_dir)
+    dedup = es.dedup_stream(stream, keys=["user_id", "event_type"])
+    survivors = _run_stream(spark, dedup, "q_stream_dedup", "append")
+    return survivors.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_first_events")
+    )

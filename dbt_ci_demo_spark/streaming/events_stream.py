@@ -95,10 +95,14 @@ def session_windows(
     )
 
 
-def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon —
-    the bounded-state form of keep-first dedup."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+def dedup_stream(
+    events: DataFrame, watermark: str = "2 hours", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` (default event_id) within the
+    watermark horizon — the bounded-state form of keep-first dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

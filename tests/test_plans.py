@@ -25,14 +25,15 @@ from dbt_ci_demo_spark import queries as q
 #     scale path)
 #   - sim_ivf_topk: broadcast of the tiny centroid table against which
 #     Spark picks BroadcastNestedLoopJoin for the non-equi probe condition
-#   - q22: the global scalar-aggregate subquery enters as a broadcast of a
-#     1-row DataFrame (the standard Spark scalar-subquery-as-join shape)
+#   - q22 / q11: the global scalar-aggregate subquery enters as a broadcast
+#     of a 1-row DataFrame (the standard Spark scalar-subquery-as-join shape)
 _CARTESIAN_OK = {
     "events_range_join_campaigns",
     "sim_topk_bruteforce",
     "dedup_jaccard_pairs",
     "sim_ivf_topk",
     "q22_idle_rich_customers",
+    "q11_important_parts",
 }
 
 # Queries whose construction performs warehouse writes/DDL; building their
