@@ -469,13 +469,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_Q21_LATE_DAYS} DAYS"
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late"),
+    # Two-level aggregation instead of countDistinct×2 + a separate pair
+    # dedup: collapsing to (order, supplier, any_late) first means the
+    # per-order stats AND the late-pair set both derive from that small
+    # table — one Expand-free shuffle on the pair key, then a near-free
+    # second aggregate, instead of two distinct-expansions over the raw
+    # join output.
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(is_late, 1).otherwise(0)).alias("late")
     )
-    late_pairs = lo.filter(is_late).select("l_suppkey", "l_orderkey").distinct()
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
     return (
-        late_pairs.join(
+        pair.filter(F.col("late") == 1)
+        .join(
             per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
             "l_orderkey",
         )
