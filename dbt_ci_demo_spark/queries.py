@@ -1179,6 +1179,7 @@ _PRIORITY: list[str] = [
     "samp_stratified_lang",
     "text_redact_pii",
     "text_vocab_topk",
+    "text_tfidf_topterms",
     "pipe_curation_end_to_end",
     # -- previously-green variants ------------------------------------------
     "win_running_total",

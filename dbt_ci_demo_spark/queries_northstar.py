@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbt_ci_demo_spark.operators import dedup as dd
 from dbt_ci_demo_spark.operators import similarity as sim
@@ -709,3 +710,63 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+      FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (ln(N/df)
+    weighting) — the classic corpus-keyword extractor. The document
+    frequency table derives from the already-aggregated term-frequency
+    table (tf rows are unique per (doc, tok)), so the corpus is scanned
+    and tokenized exactly once; df is a tiny vocabulary-keyed aggregate
+    that re-joins broadcast-style, N is a one-row broadcast scalar, and
+    the per-document ranking window partitions on doc_id — no global
+    sort anywhere. tf and df are integers and every engine computes the
+    identical ln(N/df) doubles, rounded to 6 for hash stability."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = _t(spark, sf_dir, "documents").agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
