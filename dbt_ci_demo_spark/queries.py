@@ -1073,6 +1073,7 @@ def meta_columns_in_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the remaining query families.
 from dbt_ci_demo_spark import (  # noqa: E402,F401
+    queries_behavior,
     queries_embed,
     queries_joins,
     queries_media,
@@ -1190,6 +1191,12 @@ _PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "events_tumbling_hourly",
     "events_topk_users",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_sliding_windows",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_sliding_windows",
     "dq_unique_pass",
     "incr_merge_partial_update",
     "incr_merge_append",

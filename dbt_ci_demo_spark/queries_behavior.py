@@ -1,0 +1,165 @@
+"""User-behavior analytics over the events table: cohort retention,
+funnel conversion, and sliding event-time windows — the standard
+product-analytics shapes a warehouse engine must answer (the reference
+delegates all such SQL to BigQuery; SURVEY.md §4 — our surface must cover
+what its runtime could execute).
+
+Scale design: every query reduces events to a per-user or per-window
+aggregate with one key-partitioned shuffle; no query materializes a
+per-event×per-window cross product larger than the slide factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_ci_demo_spark.queries import _t, query
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    first AS (
+      SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           count(DISTINCT f.user_id) AS n_users,
+           count(DISTINCT CASE WHEN u.day = f.cohort_day + INTERVAL 1 DAY
+                               THEN f.user_id END) AS retained_d1,
+           count(DISTINCT CASE WHEN u.day = f.cohort_day + INTERVAL 7 DAY
+                               THEN f.user_id END) AS retained_d7
+    FROM first f JOIN ud u ON u.user_id = f.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 / day-7 cohort retention: users grouped by their first active
+    day, counted again if active exactly 1 (resp. 7) days later. events
+    collapse to distinct (user, day) first — the only shuffle over raw
+    events — then all cohort math runs on that per-user-day table
+    (≤ users × active-days rows). The self-join is user-keyed, so both
+    sides co-partition on the same exchange."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    day1 = F.col("cohort_day") + F.expr("INTERVAL 1 DAY")
+    day7 = F.col("cohort_day") + F.expr("INTERVAL 7 DAY")
+    return (
+        first.join(ev, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.when(F.col("day") == day1, F.col("user_id"))).alias(
+                "retained_d1"
+            ),
+            F.countDistinct(F.when(F.col("day") == day7, F.col("user_id"))).alias(
+                "retained_d7"
+            ),
+        )
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             max(CASE WHEN p.ts > s.signup_ts
+                       AND p.ts <= s.signup_ts + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS converted
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      GROUP BY s.user_id
+    )
+    SELECT count(*) AS n_signup_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           round(CAST(SUM(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+    FROM conv
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel with a 24-hour conversion window: first
+    signup per user, converted iff any purchase lands in (signup,
+    signup+24h]. The signup side collapses to one row per user before the
+    join; the purchase side is pre-filtered by event type at the scan
+    (pushed filter), so the user-keyed join moves only the two relevant
+    event slices. Output is the one-row funnel summary."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    in_window = (F.col("p_ts") > F.col("signup_ts")) & (
+        F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOUR")
+    )
+    conv = (
+        s.join(p, s["user_id"] == F.col("p_user"), "left_outer")
+        .groupBy(s["user_id"])
+        .agg(F.max(F.when(in_window, 1).otherwise(0)).alias("converted"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH cand AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0,
+             date_trunc('hour', ts) AS w1,
+             ts
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, value, w AS window_start
+      FROM cand, unnest([w0, w1]) AS t(w)
+      WHERE ts >= w AND ts < w + INTERVAL 2 HOUR
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2-hour window, 1-hour slide) per event
+    type — the batch twin of the streaming hopping window. Spark's
+    F.window assigns each event to its window/slide = 2 candidate windows
+    via an Expand (fan-out bounded by the slide factor, not data size),
+    then one hash aggregate; the oracle enumerates the same 2 candidate
+    window starts per event."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
