@@ -1230,6 +1230,9 @@ _PRIORITY: list[str] = [
     "olap_grouping_sets",
     "stats_exact_moments",
     "ts_date_spine_gapfill",
+    "olap_unpivot_metrics",
+    "stats_exact_percentiles",
+    "ts_moving_average",
     "set_repeat_vs_churned",
 ]
 

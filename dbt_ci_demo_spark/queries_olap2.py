@@ -171,3 +171,129 @@ def ts_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(F.broadcast(daily), "day", "left_outer")
         .select("day", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
     )
+
+
+@query(
+    "olap_unpivot_metrics",
+    oracle="""
+    WITH per_flag AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, metric_value
+    FROM per_flag
+    UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the wide per-flag metric row unpivoted to long form
+    (flag, metric, value) — the inverse of the pivot query and the shape
+    metric stores ingest. Spark's unpivot is a zero-shuffle Expand over
+    the already-aggregated rows; only the upstream aggregate moves data."""
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(30,6)")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "metric_value"
+    )
+
+
+@query(
+    "stats_exact_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p90/p99 of order value per
+    priority) via row_number + ceil(p·n) — engine-portable where built-in
+    PERCENTILE/QUANTILE aggregates differ in interpolation. One window
+    sort per priority partition; the pick-out is a conditional aggregate,
+    so nothing but the partition sort moves data. The order-key tie-break
+    makes rank assignment total, so the picked value is unique even with
+    duplicate prices."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.col("o_totalprice"))
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+@query(
+    "ts_moving_average",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+      FROM b
+    ),
+    daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    filled AS (
+      SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders
+      FROM spine s LEFT JOIN daily d ON d.day = s.day
+    )
+    SELECT day, n_orders,
+           round(CAST(SUM(n_orders) OVER (ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / least(CAST(row_number() OVER (ORDER BY day) AS BIGINT), 7), 6)
+             AS ma7
+    FROM filled
+    """,
+)
+def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order volume over the gap-filled date
+    spine (zero days included, so the average is calendar-true; the ramp-up
+    head divides by the actual window size). The ROWS window needs a total
+    order over days — fine here because the spine is one row per day
+    (thousands of rows even for decades); at that size a single-partition
+    window is the *correct* plan, and everything upstream is
+    partition-parallel."""
+    from pyspark.sql.window import Window
+
+    filled = ts_date_spine_gapfill(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wr = Window.orderBy("day")
+    return filled.select(
+        "day",
+        "n_orders",
+        F.round(
+            F.sum("n_orders").over(w).cast("double")
+            / F.least(F.row_number().over(wr).cast("bigint"), F.lit(7)),
+            6,
+        ).alias("ma7"),
+    )
