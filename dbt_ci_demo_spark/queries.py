@@ -1175,12 +1175,14 @@ _PRIORITY: list[str] = [
     "stream_stateful_totals",
     "stream_sessionize",
     "stream_dedup_watermark",
+    "stream_sliding_windows",
     "samp_hash_fraction",
     "samp_train_test_split",
     "samp_stratified_lang",
     "text_redact_pii",
     "text_vocab_topk",
     "text_tfidf_topterms",
+    "text_bigram_topk",
     "pipe_curation_end_to_end",
     # -- previously-green variants ------------------------------------------
     "win_running_total",

@@ -221,3 +221,39 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_first_events")
     )
+
+
+@query(
+    "stream_sliding_windows",
+    oracle="""
+    WITH cand AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0,
+             date_trunc('hour', ts) AS w1,
+             ts
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, value, w AS window_start
+      FROM cand, unnest([w0, w1]) AS t(w)
+      WHERE ts >= w AND ts < w + INTERVAL 2 HOUR
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows in Structured Streaming: 2-hour windows
+    every hour, run to completion in complete mode — value-identical to
+    the batch events_sliding_windows, so the hopping-window state
+    management gets a full oracle."""
+    stream = es.read_events_stream(spark, sf_dir)
+    return _run_stream(
+        spark,
+        es.tumbling_counts(stream, window="2 hours", slide="1 hour"),
+        "q_stream_sliding",
+        "complete",
+    )

@@ -770,3 +770,54 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE t[i] != '' AND t[i+1] != ''
+    )
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram language-model building block),
+    top-50 with deterministic tie-break. Bigrams come from one slice pass
+    over the token array (transform over indices — no self-join of token
+    positions); the top-k is TakeOrderedAndProject: per-partition heaps,
+    k-row driver merge, no global sort."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("a"),
+                        F.element_at(F.col("t"), i + 2).alias("b"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter((F.col("g.a") != "") & (F.col("g.b") != ""))
+        .select("doc_id", F.concat_ws(" ", F.col("g.a"), F.col("g.b")).alias("bigram"))
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )

@@ -55,13 +55,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Windowed count/sum per event_type with an event-time watermark —
-    the streaming twin of queries.events_tumbling_hourly."""
+    the streaming twin of queries.events_tumbling_hourly (pass ``slide``
+    for hopping windows: each event lands in window/slide panes, state
+    grows by the same factor, still bounded by the watermark horizon)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
