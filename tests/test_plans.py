@@ -81,6 +81,12 @@ def test_whitelist_is_tight(spark, sf_dir):
         # sampling: the keep predicate is md5-derived (not pushable), but
         # column pruning must hold — the scan must not read `text`.
         ("samp_hash_fraction", ["ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"]),
+        # q12: the ship-year range filter must reach the lineitem scan.
+        ("q12_priority_by_status", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+        # funnel: the event-type filters must reach the events scan.
+        ("events_funnel_conversion", ["PushedFilters: [IsNotNull(event_type)"]),
+        # label centroids: the scan must read only (label, embedding).
+        ("emb_label_centroids", ["ReadSchema: struct<embedding:array<float>,label:int>"]),
     ],
 )
 def test_scan_pushdown(spark, sf_dir, name, expectations):
