@@ -163,3 +163,48 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_continuous_aggregate",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (hypertable-rollup pattern): an hourly rollup
+    table maintained incrementally. The previously-materialized rollup
+    covers events up to a cutoff; a new batch arrives after it; only the
+    hours *touched by the batch* are recomputed (from all events in those
+    hours — the cutoff may split an hour) and swapped in via the
+    insert-overwrite partition-replacement operator, leaving untouched
+    hours as-is. Equivalent by construction to a full recompute — which
+    is exactly what the oracle runs. At 100 TB the rollup refresh reads
+    only the affected hour partitions (partition pruning on the hour
+    key), not the events history."""
+    from dbt_ci_demo_spark.operators import incremental as incr
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    hour = F.date_trunc("hour", F.col("ts"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(hour.alias("hour"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            )
+        )
+
+    materialized = rollup(ev.filter(F.col("ts") <= cutoff))
+    new_batch = ev.filter(F.col("ts") > cutoff)
+    affected_hours = new_batch.select(hour.alias("hour")).distinct()
+    recomputed = rollup(
+        ev.join(F.broadcast(affected_hours), hour == F.col("hour"), "left_semi")
+    )
+    return incr.insert_overwrite_partitions(materialized, recomputed, F.col("hour"))
