@@ -1197,10 +1197,6 @@ _PRIORITY: list[str] = [
     "events_funnel_conversion",
     "events_sliding_windows",
     "events_continuous_aggregate",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "events_sliding_windows",
-    "events_continuous_aggregate",
     "dq_unique_pass",
     "incr_merge_partial_update",
     "incr_merge_append",

@@ -7,10 +7,13 @@ canonical reporting-table idiom over sparse daily facts.
 Engine-portability rule for the statistics: Spark's and DuckDB's built-in
 STDDEV/CORR use different streaming algorithms, so their low-order float
 bits differ and the driver's exact hash would fail. Instead both sides
-aggregate exact decimal moments (sum x, sum x², sum xy — order-independent)
-and evaluate the *same* closed-form double expression on top, which is
-bit-identical under IEEE arithmetic. At 100 TB this is also the cheaper
-plan: one pass, no per-group sorted state.
+aggregate exact integer fixed-point moments (order-independent) and
+evaluate the *same* closed-form double expression on top — every
+double-producing step is a single correctly-rounded IEEE op, so the
+result is bit-identical. (Two non-portable traps found empirically:
+casting a scale>0 decimal to double, and fusing sqrt(dx*dy) — see
+stats_exact_moments.) At 100 TB this is also the cheaper plan: one pass,
+no per-group sorted state.
 """
 
 from __future__ import annotations
@@ -70,24 +73,25 @@ def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
-             CAST(l_quantity AS DECIMAL(12,2)) AS xd,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+             CAST(round(l_quantity * 100) AS BIGINT) AS xi,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
       FROM lineitem
     ),
     m AS (
       SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(SUM(xd) AS DOUBLE) AS sx,
-             CAST(SUM(yd) AS DOUBLE) AS sy,
-             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
-             CAST(SUM(yd * yd) AS DOUBLE) AS syy,
-             CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
       FROM q GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-           (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+           (sxx - sx * sx / n) / (n - 1) / 10000.0 AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) / 100.0 AS stddev_qty,
+           (sxy - sx * sy / n) / sqrt(sxx - sx * sx / n) / sqrt(syy - sy * sy / n)
+             AS corr_qty_price
     FROM m
     """,
 )
@@ -98,31 +102,36 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable). One pass over lineitem, six codegen'd decimal sums;
     the closed forms run on the handful of group rows."""
     l = _t(spark, sf_dir, "lineitem")
-    # Quantize to decimal BEFORE multiplying: products of decimals are
-    # exact in both engines, whereas rounding a double product to a
-    # decimal hits engine-specific double→decimal conversion in the low
-    # digits (observed on sum(price²) at sf0.01). The source values carry
-    # at most 2 decimal places, so DECIMAL(p,2) is lossless.
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    m = l.groupBy("l_returnflag").agg(
+    # Integer fixed-point moments (cents): the values are quantized with
+    # round(v*100) BEFORE any aggregation, every moment is an exact
+    # integer (decimal(38,0) sums), and the only decimal→double casts
+    # convert exact integers — a single correctly-rounded conversion in
+    # both engines. Casting a scale>0 decimal to double is NOT portable
+    # (DuckDB lands 1 ulp off the correctly-rounded value at ~17
+    # significant digits — observed on sum(price²)); neither is
+    # sqrt(dx*dy) as a fused denominator (divide by each sqrt instead).
+    # Correlation is invariant under the 100× linear scaling; variance
+    # and stddev are de-scaled by single final ops.
+    xi = F.round(F.col("l_quantity") * 100).cast("bigint")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = l.select("l_returnflag", xi.alias("xi"), yi.alias("yi")).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(dec(F.col("xi"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("yi"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("xi") * F.col("xi"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("yi") * F.col("yi"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("xi") * F.col("yi"))).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    var_qty = (sxx - sx * sx / n) / (n - 1)
+    var_i = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / F.sqrt(sxx - sx * sx / n) / F.sqrt(syy - sy * sy / n)
     return m.select(
         "l_returnflag",
-        var_qty.alias("var_qty"),
-        F.sqrt(var_qty).alias("stddev_qty"),
-        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
-            "corr_qty_price"
-        ),
+        (var_i / F.lit(10000.0)).alias("var_qty"),
+        (F.sqrt(var_i) / F.lit(100.0)).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
     )
 
 

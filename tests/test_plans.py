@@ -34,6 +34,7 @@ _CARTESIAN_OK = {
     "sim_ivf_topk",
     "q22_idle_rich_customers",
     "q11_important_parts",
+    "text_tfidf_topterms",
 }
 
 # Queries whose construction performs warehouse writes/DDL; building their
