@@ -88,6 +88,14 @@ def exact_sum(col: Column | str) -> Column:
     partition order — unacceptable both for reproducibility at 1000
     executors and for oracle hash-comparison. Decimal accumulation costs one
     cast per row and keeps the aggregate inside whole-stage codegen.
+
+    Portability bound: the final decimal(30,6)→double cast is singly
+    rounded in Spark (BigDecimal) but doubly rounded in DuckDB
+    (int/10^scale in double arithmetic), so cross-engine bit-parity is
+    guaranteed only while |sum|·10^6 < 2^53, i.e. |sum| ≲ 9e9 — ample at
+    the sf0.01 oracle gate. For aggregates that exceed it (e.g. sums of
+    squared prices), quantize to integer fixed-point BEFORE summing the
+    way queries_olap2.stats_exact_moments / queries_embed do.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(_EXACT_DECIMAL)).cast("double")
