@@ -1197,6 +1197,8 @@ _PRIORITY: list[str] = [
     "events_funnel_conversion",
     "events_sliding_windows",
     "events_continuous_aggregate",
+    "events_json_struct",
+    "events_top_transitions",
     "dq_unique_pass",
     "incr_merge_partial_update",
     "incr_merge_append",

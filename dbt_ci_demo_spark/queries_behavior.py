@@ -208,3 +208,75 @@ def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(affected_hours), hour == F.col("hour"), "left_semi")
     )
     return incr.insert_overwrite_partitions(materialized, recomputed, F.col("hour"))
+
+
+@query(
+    "events_json_struct",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (k IS NOT NULL) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON parsing with from_json into a typed struct
+    (the production path for semi-structured columns — one parse per row
+    into Tungsten format, versus get_json_object re-parsing per field).
+    Aggregates over the extracted field prove the typed access."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even_k"),
+    )
+
+
+@query(
+    "events_top_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n DESC, event_type, next_type
+    LIMIT 10
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (the first-order Markov / user-journey
+    primitive): each user's time-ordered stream yields (current, next)
+    pairs via one lead() window — user-partitioned, so the sort is
+    per-user and parallel — then a tiny (5×5-domain) aggregate and a
+    TakeOrderedAndProject top-k. event_id breaks timestamp ties so the
+    sequence, and therefore the counts, are total-order deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"), F.asc("next_type"))
+        .limit(10)
+    )
