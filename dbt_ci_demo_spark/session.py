@@ -70,6 +70,12 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is None:
         builder = builder.master(master or default_master())
+        # Local mode runs driver+executors in one JVM; the 1g default heap
+        # causes constant GC under the hash/shuffle-heavy operators. Only
+        # effective at JVM launch, so set it only when creating the session.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
