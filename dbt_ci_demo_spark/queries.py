@@ -1235,6 +1235,8 @@ _PRIORITY: list[str] = [
     "olap_unpivot_metrics",
     "stats_exact_percentiles",
     "ts_moving_average",
+    "olap_price_histogram",
+    "win_percent_rank_cume",
     "set_repeat_vs_churned",
 ]
 

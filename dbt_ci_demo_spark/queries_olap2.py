@@ -306,3 +306,72 @@ def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ma7"),
     )
+
+
+@query(
+    "olap_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 400000 THEN 9
+                  ELSE CAST(1 + floor((o_totalprice - 0) / 50000) AS INTEGER) END AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM b GROUP BY bucket
+    """,
+)
+def olap_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values via the range_bucket helper
+    (the Spark twin of BigQuery's RANGE_BUCKET(x, GENERATE_ARRAY(0,
+    400000, 50000)) — partition_by @13262's integer-range partitioning
+    idiom, SURVEY §2.B.6). Pure scan-side arithmetic + a 10-group
+    aggregate: the cheapest possible shape at any scale."""
+    from dbt_ci_demo_spark.functions.bq_compat import range_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(range_bucket("o_totalprice", 0, 400000, 50000).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey,
+           round(CAST(s_acctbal AS DOUBLE), 2) AS acctbal,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pr,
+           round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cd,
+           CAST(ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS INTEGER) AS quartile
+    FROM supplier
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over supplier balances — the
+    relative-standing window family (suppliers is dimension-sized, so the
+    single-partition window is appropriate; for fact-sized inputs
+    partition the window or use the exact-percentile pattern in
+    stats_exact_percentiles). The suppkey tie-break makes rank positions
+    total, so both rank functions are engine-deterministic; outputs are
+    rounded at 6 for division portability."""
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
