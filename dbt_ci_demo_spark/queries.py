@@ -1160,6 +1160,7 @@ _PRIORITY: list[str] = [
     "emb_label_centroids",
     "emb_normalize_digest",
     "emb_label_affinity",
+    "emb_kmeans_step",
     "mm_image_metadata",
     "mm_frame_sample",
     "text_stats",

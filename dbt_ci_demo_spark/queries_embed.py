@@ -175,3 +175,100 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("num") / (F.sqrt(F.col("da")) * F.sqrt(F.col("db"))), 6).alias("cos_sim"),
     )
+
+
+_KM_K = 8  # seed centroids = vectors vec_id < _KM_K (fixed seeds: reproducible)
+
+
+@query(
+    "emb_kmeans_step",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM base WHERE vec_id < {_KM_K}
+    ),
+    scored AS (
+      SELECT b.vec_id, s.seed_id,
+             list_inner_product(b.q, b.q) - 2 * list_inner_product(b.q, s.sq)
+               + list_inner_product(s.sq, s.sq) AS dist
+      FROM base b CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, seed_id AS cluster_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, seed_id) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    membership AS (
+      SELECT a.cluster_id, b.vec_id, b.q
+      FROM assigned a JOIN base b ON b.vec_id = a.vec_id
+    ),
+    longform AS (
+      SELECT cluster_id,
+             generate_subscripts(q, 1) - 1 AS dim,
+             unnest(q) AS fx
+      FROM membership
+    )
+    SELECT cluster_id, dim,
+           round(CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS centroid,
+           count(*) AS n_members
+    FROM longform GROUP BY cluster_id, dim
+    """,
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus (assign to
+    nearest of {8} fixed seed vectors, recompute centroids) — the training
+    step behind IVF coarse quantizers. Distances run on the fixed-point
+    integer vectors: ‖a‖² − 2a·b + ‖b‖² of integer components ≤ 2^53 is
+    an exact integer-valued double, so the argmin (dist, seed_id) is
+    fully deterministic across engines and partitionings. The seed table
+    broadcasts (k rows); assignment is one scan fan-out of k, and the
+    centroid update is the same map-side-combined (cluster, dim)
+    aggregate as emb_label_centroids. Iterating = re-running with the
+    output as the new seeds; each step is one shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(_FX)).cast("long"),
+    )
+    base = emb.select("vec_id", quant.alias("q"))
+    seeds = base.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("q").alias("sq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = base.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    membership = assigned.join(base, "vec_id")
+    longform = membership.select(
+        "cluster_id", F.posexplode(F.col("q")).alias("dim", "fx")
+    ).select("cluster_id", F.col("dim").cast("bigint").alias("dim"), "fx")
+    return longform.groupBy("cluster_id", "dim").agg(
+        F.round(
+            F.sum("fx").cast("double") / F.count(F.lit(1)) / F.lit(_FX), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
