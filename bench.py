@@ -48,6 +48,7 @@ HEADLINE = [
     "samp_stratified_lang",
     "text_redact_pii",
     "pipe_curation_end_to_end",
+    "pipe_embedding_end_to_end",
     "q9_product_profit",
     "q13_order_count_distribution",
     "q21_sole_late_supplier",

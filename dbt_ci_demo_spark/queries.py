@@ -1185,6 +1185,7 @@ _PRIORITY: list[str] = [
     "text_tfidf_topterms",
     "text_bigram_topk",
     "pipe_curation_end_to_end",
+    "pipe_embedding_end_to_end",
     # -- previously-green variants ------------------------------------------
     "win_running_total",
     "win_rank_orders",

@@ -272,3 +272,76 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@query(
+    "pipe_embedding_end_to_end",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             md5(array_to_string(
+               list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)),
+               ',')) AS vec_digest
+      FROM embeddings
+    ),
+    deduped AS (
+      SELECT b.* FROM base b
+      JOIN (SELECT vec_digest, min(vec_id) AS keep_id FROM base GROUP BY vec_digest) k
+        ON k.vec_digest = b.vec_digest AND k.keep_id = b.vec_id
+    ),
+    normed AS (
+      SELECT vec_id, label,
+             CAST(round(sqrt(list_inner_product(v, v)) * 1000000.0) AS BIGINT) AS l2_fx,
+             CASE WHEN ('0x' || substr(md5('embsplit|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 < 100000
+                  THEN 'test' ELSE 'train' END AS split
+      FROM deduped
+    )
+    SELECT label, split,
+           count(*) AS n_vecs,
+           round(CAST(CAST(SUM(l2_fx) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_l2_norm
+    FROM normed GROUP BY label, split
+    """,
+)
+def pipe_embedding_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding curation pipeline in one plan: exact
+    vector-level dedup (fixed-point digest, keep min id) → L2 norms →
+    leakage-safe 10% hash test split → per-(label, split) corpus summary
+    with an exact fixed-point mean norm. Composes the dedup, vector,
+    and sampling operator families the way a training-data job would;
+    every decision (digest, survivor, split, norm) is bit-portable, so
+    the whole pipeline is oracle-checked end to end. One scan of
+    embeddings, one digest groupBy, one final small aggregate — the
+    norm/split are scan-side expressions."""
+    from dbt_ci_demo_spark.operators import sampling as sp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    quant_str = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(_FX)).cast("long").cast("string"),
+    )
+    base = emb.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.md5(F.array_join(quant_str, ",")).alias("vec_digest"),
+    )
+    keep = base.groupBy("vec_digest").agg(F.min("vec_id").alias("keep_id"))
+    deduped = base.join(
+        keep,
+        (base["vec_digest"] == keep["vec_digest"]) & (base["vec_id"] == keep["keep_id"]),
+    ).select(base["vec_id"], "label", "v")
+    l2 = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    normed = deduped.select(
+        "vec_id",
+        "label",
+        F.round(l2 * F.lit(_FX)).cast("long").alias("l2_fx"),
+    )
+    split = sp.train_val_test_split(normed, "vec_id", test_fraction=0.1, seed="embsplit")
+    return split.groupBy("label", "split").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("l2_fx").cast("double") / F.count(F.lit(1)) / F.lit(_FX), 6
+        ).alias("mean_l2_norm"),
+    )
