@@ -25,8 +25,10 @@ from dbt_ci_demo_spark import queries as q
 #     scale path)
 #   - sim_ivf_topk: broadcast of the tiny centroid table against which
 #     Spark picks BroadcastNestedLoopJoin for the non-equi probe condition
-#   - q22 / q11: the global scalar-aggregate subquery enters as a broadcast
-#     of a 1-row DataFrame (the standard Spark scalar-subquery-as-join shape)
+#   - q22 / q11 / text_tfidf: a global scalar aggregate enters as a
+#     broadcast of a 1-row DataFrame (the standard scalar-subquery shape)
+#   - emb_kmeans_step: every vector scores against all k broadcast seed
+#     centroids — a deliberate bounded fan-out of k, not a data-sized product
 _CARTESIAN_OK = {
     "events_range_join_campaigns",
     "sim_topk_bruteforce",
@@ -35,6 +37,7 @@ _CARTESIAN_OK = {
     "q22_idle_rich_customers",
     "q11_important_parts",
     "text_tfidf_topterms",
+    "emb_kmeans_step",
 }
 
 # Queries whose construction performs warehouse writes/DDL; building their
