@@ -1090,19 +1090,19 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded prefix of it per round (round 1 stopped at 50 of
 # 78), so the order below is the coverage budget: every SURVEY §2 operator
-# first, then the queries that were red last round, then one query per
-# LLM-pipeline operator family, then variants and TPC-H/OLAP breadth.
+# first (entries 0-41, incl. the round-1 red fixes), then at 42-49 ONE
+# representative per remaining operator family (dedup, similarity, text,
+# streaming, as-of, sampling, embeddings, behavior) so a 50-query prefix
+# covers every family, then variants and TPC-H/OLAP breadth.
 # Names not listed keep their insertion order after the listed ones, so a
 # new query is never silently dropped — it lands in the breadth tail until
 # it is slotted here (tests/test_oracle_correctness.py pins list == registry).
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- §2.A flagship (A1-A7) --------------------------------------------
     "flagship_repo_languages",
     "flagship_sql_lateral",
     "test_model_literal",
-    # -- §2.B writer / orchestration (B1-B7, B13, B28, B30-B38) -----------
     "wr_ctas_roundtrip",
     "wr_bucketed_join",
     "wr_view_roundtrip",
@@ -1117,68 +1117,62 @@ _PRIORITY: list[str] = [
     "wr_hooks_audit",
     "wr_state_cycle",
     "wr_defer",
-    # -- §2.B incremental strategies (B8-B13) ------------------------------
     "incr_merge_upsert",
     "incr_delete_insert",
     "incr_insert_overwrite_dynamic",
     "incr_watermark",
     "incr_schema_evolution",
-    # -- §2.B snapshots / SCD2 (B14-B20) -----------------------------------
     "snap_first_build",
     "snap_changeset_timestamp",
     "snap_cycle_timestamp",
     "snap_check_strategy",
-    # -- §2.B data-quality tests + freshness (B21-B25, B29) ----------------
     "dq_unique_violations",
     "dq_not_null_violations",
     "dq_accepted_values",
     "dq_relationships",
     "dq_test_harness",
     "dq_freshness_age",
-    # -- §2.B seeds + metadata (B3, B26, B27) ------------------------------
     "seed_csv_typed",
     "meta_catalog_fixture",
     "meta_columns_in_query",
-    # -- §2.B.6 scalar idioms ----------------------------------------------
     "fx_scalar_idioms",
     "fx_array_agg_ordered",
-    # -- red in CORRECTNESS_r01, fixed since --------------------------------
     "events_sessionize",
     "events_json_props",
     "mm_features",
     "flagship_distinct_preagg",
     "sim_ivf_topk",
-    # -- one query per LLM-pipeline operator family -------------------------
-    "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "sim_lsh_ann",
+    "text_stats",
+    "stream_tumbling_hourly",
+    "events_asof_attribution",
+    "samp_train_test_split",
+    "emb_label_centroids",
+    "events_retention_cohorts",
+    "dedup_exact_groups",
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_cluster_components",
     "sim_topk_bruteforce",
-    "sim_lsh_ann",
     "sim_embedding_neardup",
-    "emb_label_centroids",
     "emb_normalize_digest",
     "emb_label_affinity",
     "emb_kmeans_step",
     "mm_image_metadata",
     "mm_frame_sample",
-    "text_stats",
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
     "text_winnowing",
-    "events_asof_attribution",
     "events_range_join_campaigns",
     "events_salted_user_join",
     "events_salted_distinct",
-    "stream_tumbling_hourly",
     "stream_stateful_totals",
     "stream_sessionize",
     "stream_dedup_watermark",
     "stream_sliding_windows",
     "samp_hash_fraction",
-    "samp_train_test_split",
     "samp_stratified_lang",
     "text_redact_pii",
     "text_vocab_topk",
@@ -1186,7 +1180,6 @@ _PRIORITY: list[str] = [
     "text_bigram_topk",
     "pipe_curation_end_to_end",
     "pipe_embedding_end_to_end",
-    # -- previously-green variants ------------------------------------------
     "win_running_total",
     "win_rank_orders",
     "win_lead_lag_gaps",
@@ -1195,7 +1188,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "events_tumbling_hourly",
     "events_topk_users",
-    "events_retention_cohorts",
     "events_funnel_conversion",
     "events_sliding_windows",
     "events_continuous_aggregate",
@@ -1205,7 +1197,6 @@ _PRIORITY: list[str] = [
     "incr_merge_partial_update",
     "incr_merge_append",
     "events_asof_tolerance",
-    # -- TPC-H / OLAP breadth ----------------------------------------------
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
