@@ -1230,6 +1230,8 @@ _PRIORITY: list[str] = [
     "ts_moving_average",
     "olap_price_histogram",
     "win_percent_rank_cume",
+    "join_full_outer_reconcile",
+    "win_first_last_value",
     "set_repeat_vs_churned",
 ]
 

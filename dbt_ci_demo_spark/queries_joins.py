@@ -162,3 +162,73 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_event_id"], tolerance_seconds=3600,
     )
     return out.select("event_id", "user_id", "click_event_id")
+
+
+@query(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           a.o_orderkey IS NOT NULL AS in_open,
+           b.o_orderkey IS NOT NULL AS in_large,
+           round(COALESCE(a.o_totalprice, b.o_totalprice), 2) AS totalprice
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the snapshot-diff shape (rows only in
+    A, only in B, or both, with COALESCE'd keys and presence flags) used
+    to audit two versions of a table. One co-partitioned shuffle on the
+    join key; presence flags come free from the null sides."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    return a.join(b, a["a_key"] == b["b_key"], "full_outer").select(
+        F.coalesce(F.col("a_key"), F.col("b_key")).alias("o_orderkey"),
+        F.col("a_key").isNotNull().alias("in_open"),
+        F.col("b_key").isNotNull().alias("in_large"),
+        F.round(F.coalesce(F.col("a_price"), F.col("b_price")), 2).alias("totalprice"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_orderpriority,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full partition frame (earliest and
+    latest order value per priority) — the boundary-picking window pair;
+    the orderkey tie-break pins which row is 'first'/'last' when dates
+    collide, keeping the result engine-deterministic. DISTINCT collapses
+    the per-row window output to one row per priority."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
