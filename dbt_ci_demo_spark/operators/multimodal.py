@@ -162,3 +162,72 @@ def frame_sample_plan(
     ).select(
         id_col, "frame_idx", (F.col("offset_block") * every_n_bytes).alias("byte_offset")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_hash", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    max_width: int = 128,
+    max_height: int = 128,
+) -> DataFrame:
+    """Resize stage as Arrow-batched mapInPandas: decode dimensions
+    (stub), compute the aspect-preserving downscale to fit
+    (max_width, max_height) — never upscale — and emit the resized
+    payload's content hash (STUB: the real resampler is PIL
+    Image.resize; the fake derives the output deterministically from
+    (content_hash, out dims), so the full pipeline stays
+    oracle-checkable). Scale math is plain IEEE doubles, identical in
+    any engine. Per-row work with no shuffle: at 100 TB this
+    parallelizes per Arrow batch exactly like the decode stage."""
+    import math
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": [],
+                "height": [],
+                "out_width": [],
+                "out_height": [],
+                "resized_hash": [],
+            }
+            for payload, chash in zip(pdf["bytes"], pdf["content_hash"]):
+                w, h, _fmt = _decode_image_stub(payload)
+                scale = min(1.0, max_width / w, max_height / h)
+                ow, oh = int(math.floor(w * scale)), int(math.floor(h * scale))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized_hash"].append(
+                    hashlib.md5(f"{chash}|{ow}|{oh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "out_width": pd.Series(rows["out_width"], dtype="int32"),
+                    "out_height": pd.Series(rows["out_height"], dtype="int32"),
+                    "resized_hash": rows["resized_hash"],
+                }
+            )
+
+    flat = media_df.select(
+        F.col(id_col),
+        F.col("media.bytes").alias("bytes"),
+        F.col("media.content_hash").alias("content_hash"),
+    )
+    return flat.mapInPandas(resize, RESIZE_SCHEMA)

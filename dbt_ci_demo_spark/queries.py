@@ -1161,6 +1161,7 @@ _PRIORITY: list[str] = [
     "emb_kmeans_step",
     "mm_image_metadata",
     "mm_frame_sample",
+    "mm_resize",
     "text_langid",
     "text_token_counts",
     "text_fingerprint",

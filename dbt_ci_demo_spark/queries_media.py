@@ -257,3 +257,38 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_stream_sliding",
         "complete",
     )
+
+
+def _mm_resize_oracle() -> str:
+    w = f"64 + ({_oracle_md5_byte('text', 0)} % 192)"
+    h = f"64 + ({_oracle_md5_byte('text', 1)} % 192)"
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, {w} AS width, {h} AS height, md5(text) AS chash
+      FROM documents WHERE {_DOCS_NONEMPTY}
+    ),
+    scaled AS (
+      SELECT *, least(1.0, 128.0 / width, 128.0 / height) AS scale FROM dims
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(floor(width * scale) AS INTEGER) AS out_width,
+           CAST(floor(height * scale) AS INTEGER) AS out_height,
+           md5(chash || '|' || CAST(CAST(floor(width * scale) AS INTEGER) AS VARCHAR)
+                     || '|' || CAST(CAST(floor(height * scale) AS INTEGER) AS VARCHAR))
+             AS resized_hash
+    FROM scaled
+    """
+
+
+@query("mm_resize", oracle=_mm_resize_oracle())
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage end-to-end: media struct → Arrow-batched mapInPandas
+    aspect-preserving downscale to fit 128×128 (never upscale) with a
+    deterministic resized-payload hash — the oracle replays the stub's
+    dimension derivation, IEEE scale math, and hash chain, pinning the
+    whole resize pipeline including batch handling."""
+    docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
+    media = mm.synthesize_media_from_text(docs, "text", "doc_id")
+    return mm.resize_images(media, max_width=128, max_height=128)
