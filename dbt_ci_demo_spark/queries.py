@@ -1173,6 +1173,7 @@ _PRIORITY: list[str] = [
     "stream_sessionize",
     "stream_dedup_watermark",
     "stream_sliding_windows",
+    "stream_foreachbatch_merge",
     "samp_hash_fraction",
     "samp_stratified_lang",
     "text_redact_pii",

