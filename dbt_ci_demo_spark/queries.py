@@ -1133,6 +1133,7 @@ _PRIORITY: list[str] = [
     "dq_test_harness",
     "dq_freshness_age",
     "seed_csv_typed",
+    "src_json_roundtrip",
     "meta_catalog_fixture",
     "meta_columns_in_query",
     "fx_scalar_idioms",

@@ -624,3 +624,45 @@ def wr_defer(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert results["mart_segment_sales"].status == "success", results
     assert not pr.warehouse.exists("stg_orders"), "deferral must not build parents"
     return pr.warehouse.read("mart_segment_sales")
+
+
+# ---------------------------------------------------------------------------
+# Source-format round-trips: JSON lines and CSV beyond the seed loader.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source format: write an events slice as newline-delimited
+    JSON, read it back with an explicit schema (never schema inference in
+    production — one pass, stable types), and return it. Timestamps
+    round-trip through ISO-8601 at microsecond precision; the double
+    `value` is compared in exact cents because JSON's shortest-repr float
+    text round-trips the double exactly, and the cents projection makes
+    that contract explicit. At scale: JSON reads split by line, so the
+    format parallelizes like parquet minus the columnar pruning — the
+    documented tradeoff for interchange data."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = os.path.join(_wh_root(), "events_json")
+    # Default JSON timestampFormat truncates to milliseconds; pin the
+    # microsecond pattern on both sides so event times round-trip exactly.
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampNTZFormat", fmt).json(path)
+    schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE"
+    back = spark.read.schema(schema).option("timestampNTZFormat", fmt).json(path)
+    return back.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
