@@ -205,8 +205,13 @@ def resize_images(
             }
             for payload, chash in zip(pdf["bytes"], pdf["content_hash"]):
                 w, h, _fmt = _decode_image_stub(payload)
+                if w <= 0 or h <= 0:
+                    raise ValueError(f"decoder reported non-positive dims {w}x{h}")
                 scale = min(1.0, max_width / w, max_height / h)
-                ow, oh = int(math.floor(w * scale)), int(math.floor(h * scale))
+                # clamp: extreme aspect ratios (e.g. 1 x 10_000) would
+                # otherwise floor a dimension to 0
+                ow = max(1, int(math.floor(w * scale)))
+                oh = max(1, int(math.floor(h * scale)))
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["out_width"].append(ow)

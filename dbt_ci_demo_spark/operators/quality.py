@@ -91,6 +91,35 @@ class TestResult:
     should_error: bool
 
 
+def test_harness_frame(
+    violations: DataFrame,
+    fail_calc: str = "count(*)",
+    warn_if: str = "!= 0",
+    error_if: str = "!= 0",
+    limit: int | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """The reference's one-row test-harness frame, built lazily.
+
+    Reference: default__get_test_sql (manifest.json:1@56739) —
+    ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
+    {fail_calc} {error_if} as should_error from (main_sql limit {limit})``;
+    optional ``where`` config pre-filters the model through a subquery
+    (default__get_where_subquery, @146116). Lazy so callers can union many
+    harness rows (one per test) into a single job — the suite pattern.
+    """
+    v = violations
+    if where:
+        v = v.filter(where)
+    if limit is not None:
+        v = v.limit(limit)
+    return v.agg(F.expr(f"{fail_calc}").cast("long").alias("failures")).select(
+        "failures",
+        F.expr(f"failures {warn_if}").alias("should_warn"),
+        F.expr(f"failures {error_if}").alias("should_error"),
+    )
+
+
 def run_test_harness(
     violations: DataFrame,
     fail_calc: str = "count(*)",
@@ -99,28 +128,10 @@ def run_test_harness(
     limit: int | None = None,
     where: str | None = None,
 ) -> tuple[DataFrame, TestResult]:
-    """Wrap a violations DataFrame with the reference's test harness.
-
-    Reference: default__get_test_sql (manifest.json:1@56739) —
-    ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
-    {fail_calc} {error_if} as should_error from (main_sql limit {limit})``;
-    optional ``where`` config pre-filters the model through a subquery
-    (default__get_where_subquery, @146116).
-
-    Returns the one-row harness DataFrame plus an eagerly-evaluated
+    """:func:`test_harness_frame` plus the eagerly-evaluated
     :class:`TestResult` (the reference fetches the row to compare against
-    thresholds; we do the same with a single collect of one row).
-    """
-    v = violations
-    if where:
-        v = v.filter(where)
-    if limit is not None:
-        v = v.limit(limit)
-    harness = v.agg(F.expr(f"{fail_calc}").cast("long").alias("failures")).select(
-        "failures",
-        F.expr(f"failures {warn_if}").alias("should_warn"),
-        F.expr(f"failures {error_if}").alias("should_error"),
-    )
+    thresholds; we do the same with a single collect of one row)."""
+    harness = test_harness_frame(violations, fail_calc, warn_if, error_if, limit, where)
     row = harness.first()
     return harness, TestResult(
         failures=row["failures"] or 0,

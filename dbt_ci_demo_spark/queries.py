@@ -249,6 +249,101 @@ def dq_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_suite_all_tests",
+    oracle="""
+    WITH uq AS (
+      SELECT count(*) AS failures FROM (
+        SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+        GROUP BY l_orderkey HAVING count(*) > 1) v),
+    nn AS (SELECT count(*) AS failures FROM documents WHERE text IS NULL),
+    av AS (
+      SELECT count(*) AS failures FROM (
+        SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+        HAVING o_orderstatus NOT IN ('O', 'F')) v),
+    rel AS (
+      SELECT count(*) AS failures FROM (
+        SELECT l.l_partkey FROM lineitem l
+        LEFT JOIN (SELECT p_partkey FROM part WHERE p_size <= 25) p
+          ON l.l_partkey = p.p_partkey
+        WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL) v),
+    fr AS (
+      SELECT CAST(floor((epoch_us(TIMESTAMP '2024-07-01 00:00:00')
+                         - epoch_us(max(ts))) / 1000000.0) AS BIGINT) AS failures
+      FROM events)
+    SELECT 'unique' AS check_name, failures,
+           failures != 0 AS should_warn, failures > 100 AS should_error FROM uq
+    UNION ALL SELECT 'not_null', failures, failures != 0, failures != 0 FROM nn
+    UNION ALL SELECT 'accepted_values', failures, failures != 0, failures != 0 FROM av
+    UNION ALL SELECT 'relationships', failures, failures != 0, failures != 0 FROM rel
+    UNION ALL SELECT 'freshness', failures, failures > 86400, failures > 2592000 FROM fr
+    """,
+)
+def dq_suite_all_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full data-quality suite in one result frame: every generic test
+    (unique B21, not_null B22, accepted_values B23, relationships B24) run
+    through the fail_calc/warn_if/error_if harness (B25,
+    default__get_test_sql @56739), plus the freshness probe (B29) with its
+    warn_after/error_after thresholds evaluated on the floored age — one
+    (check_name, failures, should_warn, should_error) row per check, the
+    shape of a `dbt test` run summary.
+
+    Scale: each branch is an independent single-shuffle aggregate (or a
+    broadcast anti-join) producing one row; the union concatenates 1-row
+    outputs, so the suite costs exactly the sum of its tests — no
+    cross-test shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    harness_rows = [
+        (
+            "unique",
+            dq.test_harness_frame(
+                dq.test_unique(li, "l_orderkey"), warn_if="!= 0", error_if="> 100"
+            ),
+        ),
+        (
+            "not_null",
+            dq.test_harness_frame(dq.test_not_null(_t(spark, sf_dir, "documents"), "text")),
+        ),
+        (
+            "accepted_values",
+            dq.test_harness_frame(
+                dq.test_accepted_values(_t(spark, sf_dir, "orders"), "o_orderstatus", ["O", "F"])
+            ),
+        ),
+        (
+            "relationships",
+            dq.test_harness_frame(
+                dq.test_relationships(
+                    li, "l_partkey",
+                    _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25), "p_partkey",
+                )
+            ),
+        ),
+    ]
+    suite = None
+    for check_name, frame in harness_rows:
+        labeled = frame.select(
+            F.lit(check_name).alias("check_name"),
+            "failures", "should_warn", "should_error",
+        )
+        suite = labeled if suite is None else suite.unionByName(labeled)
+    # Freshness thresholds compare the *floored* age in both engines so the
+    # boolean can never straddle the floor() boundary.
+    fresh = (
+        dq.freshness_age_seconds(
+            _t(spark, sf_dir, "events"), "ts", F.lit("2024-07-01 00:00:00")
+        )
+        .select(F.floor("age_seconds").cast("long").alias("failures"))
+        .select(
+            F.lit("freshness").alias("check_name"),
+            "failures",
+            (F.col("failures") > 86400).alias("should_warn"),
+            (F.col("failures") > 2592000).alias("should_error"),
+        )
+    )
+    return suite.unionByName(fresh)
+
+
 # ---------------------------------------------------------------------------
 # Incremental family (SURVEY §2.B.2). Target/source derived deterministically
 # from orders / lineitem / events so both engines see identical fixtures.
@@ -1088,55 +1183,83 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
-# driver verifies a bounded prefix of it per round (round 1 stopped at 50 of
-# 78), so the order below is the coverage budget: every SURVEY §2 operator
-# first (entries 0-41, incl. the round-1 red fixes), then at 42-49 ONE
-# representative per remaining operator family (dedup, similarity, text,
-# streaming, as-of, sampling, embeddings, behavior) so a 50-query prefix
-# covers every family, then variants and TPC-H/OLAP breadth.
+# driver verifies a bounded 50-slot prefix per round, so the order below is
+# the coverage budget. ROUND-3 ROTATION (VERDICT r02 task 1): slots 1-30 are
+# a compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
+# representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
+# 31-50 promote twenty queries that had only local-mirror evidence through
+# round 2 (dedup/simhash/cluster, k-means, multimodal, winnowing, salted
+# skew, streaming, TPC-H q1/q3/q21, grouping sets, window ranks) to their
+# first driver CORRECTNESS rows. Queries rotated OUT of the window (e.g.
+# dq_unique_violations, dedup_minhash_lsh, stream_tumbling_hourly) carry
+# driver-green evidence in CORRECTNESS_r01/r02.json and stay in the tail.
 # Names not listed keep their insertion order after the listed ones, so a
 # new query is never silently dropped — it lands in the breadth tail until
 # it is slotted here (tests/test_oracle_correctness.py pins list == registry).
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
+    # -- slots 1-30: SURVEY §2 coverage (A1-A7, B1-B38, scalar idioms) --
     "flagship_repo_languages",
     "flagship_sql_lateral",
     "test_model_literal",
     "wr_ctas_roundtrip",
-    "wr_bucketed_join",
     "wr_view_roundtrip",
+    "seed_csv_typed",
     "wr_copy_concat",
     "wr_date_sharded",
     "wr_ddl_suite",
     "wr_incremental_dispatch",
-    "wr_list_relations",
-    "wr_partitions_metadata",
-    "wr_dag_topo_run",
-    "wr_compile_schemas",
-    "wr_hooks_audit",
-    "wr_state_cycle",
-    "wr_defer",
     "incr_merge_upsert",
-    "incr_delete_insert",
     "incr_insert_overwrite_dynamic",
+    "incr_delete_insert",
     "incr_watermark",
     "incr_schema_evolution",
+    "snap_cycle_timestamp",
     "snap_first_build",
     "snap_changeset_timestamp",
-    "snap_cycle_timestamp",
     "snap_check_strategy",
+    "dq_suite_all_tests",
+    "meta_catalog_fixture",
+    "meta_columns_in_query",
+    "wr_list_relations",
+    "wr_partitions_metadata",
+    "wr_hooks_audit",
+    "wr_dag_topo_run",
+    "wr_state_cycle",
+    "wr_defer",
+    "wr_compile_schemas",
+    "fx_scalar_idioms",
+    # -- slots 31-50: first-time driver checks (local-green through r02) --
+    "dedup_simhash",
+    "dedup_exact_groups",
+    "dedup_cluster_components",
+    "sim_embedding_neardup",
+    "emb_kmeans_step",
+    "emb_kmeans_converged",
+    "mm_image_metadata",
+    "mm_resize",
+    "text_winnowing",
+    "text_langid",
+    "events_salted_user_join",
+    "events_salted_distinct",
+    "stream_sessionize",
+    "stream_foreachbatch_merge",
+    "stream_stateful_totals",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q21_sole_late_supplier",
+    "olap_grouping_sets",
+    "win_percent_rank_cume",
+    # -- tail: driver-green in r01/r02 (rotated out of the window) --
+    "wr_bucketed_join",
     "dq_unique_violations",
     "dq_not_null_violations",
     "dq_accepted_values",
     "dq_relationships",
     "dq_test_harness",
     "dq_freshness_age",
-    "seed_csv_typed",
     "src_json_roundtrip",
-    "meta_catalog_fixture",
-    "meta_columns_in_query",
-    "fx_scalar_idioms",
     "fx_array_agg_ordered",
     "events_sessionize",
     "events_json_props",
@@ -1150,31 +1273,18 @@ _PRIORITY: list[str] = [
     "events_asof_attribution",
     "samp_train_test_split",
     "emb_label_centroids",
+    # -- tail: local-mirror evidence only --
     "events_retention_cohorts",
-    "dedup_exact_groups",
-    "dedup_simhash",
     "dedup_jaccard_pairs",
-    "dedup_cluster_components",
     "sim_topk_bruteforce",
-    "sim_embedding_neardup",
     "emb_normalize_digest",
     "emb_label_affinity",
-    "emb_kmeans_step",
-    "mm_image_metadata",
     "mm_frame_sample",
-    "mm_resize",
-    "text_langid",
     "text_token_counts",
     "text_fingerprint",
-    "text_winnowing",
     "events_range_join_campaigns",
-    "events_salted_user_join",
-    "events_salted_distinct",
-    "stream_stateful_totals",
-    "stream_sessionize",
     "stream_dedup_watermark",
     "stream_sliding_windows",
-    "stream_foreachbatch_merge",
     "samp_hash_fraction",
     "samp_stratified_lang",
     "text_redact_pii",
@@ -1200,10 +1310,8 @@ _PRIORITY: list[str] = [
     "incr_merge_partial_update",
     "incr_merge_append",
     "events_asof_tolerance",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier_volume",
     "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_revenue",
@@ -1221,18 +1329,15 @@ _PRIORITY: list[str] = [
     "q12_priority_by_status",
     "q13_order_count_distribution",
     "q20_excess_suppliers",
-    "q21_sole_late_supplier",
     "olap_rollup_pricing",
     "olap_cube_volumes",
     "olap_pivot_status_counts",
-    "olap_grouping_sets",
     "stats_exact_moments",
     "ts_date_spine_gapfill",
     "olap_unpivot_metrics",
     "stats_exact_percentiles",
     "ts_moving_average",
     "olap_price_histogram",
-    "win_percent_rank_cume",
     "join_full_outer_reconcile",
     "win_first_last_value",
     "set_repeat_vs_churned",

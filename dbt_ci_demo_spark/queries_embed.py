@@ -274,6 +274,148 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_ITERS = 3  # fixed Lloyd rounds for the oracle (Spark may early-stop; see below)
+
+
+def _kmeans_converged_sql(iters: int) -> str:
+    """Unrolled fixed-iteration Lloyd SQL: seeds{i} are the re-quantized
+    integer centroids of iteration i, so every round's distance math stays
+    exact integer arithmetic (the same invariant emb_kmeans_step relies
+    on) and the unrolled CTE chain is bit-identical to the Spark loop."""
+    ctes = [
+        f"""base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings),
+    seeds0 AS (SELECT vec_id AS cluster_id, q AS sq FROM base WHERE vec_id < {_KM_K})"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""scored{i} AS (
+      SELECT b.vec_id, s.cluster_id,
+             list_inner_product(b.q, b.q) - 2 * list_inner_product(b.q, s.sq)
+               + list_inner_product(s.sq, s.sq) AS dist
+      FROM base b CROSS JOIN seeds{i - 1} s),
+    assigned{i} AS (
+      SELECT vec_id, cluster_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster_id) AS rn
+            FROM scored{i})
+      WHERE rn = 1),
+    cent{i} AS (
+      SELECT cluster_id, dim, CAST(SUM(fx) AS BIGINT) AS s, count(*) AS n
+      FROM (
+        SELECT a.cluster_id,
+               generate_subscripts(b.q, 1) - 1 AS dim,
+               unnest(b.q) AS fx
+        FROM assigned{i} a JOIN base b ON b.vec_id = a.vec_id)
+      GROUP BY cluster_id, dim),
+    seeds{i} AS (
+      SELECT cluster_id,
+             list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS sq
+      FROM cent{i} GROUP BY cluster_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cluster_id, dim,
+           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS centroid,
+           n AS n_members
+    FROM cent{iters}
+    """
+    )
+
+
+@query("emb_kmeans_converged", oracle=_kmeans_converged_sql(_KM_ITERS))
+def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means: up to {_KM_ITERS} Lloyd rounds with a
+    convergence counter (vectors that changed cluster), early-stopping
+    when an assignment round is a fixed point. Every round re-quantizes
+    the new centroids to integer fixed-point, so assignment math stays
+    exact in every iteration — which is also why early-stopping cannot
+    diverge from the fixed-iteration oracle: once an assignment repeats,
+    centroids, seeds, and all later rounds repeat identically.
+
+    Loop discipline mirrors connected_components (operators/dedup.py):
+    the corpus is localCheckpointed once (iterative reuse without
+    re-scanning lineage), per-round state (assignment, k×d seed table) is
+    localCheckpointed to keep lineage O(1), the seed table is broadcast
+    (k rows) so each round is ONE shuffle (the centroid update), and the
+    only driver-side values are the per-round moved-counter — the
+    sanctioned scalar read."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(_FX)).cast("long"),
+    )
+    base = emb.select("vec_id", quant.alias("q")).localCheckpoint(eager=False)
+    seeds = base.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    prev_assigned, cent = None, None
+    for _ in range(_KM_ITERS):
+        scored = base.crossJoin(F.broadcast(seeds)).select(
+            "vec_id",
+            "cluster_id",
+            (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id")
+            .localCheckpoint()
+        )
+        if prev_assigned is not None:
+            moved = (
+                assigned.alias("a")
+                .join(prev_assigned.alias("p"), "vec_id")
+                .filter(F.col("a.cluster_id") != F.col("p.cluster_id"))
+                .count()
+            )
+            if moved == 0:
+                break
+        cent = (
+            assigned.join(base, "vec_id")
+            .select("cluster_id", F.posexplode(F.col("q")).alias("dim", "fx"))
+            .select("cluster_id", F.col("dim").cast("bigint").alias("dim"), "fx")
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        seeds = cent.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim"),
+                            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("fx"),
+                        )
+                    )
+                ),
+                lambda st: st["fx"],
+            ).alias("sq")
+        )
+        prev_assigned = assigned
+    return cent.select(
+        "cluster_id",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n") / F.lit(_FX), 6).alias("centroid"),
+        F.col("n").alias("n_members"),
+    )
+
+
 @query(
     "pipe_embedding_end_to_end",
     oracle="""

