@@ -62,7 +62,28 @@ HEADLINE = [
     # foreachBatch MERGE sink path.
     "stream_tumbling_hourly",
     "stream_foreachbatch_merge",
+    # Production-hash SimHash (bench-only path, see _bench_only()).
+    "dedup_simhash_xxhash64",
 ]
+
+
+def _bench_only():
+    """Extra measured paths that have no DuckDB oracle (so they are not
+    registered queries) but whose throughput matters round-over-round:
+    the xxhash64 production hash for SimHash (the md5 default exists for
+    oracle parity; production corpora run the JVM-native hash)."""
+    from pyspark.sql import functions as F
+
+    from dbt_ci_demo_spark.operators.dedup import simhash_near_duplicates
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    def simhash_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return simhash_near_duplicates(
+            docs, "text", "doc_id", max_hamming=3, hash_fn="xxhash64"
+        ).select("id_a", "id_b", F.col("hamming"))
+
+    return {"dedup_simhash_xxhash64": simhash_xxh}
 
 
 def main() -> int:
@@ -77,6 +98,7 @@ def main() -> int:
 
     spark = get_spark("bench")
     regs = registry_queries()
+    regs = {**regs, **_bench_only()}
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

@@ -117,6 +117,46 @@ def insert_overwrite_partitions(
     return kept.unionByName(source.select(*target.columns))
 
 
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    unique_key: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed (I/U/D rows with a monotone sequence) to a
+    target: per key, the highest-``seq_col`` change wins; a winning delete
+    removes the row, any other winning op upserts its payload. This is the
+    change-data-capture generalization of :func:`merge_upsert` — the shape
+    a warehouse MERGE takes when fed a replication log instead of a clean
+    batch (WHEN MATCHED AND op='D' THEN DELETE / ... UPDATE / INSERT).
+
+    Plan shape: one window shuffle over the *changes* feed keyed on the
+    unique key (latest-op-wins; ties broken by preferring the delete so
+    same-seq D+U batches resolve deterministically), then one anti-join of
+    the target against the touched-key set and a union of the surviving
+    upserts. The feed is typically ≪ target, so the anti-join broadcasts
+    the keys; target partitions without touched keys stream through
+    untouched — delta-proportional cost at 100 TB, like merge_upsert.
+    """
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    from pyspark.sql.window import Window
+
+    is_del = (F.col(op_col) == delete_op).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), is_del.desc(), F.col(op_col)
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = target.join(latest.select(*keys).distinct(), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*target.columns)
+    return kept.unionByName(upserts)
+
+
 def max_watermark(target: DataFrame, column: str):
     """``_dbt_max_partition`` / is_incremental() watermark scalar
     (bq_insert_overwrite @34992 declare block; is_incremental @157947):

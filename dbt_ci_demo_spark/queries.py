@@ -485,6 +485,77 @@ def incr_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incr.incremental_filter(ev, "ts", wm)
 
 
+_ORD_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+@query(
+    "incr_cdc_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+             o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT {_ORD_COLS}, 2, 'D'
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+             o_orderdate, o_orderpriority, 2, 'U'
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice,
+             o_orderdate, o_orderpriority, 1, 'I'
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY o_orderkey
+                 ORDER BY seq DESC,
+                          CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC, op) AS rn
+        FROM changes) v
+      WHERE rn = 1
+    )
+    SELECT o.* FROM orders o
+    LEFT JOIN latest l ON l.o_orderkey = o.o_orderkey
+    WHERE l.o_orderkey IS NULL
+    UNION ALL
+    SELECT {_ORD_COLS} FROM latest WHERE op != 'D'
+    """,
+)
+def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply (operators/incremental.cdc_apply): a derived
+    replication log with conflicting I/U/D ops per key — updates at seq 1,
+    deletes and competing updates at seq 2 (the same-seq D+U tie resolves
+    to the delete), inserts under fresh keys — applied latest-op-wins onto
+    the orders table. Generalizes the reference's MERGE materialization
+    (default__get_merge_sql @89014) to log-structured input."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    u1 = (
+        o.filter(key % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    d2 = o.filter(key % 10 == 0).withColumn("seq", F.lit(2)).withColumn("op", F.lit("D"))
+    u2 = (
+        o.filter(key % 20 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    i1 = (
+        o.filter(key % 7 == 0)
+        .withColumn("o_orderkey", key + 10000000)
+        .withColumn("o_orderstatus", F.lit("O"))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = u1.unionByName(d2).unionByName(u2).unionByName(i1)
+    return incr.cdc_apply(o, changes, "o_orderkey", "seq", "op")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 snapshot family (SURVEY §2.B.3). customer-derived v1/v2 fixtures.
 # v1 = customers with c_custkey % 7 != 0 @ 2024-01-01.
@@ -1273,7 +1344,9 @@ _PRIORITY: list[str] = [
     "events_asof_attribution",
     "samp_train_test_split",
     "emb_label_centroids",
-    # -- tail: local-mirror evidence only --
+    # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "incr_cdc_apply",
+    "stream_interval_join",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

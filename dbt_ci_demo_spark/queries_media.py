@@ -331,3 +331,25 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_key=["user_id", "event_type"],
     )
     return out
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run to completion
+    (availableNow, append mode): purchases joined to same-user clicks in
+    the preceding 24 h. Both sides watermarked + a two-sided event-time
+    bound = expirable join state (see streaming/events_stream.py
+    stream_stream_interval_join). The batch twin is an interval
+    self-join, so the streaming operator gets a full value oracle."""
+    joined = es.stream_stream_interval_join(spark, sf_dir)
+    return _run_stream(spark, joined, "q_stream_ivjoin", "append")

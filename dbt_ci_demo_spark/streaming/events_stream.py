@@ -156,6 +156,58 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for each ``left_type``
+    event, every ``right_type`` event by the same user within the
+    preceding ``lookback`` — streaming attribution (purchase ← clicks).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    event time on both ends, so Spark can expire join state: the left
+    buffer holds only rows younger than the watermark, the right buffer
+    only rows inside watermark + lookback. State is bounded by input rate
+    × horizon regardless of total stream length — the property that makes
+    this run forever on an unbounded source. At 100 TB-a-day rates the
+    join shuffles both sides by user_id once; skewed users hit the same
+    AQE/salting toolbox as the batch join.
+
+    Semantics pinned by the batch twin: an interval self-join with
+    identical bounds (see queries_media.stream_interval_join's oracle)."""
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    return joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -306,6 +306,31 @@ def test_schema_change_policies(spark, sf_dir):
     assert s_s.columns == t_s.columns
 
 
+def test_cdc_apply_semantics(spark):
+    """cdc_apply: latest-op-wins per key; same-seq D+U resolves to the
+    delete; inserts under fresh keys land; untouched rows pass through."""
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update wins
+            (2, "b2", 1, "U"),   # superseded by seq-2 delete
+            (2, "bX", 2, "D"),
+            (3, "c2", 2, "U"),   # same-seq D+U: delete must win
+            (3, "cX", 2, "D"),
+            (5, "e", 1, "I"),    # insert under fresh key
+            (6, "f", 1, "I"),    # insert then delete: net nothing
+            (6, "fX", 2, "D"),
+        ],
+        "id bigint, v string, seq int, op string",
+    )
+    out = {r.id: r.v for r in cdc_apply(target, changes, "id", "seq").collect()}
+    assert out == {1: "a2", 4: "d", 5: "e"}
+
+
 def test_env_namespace_resolution():
     assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
     assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"
