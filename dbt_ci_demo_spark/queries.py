@@ -1347,6 +1347,7 @@ _PRIORITY: list[str] = [
     # -- tail: local-mirror evidence only (newest first — next rotation) --
     "incr_cdc_apply",
     "stream_interval_join",
+    "dedup_incremental_minhash",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

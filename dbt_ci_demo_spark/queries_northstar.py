@@ -138,7 +138,7 @@ _MINHASH_K = 3
 _MINHASH_THRESHOLD = 0.7
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(incremental: bool = False) -> str:
     n, bands, k = _MINHASH_N, _MINHASH_BANDS, _MINHASH_K
     rows = n // bands
     prime = dd._MINHASH_PRIME
@@ -151,6 +151,14 @@ def _minhash_oracle() -> str:
             b=b, sigs=", ".join(f"sig_{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
+    )
+    # Incremental mode: candidates only BETWEEN the corpus (original ids)
+    # and the batch (seeded ids >= 1000000), mirroring
+    # minhash_near_duplicates_against; full mode: ordered self-join pairs.
+    pair_cond = (
+        "l.doc_id < 1000000 AND r.doc_id >= 1000000"
+        if incremental
+        else "l.doc_id < r.doc_id"
     )
     return f"""
     WITH docs AS ({_DOCS_DUP}),
@@ -184,7 +192,7 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
         ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id
+       AND {pair_cond}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
@@ -214,6 +222,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB produce the same candidates AND the same verified pairs."""
     return dd.minhash_near_duplicates(
         _docs_dup(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_MINHASH_K,
+        n_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
+@query("dedup_incremental_minhash", oracle=_minhash_oracle(incremental=True))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash near-dup: the seeded-dup rows
+    (ids >= 1000000) play the incoming batch, the original documents the
+    existing corpus; candidates come only from batch bands joined against
+    corpus bands (operators/dedup.minhash_near_duplicates_against) — the
+    delta-proportional production path for continuous curation. The
+    oracle replays the identical pipeline with the cross-side candidate
+    restriction."""
+    d = _docs_dup(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 1000000)
+    batch = d.filter(F.col("doc_id") >= 1000000)
+    return dd.minhash_near_duplicates_against(
+        corpus,
+        batch,
         "text",
         "doc_id",
         k=_MINHASH_K,
