@@ -157,6 +157,90 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
 
 
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the filters that
+    catch boilerplate/spam which length/stopword heuristics miss:
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens|
+    - ``top_token_ratio``: frequency of the most common token / |tokens|
+    - ``dup_bigram_ratio``: 1 − |distinct bigrams| / |bigrams|
+    - ``dup_line_ratio``: 1 − |distinct lines| / |lines|
+    - ``is_repetitive``: any ratio beyond the published-threshold-shaped
+      cutoffs (top token > 0.2, dup bigrams > 0.2, dup lines > 0.3)
+
+    Plan shape: bigram/line ratios are higher-order array expressions in
+    the scan projection (zero shuffle); token frequencies need a
+    per-(doc, token) count — one explode + groupBy with map-side combine
+    (the same tokenize shuffle TF-IDF pays), then a doc-keyed join back.
+    Two shuffles total regardless of corpus size."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    staged = df.select(F.col(id_col), toks.alias("__t"), F.col(text_col).alias("__raw"))
+    t = F.col("__t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.split(F.col("__raw"), "\n")
+    arr_side = staged.select(
+        F.col(id_col),
+        F.size("__t").alias("__n_tok_arr"),
+        F.size(bigrams).alias("__n_big"),
+        F.size(F.array_distinct(bigrams)).alias("__n_big_d"),
+        F.size(lines).alias("__n_lines"),
+        F.size(F.array_distinct(lines)).alias("__n_lines_d"),
+    )
+    tok_counts = (
+        staged.select(F.col(id_col), F.explode("__t").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__n_tok"),
+            F.count(F.lit(1)).alias("__n_tok_d"),
+            F.max("c").alias("__top_c"),
+        )
+    )
+    j = arr_side.join(tok_counts, on=id_col, how="left")
+    n_tok = F.coalesce(F.col("__n_tok"), F.lit(0))
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+    distinct_token_ratio = ratio(F.coalesce(F.col("__n_tok_d"), F.lit(0)), n_tok)
+    top_token_ratio = ratio(F.coalesce(F.col("__top_c"), F.lit(0)), n_tok)
+    dup_bigram_ratio = F.round(
+        F.lit(1.0) - F.when(
+            F.col("__n_big") > 0,
+            F.col("__n_big_d").cast("double") / F.col("__n_big"),
+        ).otherwise(F.lit(1.0)),
+        6,
+    )
+    dup_line_ratio = F.round(
+        F.lit(1.0) - F.when(
+            F.col("__n_lines") > 0,
+            F.col("__n_lines_d").cast("double") / F.col("__n_lines"),
+        ).otherwise(F.lit(1.0)),
+        6,
+    )
+    return j.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        distinct_token_ratio.alias("distinct_token_ratio"),
+        top_token_ratio.alias("top_token_ratio"),
+        dup_bigram_ratio.alias("dup_bigram_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        (
+            (top_token_ratio > 0.2)
+            | (dup_bigram_ratio > 0.2)
+            | (dup_line_ratio > 0.3)
+        ).alias("is_repetitive"),
+    )
+
+
 def normalized_text(t: Column) -> Column:
     """Lowercase, punctuation stripped, whitespace collapsed — the
     formatting-insensitive canonical form fingerprints hash."""

@@ -1348,6 +1348,7 @@ _PRIORITY: list[str] = [
     "incr_cdc_apply",
     "stream_interval_join",
     "dedup_incremental_minhash",
+    "text_repetition",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

@@ -114,6 +114,78 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, repeat('buy now ', 50)
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+      FROM docs
+    ),
+    arrstats AS (
+      SELECT doc_id,
+             len(bg) AS n_big, len(list_distinct(bg)) AS n_big_d,
+             len(lines) AS n_lines, len(list_distinct(lines)) AS n_lines_d
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END AS bg,
+               string_split(text, chr(10)) AS lines
+        FROM base)
+    ),
+    tokstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             count(*) AS n_tok_d, CAST(MAX(c) AS BIGINT) AS top_c
+      FROM (SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT a.doc_id,
+             coalesce(n_tok, 0) AS n_tokens,
+             round(CASE WHEN coalesce(n_tok, 0) > 0
+                        THEN coalesce(n_tok_d, 0)::DOUBLE / n_tok ELSE 0.0 END, 6)
+               AS distinct_token_ratio,
+             round(CASE WHEN coalesce(n_tok, 0) > 0
+                        THEN coalesce(top_c, 0)::DOUBLE / n_tok ELSE 0.0 END, 6)
+               AS top_token_ratio,
+             round(1.0 - CASE WHEN n_big > 0
+                              THEN n_big_d::DOUBLE / n_big ELSE 1.0 END, 6)
+               AS dup_bigram_ratio,
+             round(1.0 - CASE WHEN n_lines > 0
+                              THEN n_lines_d::DOUBLE / n_lines ELSE 1.0 END, 6)
+               AS dup_line_ratio
+      FROM arrstats a LEFT JOIN tokstats USING (doc_id)
+    )
+    SELECT *,
+           (top_token_ratio > 0.2 OR dup_bigram_ratio > 0.2
+            OR dup_line_ratio > 0.3) AS is_repetitive
+    FROM scored
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.repetition_metrics)
+    over the corpus plus seeded boilerplate docs ('buy now ' × 50, ids
+    +2000000) that must flag is_repetitive — the signals that catch spam
+    which length/stopword heuristics miss."""
+    d = _docs(spark, sf_dir)
+    spam = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("repeat('buy now ', 50)").alias("text"),
+    )
+    return tx.repetition_metrics(
+        d.select("doc_id", "text").unionByName(spam), "text", "doc_id"
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
