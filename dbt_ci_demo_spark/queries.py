@@ -1349,6 +1349,7 @@ _PRIORITY: list[str] = [
     "stream_interval_join",
     "dedup_incremental_minhash",
     "text_repetition",
+    "sim_ivf_kmeans_trained",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

@@ -277,11 +277,13 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_ITERS = 3  # fixed Lloyd rounds for the oracle (Spark may early-stop; see below)
 
 
-def _kmeans_converged_sql(iters: int) -> str:
-    """Unrolled fixed-iteration Lloyd SQL: seeds{i} are the re-quantized
-    integer centroids of iteration i, so every round's distance math stays
-    exact integer arithmetic (the same invariant emb_kmeans_step relies
-    on) and the unrolled CTE chain is bit-identical to the Spark loop."""
+def _kmeans_ctes(iters: int) -> str:
+    """Unrolled fixed-iteration Lloyd CTE chain (no WITH, no final
+    SELECT): seeds{i} are the re-quantized integer centroids of iteration
+    i, so every round's distance math stays exact integer arithmetic (the
+    same invariant emb_kmeans_step relies on) and the chain is
+    bit-identical to the Spark loop. Shared by the emb_kmeans_converged
+    oracle and the IVF-on-trained-quantizer oracle."""
     ctes = [
         f"""base AS (
       SELECT vec_id,
@@ -315,9 +317,13 @@ def _kmeans_converged_sql(iters: int) -> str:
              list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS sq
       FROM cent{i} GROUP BY cluster_id)"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_converged_sql(iters: int) -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _kmeans_ctes(iters)
         + f"""
     SELECT cluster_id, dim,
            round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS centroid,
@@ -344,6 +350,28 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k rows) so each round is ONE shuffle (the centroid update), and the
     only driver-side values are the per-round moved-counter — the
     sanctioned scalar read."""
+    cent, _seeds, _base = _kmeans_loop(spark, sf_dir)
+    return cent.select(
+        "cluster_id",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n") / F.lit(_FX), 6).alias("centroid"),
+        F.col("n").alias("n_members"),
+    )
+
+
+def _kmeans_idot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_loop(spark: SparkSession, sf_dir: str):
+    """Run the Lloyd loop; returns (cent, seeds, base) where cent holds
+    the final (cluster_id, dim, s, n) sums, seeds the final re-quantized
+    integer seed table (cluster_id, sq), and base the quantized corpus
+    (vec_id, q)."""
     emb = _t(spark, sf_dir, "embeddings")
     quant = F.transform(
         F.col("embedding").cast("array<double>"),
@@ -353,14 +381,7 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = base.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
     )
-
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
+    idot = _kmeans_idot
     prev_assigned, cent = None, None
     for _ in range(_KM_ITERS):
         scored = base.crossJoin(F.broadcast(seeds)).select(
@@ -408,12 +429,112 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sq")
         )
         prev_assigned = assigned
-    return cent.select(
-        "cluster_id",
-        "dim",
-        F.round(F.col("s").cast("double") / F.col("n") / F.lit(_FX), 6).alias("centroid"),
-        F.col("n").alias("n_members"),
+    return cent, seeds, base
+
+
+_COS_SQL = (
+    "round(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+
+def _ivf_kmeans_sql(iters: int) -> str:
+    """k-means CTE chain → final assignment → IVF probe/rank, all in one
+    oracle: the trained coarse quantizer serves the ANN query."""
+    return (
+        "WITH "
+        + _kmeans_ctes(iters)
+        + f""",
+    assignedF AS (
+      SELECT vec_id, cluster_id
+      FROM (SELECT b.vec_id, s.cluster_id,
+                   list_inner_product(b.q, b.q) - 2 * list_inner_product(b.q, s.sq)
+                     + list_inner_product(s.sq, s.sq) AS dist,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY list_inner_product(b.q, b.q)
+                                             - 2 * list_inner_product(b.q, s.sq)
+                                             + list_inner_product(s.sq, s.sq),
+                                             s.cluster_id) AS rn
+            FROM base b CROSS JOIN seeds{iters} s)
+      WHERE rn = 1),
+    basev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pos AS (
+      SELECT a.cluster_id, unnest(b.v) AS val,
+             unnest(range(1, len(b.v) + 1)) AS pos
+      FROM assignedF a JOIN basev b USING (vec_id)
+    ),
+    means AS (
+      SELECT cluster_id, pos,
+             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+      FROM pos GROUP BY cluster_id, pos
+    ),
+    cents AS (
+      SELECT cluster_id AS cluster, list(mean ORDER BY pos) AS centroid
+      FROM means GROUP BY cluster_id
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM basev WHERE vec_id < 5),
+    qc AS (
+      SELECT query_id, qvec, cluster,
+             {_COS_SQL.format(a='qvec', b='centroid')} AS ccos
+      FROM qv, cents
+    ),
+    probes AS (
+      SELECT query_id, qvec, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cluster) AS crank
+        FROM qc) WHERE crank <= 2
+    ),
+    scoredq AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='p.qvec', b='c.v')} AS cosine_r
+      FROM basev c
+      JOIN assignedF af ON af.vec_id = c.vec_id
+      JOIN probes p ON af.cluster_id = p.cluster
+      WHERE c.vec_id != p.query_id
+    ),
+    rankedq AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scoredq
     )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM rankedq WHERE rank <= 5
+    """
+    )
+
+
+@query("sim_ivf_kmeans_trained", oracle=_ivf_kmeans_sql(_KM_ITERS))
+def sim_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the k-means-trained coarse quantizer: the Lloyd
+    loop (emb_kmeans_converged) produces the final seed table, every
+    corpus vector is assigned to its nearest seed (one broadcast argmin —
+    same exact integer distance as training), and sim.ivf_topk probes the
+    2 nearest trained clusters. This is the production IVF lifecycle —
+    train the quantizer, partition the corpus by it, serve probes against
+    only the probed partitions — with every stage oracle-checked end to
+    end."""
+    from dbt_ci_demo_spark.operators import similarity as sim
+    from pyspark.sql.window import Window
+
+    _cent, seeds, base = _kmeans_loop(spark, sf_dir)
+    idot = _kmeans_idot
+    scored = base.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cluster_id",
+        (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.join(assigned, "vec_id").select("vec_id", "embedding", "cluster_id")
+    out = sim.ivf_topk(
+        corpus, emb.filter(F.col("vec_id") < 5), "cluster_id", k=5, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @query(

@@ -34,6 +34,7 @@ _CARTESIAN_OK = {
     "sim_topk_bruteforce",
     "dedup_jaccard_pairs",
     "sim_ivf_topk",
+    "sim_ivf_kmeans_trained",  # same shape: broadcast of the tiny trained-centroid table
     "q22_idle_rich_customers",
     "q11_important_parts",
     "text_tfidf_topterms",
