@@ -427,28 +427,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(_docs_dup(spark, sf_dir), "text", "doc_id", max_hamming=3)
 
 
-@query(
-    "dedup_cluster_components",
-    # The oracle computes the exact transitive closure with a recursive CTE
-    # (label flows along bidirected edges; min reachable label = component),
-    # over the same SimHash pair graph the Spark side clusters.
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_simhash_oracle()}),
-    edges AS (
+def _cluster_components_oracle(rounds: int = 12) -> str:
+    """Connected-components oracle as ``rounds`` unrolled min-label
+    propagation steps over the bidirected SimHash pair graph.
+
+    The earlier recursive-CTE transitive closure was exact but
+    O(Σ|component|²) rows — intractable on DuckDB 1.0 at the sf0.1 stress
+    scale (1.5M pairs). Min-label propagation is |V| rows per round and
+    monotone, so equality between round R and round R+1 proves the global
+    fixpoint (= the exact closure answer). The oracle checks that proof
+    itself: if any label still changes at round R+1 it emits a poison row
+    (-1, -1, NULL) that can never match the Spark output — the unrolling
+    assumption (diameter ≤ R; banding quasi-cliques have tiny diameters)
+    is therefore loudly verified, never silently wrong.
+
+    Every chained CTE is AS MATERIALIZED: DuckDB 1.0 otherwise inlines a
+    CTE at each reference, and lab{{i}} references lab{{i-1}} twice — 2^R
+    expansions of the whole SimHash pipeline without it."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({_simhash_oracle()})",
+        """edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    reach(node, lab) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )""",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM edges)",
+    ]
+    for i in range(1, rounds + 2):
+        ctes.append(
+            f"""lab{i} AS MATERIALIZED (
+      SELECT node, min(l) AS l FROM (
+        SELECT node, l FROM lab{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.l FROM lab{i - 1} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, l AS cluster_id, (node = l) AS is_survivor
+    FROM lab{rounds}
+    UNION ALL
+    SELECT -1, -1, NULL
+    WHERE EXISTS (SELECT 1 FROM lab{rounds} a JOIN lab{rounds + 1} b
+                  ON a.node = b.node AND a.l != b.l)
+    """
     )
-    SELECT node AS doc_id, min(lab) AS cluster_id,
-           (node = min(lab)) AS is_survivor
-    FROM reach GROUP BY node
-    """,
-)
+
+
+@query("dedup_cluster_components", oracle=_cluster_components_oracle())
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the SimHash near-dup
     pair graph (A~B, B~C ⇒ one cluster even though (A,C) was never
