@@ -104,6 +104,21 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     assert banded == brute
 
 
+def test_cluster_oracle_poison_on_nonconvergence(duck, sf_dir):
+    """The unrolled min-label oracle must PROVE its fixpoint: with rounds=0
+    (guaranteed insufficient on any graph with edges) the poison row
+    (-1, -1, NULL) must appear, so an under-unrolled oracle can never
+    silently pass the gate."""
+    import dbt_ci_demo_spark.queries  # noqa: F401  (completes module init chain)
+    from dbt_ci_demo_spark.queries_northstar import _cluster_components_oracle
+
+    rows = duck.execute(_cluster_components_oracle(rounds=0)).fetchdf()
+    poison = rows[(rows.doc_id == -1) & (rows.cluster_id == -1)]
+    assert len(poison) == 1, "poison row missing: non-convergence went undetected"
+    converged = duck.execute(_cluster_components_oracle(rounds=12)).fetchdf()
+    assert not ((converged.doc_id == -1) & (converged.cluster_id == -1)).any()
+
+
 def test_incremental_minhash_equals_crossside_subset(spark, sf_dir):
     """Batch-vs-corpus MinHash must equal the full self-join pipeline
     restricted to cross-side pairs: banding is per-document, so splitting
