@@ -57,6 +57,8 @@ HEADLINE = [
     "ts_date_spine_gapfill",
     "emb_label_affinity",
     "emb_kmeans_converged",
+    "dedup_incremental_minhash",
+    "incr_cdc_apply",
     # Streaming micro-batch throughput (VERDICT r02 task 3): wall time of a
     # full availableNow run — windowed agg into a memory sink, and the
     # foreachBatch MERGE sink path.

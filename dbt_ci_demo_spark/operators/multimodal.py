@@ -164,6 +164,79 @@ def frame_sample_plan(
     )
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
+    """STUB for the real audio decoder (soundfile/librosa header read).
+    Deterministic fake: sample rate and whole-second duration derived from
+    the payload's md5 — replace the body with a real codec in production;
+    the surrounding Spark plumbing is the tested artifact."""
+    if not payload:
+        raise NotImplementedError("real decoder required for empty/corrupt payloads")
+    h = hashlib.md5(payload).digest()
+    sample_rate = [8000, 16000, 44100][h[3] % 3]
+    n_samples = sample_rate * (1 + h[4] % 30)  # 1..30 whole seconds
+    return sample_rate, n_samples
+
+
+def decode_audio_metadata(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio decode stage as Arrow-batched mapInPandas (one batch in, one
+    out), mirroring decode_image_metadata. duration_s is an exact integer
+    count of seconds in double — identical in any engine."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_audio_stub(p) for p in pdf["bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "n_samples": pd.Series([m[1] for m in meta], dtype="int64"),
+                    "duration_s": pd.Series(
+                        [m[1] / m[0] for m in meta], dtype="float64"
+                    ),
+                }
+            )
+
+    flat = media_df.select(F.col(id_col), F.col("media.bytes").alias("bytes"))
+    return flat.mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+def audio_chunk_plan(audio_meta: DataFrame, chunk_s: int = 5) -> DataFrame:
+    """Chunking plan for audio-shaped payloads: per-clip fixed-duration
+    windows fanned out JVM-side (sequence + explode, no Python) — the
+    downstream transcription/feature model touches only chunk boundaries.
+    The last chunk is clipped to the clip duration. Pure per-row fan-out:
+    no shuffle, parallel at any corpus size."""
+    n_chunks = F.ceil(F.col("duration_s") / F.lit(float(chunk_s))).cast("long")
+    chunks = audio_meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * chunk_s).cast("double")
+    return chunks.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "chunk_idx",
+        start.alias("start_s"),
+        F.least(start + chunk_s, F.col("duration_s")).alias("end_s"),
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

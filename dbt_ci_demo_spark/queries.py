@@ -1350,6 +1350,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental_minhash",
     "text_repetition",
     "sim_ivf_kmeans_trained",
+    "mm_audio_chunks",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

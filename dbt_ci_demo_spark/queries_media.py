@@ -84,6 +84,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(media, every_n_bytes=_FRAME_BYTES)
 
 
+_CHUNK_S = 5
+
+
+@query(
+    "mm_audio_chunks",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             ([8000, 16000, 44100])[({_oracle_md5_byte('text', 3)} % 3) + 1] AS sample_rate,
+             1 + ({_oracle_md5_byte('text', 4)} % 30) AS secs
+      FROM documents
+      WHERE {_DOCS_NONEMPTY}
+    )
+    SELECT doc_id, sample_rate,
+           CAST(sample_rate AS BIGINT) * secs AS n_samples,
+           chunk_idx,
+           CAST(chunk_idx * {_CHUNK_S} AS DOUBLE) AS start_s,
+           least(CAST(chunk_idx * {_CHUNK_S} + {_CHUNK_S} AS DOUBLE),
+                 CAST(secs AS DOUBLE)) AS end_s
+    FROM (
+      SELECT *, unnest(range(0, CAST(ceil(secs / {_CHUNK_S}.0) AS BIGINT))) AS chunk_idx
+      FROM meta
+    )
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: payload → typed media struct →
+    Arrow-batched stub decode (sample_rate, samples, exact whole-second
+    duration) → JVM-side fixed-duration chunk fan-out
+    (operators/multimodal.audio_chunk_plan) — the plan a transcription or
+    audio-embedding stage consumes. The md5-derived stub lets DuckDB
+    verify decode + chunk boundaries exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.expr(_DOCS_NONEMPTY))
+    media = mm.synthesize_media_from_text(docs, "text", "doc_id")
+    return mm.audio_chunk_plan(mm.decode_audio_metadata(media), chunk_s=_CHUNK_S)
+
+
 def _mm_features_oracle() -> str:
     # The stub's feature vector is md5-digest-byte[k] / 255 (float32). The
     # round trip round(x * 255) recovers byte[k] exactly (float32 relative
