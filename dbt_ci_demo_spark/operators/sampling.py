@@ -83,6 +83,84 @@ def train_val_test_split(
     return df.withColumn(split_col, split)
 
 
+def source_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-source mixing-ratio sample: keep ``fractions[source]`` of each
+    source's rows (training-data mixing — e.g. keep 100% of books, 30% of
+    web, 5% of logs), deterministically and stably under appends.
+
+    The per-source threshold joins into the predicate as a CASE over the
+    (small) source domain, so the decision is still a pure scan-side
+    column predicate — sampling a mixture from 100 TB is one scan with no
+    shuffle, exactly like :func:`hash_sample`. Sources absent from
+    ``fractions`` fall back to ``default_fraction`` (0 = drop, the usual
+    curation posture for unvetted sources)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    cut = F.lit(int(round(default_fraction * BUCKETS)))
+    for s, f in sorted(fractions.items()):
+        cut = F.when(F.col(source_col) == s, F.lit(int(round(f * BUCKETS)))).otherwise(cut)
+    return df.filter(hash_bucket(F.col(key_col), seed) < cut)
+
+
+def pack_token_windows(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    window_tokens: int = 1024,
+    shards: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk packing accounting (the GPT-pretraining data
+    layout): documents are concatenated in a deterministic order and cut
+    into fixed ``window_tokens`` training windows; this operator computes,
+    per document, its token ``start_offset`` and the [first_window,
+    last_window] span it lands in.
+
+    Distributed shape: a global concatenation order would serialize the
+    cumsum, so documents are hash-sharded (stable under partitioning;
+    ``shards`` ≈ number of output packing streams) and the running token
+    offset is one window cumsum per shard — shards pack independently,
+    exactly how a 1000-executor job would emit 1000 packed streams.
+    Zero-token documents are excluded (they occupy no window). All
+    decisions are md5-hash + integer arithmetic: bit-identical in any
+    engine, stable under appends within a shard's suffix."""
+    if window_tokens < 1 or shards < 1:
+        raise ValueError("window_tokens and shards must be >= 1")
+    key, toks = F.col(key_col), F.col(tokens_col).cast("long")
+    shard = hash_bucket(key, seed, shards)
+    staged = df.select(
+        key.alias(key_col), toks.alias("n_tokens"), shard.alias("shard")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = staged.withColumn("start_offset", start)
+    wt = float(window_tokens)
+    return out.select(
+        key_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / wt).cast("long").alias("first_window"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / wt)
+        .cast("long")
+        .alias("last_window"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -1351,6 +1351,8 @@ _PRIORITY: list[str] = [
     "text_repetition",
     "sim_ivf_kmeans_trained",
     "mm_audio_chunks",
+    "samp_source_mixture",
+    "samp_pack_token_windows",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

@@ -173,6 +173,78 @@ def _pipeline_oracle() -> str:
     """
 
 
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.05}
+_MIX_DEFAULT = 0.1
+
+
+@query(
+    "samp_source_mixture",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE {_DUCK_HASH.format(seed='mix', key='doc_id')} % {sp.BUCKETS} <
+          CASE source
+            WHEN 'src0' THEN {sp.BUCKETS}
+            WHEN 'src1' THEN {sp.BUCKETS // 2}
+            WHEN 'src2' THEN {sp.BUCKETS // 4}
+            WHEN 'src3' THEN {sp.BUCKETS // 20}
+            ELSE {sp.BUCKETS // 10} END
+    """,
+)
+def samp_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing-ratio sample (keep 100% of src0, 50% of src1,
+    25% of src2, 5% of src3, 10% of everything else) — the data-mixing
+    step that weights corpus sources for training. Scan-only: the
+    per-source threshold is a CASE inside the keep predicate, so mixing
+    100 TB is one scan with zero shuffles, append-stable, and every
+    keep/drop decision is oracle-checked."""
+    return sp.source_mixture_sample(
+        _docs(spark, sf_dir), "source", "doc_id", _MIX, default_fraction=_MIX_DEFAULT,
+        seed="mix",
+    )
+
+
+_PACK_W = 1024
+_PACK_SHARDS = 8
+
+
+@query(
+    "samp_pack_token_windows",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             {_DUCK_HASH.format(seed='pack', key='doc_id')} % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM base WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(floor(start_offset / {_PACK_W}.0) AS BIGINT) AS first_window,
+           CAST(floor((start_offset + n_tokens - 1) / {_PACK_W}.0) AS BIGINT) AS last_window
+    FROM off
+    """,
+)
+def samp_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing accounting (the pretraining data layout):
+    per document, its running token offset within a hash shard and the
+    [first_window, last_window] span of {_PACK_W}-token training windows
+    it occupies. One window cumsum per shard — shards pack independently,
+    the way a large job emits parallel packed streams; offsets and spans
+    are integer arithmetic, oracle-checked per document."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_toks")
+    )
+    return sp.pack_token_windows(
+        d, "doc_id", "n_toks", window_tokens=_PACK_W, shards=_PACK_SHARDS, seed="pack"
+    )
+
+
 @query("pipe_curation_end_to_end", oracle=_pipeline_oracle())
 def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation pipeline as ONE composed plan:

@@ -15,6 +15,10 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select("doc_id", "lang")
 
 
+def _docs_full(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
 def test_hash_sample_partition_invariant(spark, sf_dir):
     """The kept set must not depend on physical partitioning (the failure
     mode of seeded per-partition sampling)."""
@@ -75,3 +79,47 @@ def test_sampling_validation():
         sp.train_val_test_split(None, "k", test_fraction=0.8, val_fraction=0.3)
     with pytest.raises(ValueError):
         sp.stratified_sample(None, ["s"], "k", 0)
+    with pytest.raises(ValueError):
+        sp.source_mixture_sample(None, "s", "k", {"a": 1.2})
+    with pytest.raises(ValueError):
+        sp.source_mixture_sample(None, "s", "k", {}, default_fraction=-0.1)
+    with pytest.raises(ValueError):
+        sp.pack_token_windows(None, "k", "t", window_tokens=0)
+
+
+def test_source_mixture_rates_and_stability(spark, sf_dir):
+    """Kept fraction per source must track the configured ratio; the kept
+    SET must be identical under repartitioning (append/partition
+    stability is the whole point of hash sampling)."""
+    d = _docs_full(spark, sf_dir)
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = sp.source_mixture_sample(d, "source", "doc_id", fr, default_fraction=0.2)
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    tot = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert kept.get("src0", 0) == tot["src0"]
+    assert "src2" not in kept
+    assert 0.2 * tot["src1"] <= kept.get("src1", 0) <= 0.8 * tot["src1"]
+    again = sp.source_mixture_sample(
+        d.repartition(7), "source", "doc_id", fr, default_fraction=0.2
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_pack_token_windows_contiguous(spark, sf_dir):
+    """Within every shard, offsets must be the exact running sum in doc_id
+    order (no gaps, no overlap) and window spans must match the offsets."""
+    from dbt_ci_demo_spark.operators import text as tx
+
+    d = _docs_full(spark, sf_dir)
+    out = sp.pack_token_windows(
+        d.select("doc_id", tx.token_count(F.col("text")).alias("t")),
+        "doc_id", "t", window_tokens=64, shards=4,
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    offset = {}
+    for r in rows:
+        assert r.start_offset == offset.get(r.shard, 0), r
+        offset[r.shard] = r.start_offset + r.n_tokens
+        assert r.first_window == r.start_offset // 64
+        assert r.last_window == (r.start_offset + r.n_tokens - 1) // 64
+        assert r.n_tokens > 0
