@@ -1353,6 +1353,7 @@ _PRIORITY: list[str] = [
     "mm_audio_chunks",
     "samp_source_mixture",
     "samp_pack_token_windows",
+    "text_unigram_logprob",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

@@ -905,6 +905,86 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_tok FROM tf GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(round(round(ln((c_tok + 1)::DOUBLE / (t.n + t.v)), 6) * 1000000.0)
+                  AS BIGINT) AS lp_e6
+      FROM vocab CROSS JOIN tot t
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(f.c * l.lp_e6) AS BIGINT) AS s
+      FROM tf f JOIN lp l ON l.tok = f.tok
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(s::DOUBLE / n_tokens / 1000000.0, 6) AS avg_logprob
+    FROM per_doc
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap-LM quality scoring: per-document mean token log-probability
+    under the corpus's own add-one-smoothed unigram model — the
+    perplexity-filter stage of public curation pipelines (CCNet-style),
+    here with the corpus itself as the reference model. Low scores mark
+    gibberish/outlier token distributions.
+
+    Portability: each token's logprob is quantized to a 6-decimal integer
+    (round(ln·1e6)) before the per-document accumulation, so sums are
+    exact integer arithmetic — order-independent and bit-identical across
+    engines (the module's fixed-point discipline); only the final mean
+    divides in doubles. Plan: one tokenize shuffle (tf), a vocabulary
+    aggregate reusing it, a broadcast 1-row total, a vocab-keyed join
+    back, one doc-keyed aggregate — the same shape as TF-IDF."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("c_tok"))
+    tot = vocab.agg(
+        F.sum("c_tok").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.round(F.log((F.col("c_tok") + 1) / (F.col("n") + F.col("v"))), 6)
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    per_doc = (
+        tf.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lp_e6")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / F.col("n_tokens") / F.lit(1_000_000.0), 6
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
     "text_bigram_topk",
     oracle="""
     WITH toks AS (

@@ -38,6 +38,7 @@ _CARTESIAN_OK = {
     "q22_idle_rich_customers",
     "q11_important_parts",
     "text_tfidf_topterms",
+    "text_unigram_logprob",  # same shape: 1-row (N, V) totals broadcast
     "emb_kmeans_step",
 }
 
