@@ -104,6 +104,27 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     assert banded == brute
 
 
+def test_kmeans_loop_fixpoint_consistency(spark, sf_dir):
+    """Once the Lloyd loop converges (assignment repeats), extra
+    iterations must not change the centroids — the property that makes
+    Spark's early-stop provably consistent with the fixed-iteration
+    oracle. The sf0.001 fixture converges at round 13 (measured), so an
+    iteration cap of 20 exercises the early-stop in both runs and the
+    +2 cap must return the identical centroid table."""
+    import dbt_ci_demo_spark.queries  # noqa: F401
+    from dbt_ci_demo_spark import queries_embed as qe
+
+    orig = qe._KM_ITERS
+    try:
+        qe._KM_ITERS = 20
+        a = {(r.cluster_id, r.dim): (r.s, r.n) for r in qe._kmeans_loop(spark, sf_dir)[0].collect()}
+        qe._KM_ITERS = 22
+        b = {(r.cluster_id, r.dim): (r.s, r.n) for r in qe._kmeans_loop(spark, sf_dir)[0].collect()}
+    finally:
+        qe._KM_ITERS = orig
+    assert a == b
+
+
 def test_cluster_oracle_poison_on_nonconvergence(duck, sf_dir):
     """The unrolled min-label oracle must PROVE its fixpoint: with rounds=0
     (guaranteed insufficient on any graph with edges) the poison row
