@@ -64,8 +64,9 @@ HEADLINE = [
     # foreachBatch MERGE sink path.
     "stream_tumbling_hourly",
     "stream_foreachbatch_merge",
-    # Production-hash SimHash (bench-only path, see _bench_only()).
+    # Production-hash dedup paths (bench-only, see _bench_only()).
     "dedup_simhash_xxhash64",
+    "dedup_minhash_xxhash64",
 ]
 
 
@@ -79,13 +80,22 @@ def _bench_only():
     from dbt_ci_demo_spark.operators.dedup import simhash_near_duplicates
     from dbt_ci_demo_spark.sources.catalog import load_table
 
+    from dbt_ci_demo_spark.operators.dedup import minhash_near_duplicates
+
     def simhash_xxh(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         return simhash_near_duplicates(
             docs, "text", "doc_id", max_hamming=3, hash_fn="xxhash64"
         ).select("id_a", "id_b", F.col("hamming"))
 
-    return {"dedup_simhash_xxhash64": simhash_xxh}
+    def minhash_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return minhash_near_duplicates(docs, "text", "doc_id", hash_fn="xxhash64")
+
+    return {
+        "dedup_simhash_xxhash64": simhash_xxh,
+        "dedup_minhash_xxhash64": minhash_xxh,
+    }
 
 
 def main() -> int:
