@@ -241,6 +241,59 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def remove_duplicate_lines(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 2
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb boilerplate
+    filter): drop every line that occurs at least ``min_count`` times
+    across the WHOLE corpus — navigation menus, cookie banners,
+    subscribe footers — and reassemble each document from its surviving
+    lines in original order.
+
+    Plan shape: one explode for the global line counts (map-side
+    combine), then the duplicate-line set — which is small, it's
+    boilerplate — anti-joins back against the line table (broadcastable),
+    and one doc-keyed aggregate reassembles with an array_sort on the
+    line position. Documents whose lines are all boilerplate survive with
+    empty text (the caller decides to drop them), so the operator is
+    row-preserving. Output: (id, text_dedup, n_kept, n_dropped)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(dup, on="line", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("__n_lines")
+    )
+    return (
+        totals.join(reassembled, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def normalized_text(t: Column) -> Column:
     """Lowercase, punctuation stripped, whitespace collapsed — the
     formatting-insensitive canonical form fingerprints hash."""

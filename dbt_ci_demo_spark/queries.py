@@ -1354,6 +1354,7 @@ _PRIORITY: list[str] = [
     "samp_source_mixture",
     "samp_pack_token_windows",
     "text_unigram_logprob",
+    "text_line_dedup",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

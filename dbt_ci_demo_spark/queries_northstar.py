@@ -905,6 +905,72 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_line_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'NAVIGATION MENU HOME ABOUT CONTACT' || chr(10) ELSE '' END
+             || text
+             || chr(10) || 'ref: doc-' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM docs
+    ),
+    dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN dup d ON d.line = l.line
+      WHERE d.line IS NULL
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_dropped
+    FROM docs d LEFT JOIN reassembled r ON r.doc_id = d.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup over a boilerplate-injected
+    fixture: every doc gains a unique reference line, every 5th a shared
+    navigation header, every 3rd a shared subscribe footer. The operator
+    (operators/text.remove_duplicate_lines) must drop exactly the shared
+    lines and reassemble the survivors in original order — all verified
+    per document, including reassembled text."""
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("NAVIGATION MENU HOME ABOUT CONTACT\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nref: doc-"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nSUBSCRIBE TO OUR NEWSLETTER")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.remove_duplicate_lines(injected, "text", "doc_id")
+
+
+@query(
     "text_unigram_logprob",
     oracle="""
     WITH toks AS (
