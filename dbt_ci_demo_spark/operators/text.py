@@ -188,7 +188,6 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lines = F.split(F.col("__raw"), "\n")
     arr_side = staged.select(
         F.col(id_col),
-        F.size("__t").alias("__n_tok_arr"),
         F.size(bigrams).alias("__n_big"),
         F.size(F.array_distinct(bigrams)).alias("__n_big_d"),
         F.size(lines).alias("__n_lines"),
@@ -250,24 +249,34 @@ def remove_duplicate_lines(
     subscribe footers — and reassemble each document from its surviving
     lines in original order.
 
-    Plan shape: one explode for the global line counts (map-side
-    combine), then the duplicate-line set — which is small, it's
-    boilerplate — anti-joins back against the line table (broadcastable),
-    and one doc-keyed aggregate reassembles with an array_sort on the
-    line position. Documents whose lines are all boilerplate survive with
-    empty text (the caller decides to drop them), so the operator is
-    row-preserving. Output: (id, text_dedup, n_kept, n_dropped)."""
+    Plan shape (VERDICT r03 task 4): the count/anti-join key is
+    ``xxhash64(line)``, NOT the line text — the hottest keys (the empty
+    line, cookie banners, nav menus) are exactly the longest-tailed
+    strings, so hashing them to 8 bytes cuts shuffle bytes severalfold on
+    the rows that dominate; the count branch then shuffles nothing but
+    the hash (line/pos/id pruned by Catalyst). Line text travels only on
+    the kept side, where reassembly needs it. The hash key never reaches
+    the output, so a 64-bit collision is the only way results could
+    differ from keying on the text itself (~n²/2⁶⁵ — negligible at any
+    corpus size that fits a cluster). The anti-join against the duplicate
+    set is a (possibly skewed) shuffle join — at 100 TB the dup set is
+    NOT assumed broadcastable; AQE's skew-join splitting handles the
+    boilerplate heavy-hitters. One doc-keyed aggregate reassembles with
+    an array_sort on the line position. Documents whose lines are all
+    boilerplate survive with empty text (the caller decides to drop
+    them), so the operator is row-preserving.
+    Output: (id, text_dedup, n_kept, n_dropped)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("__lh", F.xxhash64("line"))
     dup = (
-        lines.groupBy("line")
+        lines.groupBy("__lh")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
-        .select("line")
+        .select("__lh")
     )
-    kept = lines.join(dup, on="line", how="left_anti")
+    kept = lines.join(dup, on="__lh", how="left_anti").drop("__lh")
     reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

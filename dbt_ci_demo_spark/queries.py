@@ -33,10 +33,17 @@ from dbt_ci_demo_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+_REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
+    """Register a query. ``oracle`` may be the DuckDB SQL string or a
+    zero-arg callable returning it — the callable form defers evaluation
+    to :func:`registry_oracles`, which lets an oracle builder import
+    helpers from a sibling ``queries_*`` module without creating an
+    import-time cycle (the modules all exist by the time any oracle is
+    read)."""
+
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -49,7 +56,11 @@ def registry_queries() -> dict[str, QueryFn]:
 
 
 def registry_oracles() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1255,15 +1266,17 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-3 ROTATION (VERDICT r02 task 1): slots 1-30 are
-# a compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
+# the coverage budget. ROUND-4 ROTATION (VERDICT r03 task 1): slots 1-30 stay
+# the compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
 # representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
 # 31-50 promote twenty queries that had only local-mirror evidence through
-# round 2 (dedup/simhash/cluster, k-means, multimodal, winnowing, salted
-# skew, streaming, TPC-H q1/q3/q21, grouping sets, window ranks) to their
-# first driver CORRECTNESS rows. Queries rotated OUT of the window (e.g.
-# dq_unique_violations, dedup_minhash_lsh, stream_tumbling_hourly) carry
-# driver-green evidence in CORRECTNESS_r01/r02.json and stay in the tail.
+# round 3: the twelve r3 registrations (CDC apply, stream interval join,
+# incremental minhash, Gopher repetition, IVF-trained, audio chunks, source
+# mixture, token packing, unigram-LM, line dedup) plus TPC-H q9/q13/q18/q19/
+# q22, olap_rollup_pricing, stats_exact_moments, ts_date_spine_gapfill,
+# samp_hash_fraction, pipe_embedding_end_to_end. Queries rotated OUT of the
+# window carry driver-green evidence in CORRECTNESS_r01/r02/r03.json and
+# stay in the tail.
 # Names not listed keep their insertion order after the listed ones, so a
 # new query is never silently dropped — it lands in the breadth tail until
 # it is slotted here (tests/test_oracle_correctness.py pins list == registry).
@@ -1301,7 +1314,28 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: first-time driver checks (local-green through r02) --
+    # -- slots 31-50: first-time driver checks (local-green through r03) --
+    "incr_cdc_apply",
+    "stream_interval_join",
+    "dedup_incremental_minhash",
+    "text_repetition",
+    "sim_ivf_kmeans_trained",
+    "mm_audio_chunks",
+    "samp_source_mixture",
+    "samp_pack_token_windows",
+    "text_unigram_logprob",
+    "text_line_dedup",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "olap_rollup_pricing",
+    "stats_exact_moments",
+    "ts_date_spine_gapfill",
+    "samp_hash_fraction",
+    "pipe_embedding_end_to_end",
+    # -- tail: driver-green in r01/r02/r03 (rotated out of the window) --
     "dedup_simhash",
     "dedup_exact_groups",
     "dedup_cluster_components",
@@ -1322,7 +1356,6 @@ _PRIORITY: list[str] = [
     "q21_sole_late_supplier",
     "olap_grouping_sets",
     "win_percent_rank_cume",
-    # -- tail: driver-green in r01/r02 (rotated out of the window) --
     "wr_bucketed_join",
     "dq_unique_violations",
     "dq_not_null_violations",
@@ -1345,16 +1378,6 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
-    "incr_cdc_apply",
-    "stream_interval_join",
-    "dedup_incremental_minhash",
-    "text_repetition",
-    "sim_ivf_kmeans_trained",
-    "mm_audio_chunks",
-    "samp_source_mixture",
-    "samp_pack_token_windows",
-    "text_unigram_logprob",
-    "text_line_dedup",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
@@ -1366,14 +1389,12 @@ _PRIORITY: list[str] = [
     "events_range_join_campaigns",
     "stream_dedup_watermark",
     "stream_sliding_windows",
-    "samp_hash_fraction",
     "samp_stratified_lang",
     "text_redact_pii",
     "text_vocab_topk",
     "text_tfidf_topterms",
     "text_bigram_topk",
     "pipe_curation_end_to_end",
-    "pipe_embedding_end_to_end",
     "win_running_total",
     "win_rank_orders",
     "win_lead_lag_gaps",
@@ -1400,21 +1421,13 @@ _PRIORITY: list[str] = [
     "q15_top_supplier",
     "q16_unsold_parts",
     "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_profit",
     "q11_important_parts",
     "q12_priority_by_status",
-    "q13_order_count_distribution",
     "q20_excess_suppliers",
-    "olap_rollup_pricing",
     "olap_cube_volumes",
     "olap_pivot_status_counts",
-    "stats_exact_moments",
-    "ts_date_spine_gapfill",
     "olap_unpivot_metrics",
     "stats_exact_percentiles",
     "ts_moving_average",

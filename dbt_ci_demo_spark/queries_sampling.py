@@ -245,7 +245,7 @@ def samp_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipe_curation_end_to_end", oracle=_pipeline_oracle())
+@query("pipe_curation_end_to_end", oracle=_pipeline_oracle)
 def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation pipeline as ONE composed plan:
     C4/Gopher-style quality filter (text_stats) → normalized-fingerprint

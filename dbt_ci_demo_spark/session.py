@@ -26,6 +26,7 @@ concurrency/timeout/priority (test_profiles/profiles.yml:11-13). Here Spark
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -90,4 +91,26 @@ def get_spark(
         except Exception:
             pass
     spark.sparkContext.setLogLevel("ERROR")
+    ensure_checkpoint_dir(spark)
     return spark
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> str:
+    """Set a reliable-checkpoint directory if the context has none.
+
+    Iterative/cache-heavy operators (dedup.minhash_*) truncate lineage with
+    ``DataFrame.checkpoint(eager=True)`` so their input caches can be
+    unpersisted before returning — reliable checkpoints write to this dir
+    and leave NOTHING pinned in executor storage (unlike localCheckpoint,
+    which holds its blocks for the session's lifetime). Locally this is a
+    temp dir; on a real cluster, point it at HDFS/S3 via an explicit
+    ``sc.setCheckpointDir`` before any query runs (this helper respects a
+    pre-set dir).
+    """
+    sc = spark.sparkContext
+    existing = sc.getCheckpointDir()
+    if existing:
+        return existing
+    path = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_ckpt_")
+    sc.setCheckpointDir(path)
+    return path

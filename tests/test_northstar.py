@@ -81,6 +81,46 @@ def test_minhash_xxhash64_production_path(spark, sf_dir):
     assert all(found[p] == md5_found[p] for p in common)
 
 
+def test_minhash_leaves_no_storage_pinned(spark, sf_dir):
+    """VERDICT r03 task 3: the minhash pipelines persist their shingle
+    tables internally; after the call returns, nothing new may remain in
+    executor storage (the result is reliable-checkpointed, caches
+    unpersisted). Delta-based so caches left by other tests don't bleed in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def pinned() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = pinned()
+    full = dd.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.7)
+    incr = dd.minhash_near_duplicates_against(corpus, batch, "text", "doc_id")
+    assert pinned() - before == set(), "minhash left caches pinned in storage"
+    # results stay usable after the caches are gone (lineage was truncated)
+    assert full.count() >= 0 and incr.count() >= 0
+
+
+def test_minhash_lazy_mode_composes_without_persist(spark, sf_dir):
+    """materialize=False returns a lazy, persist-free plan with the same
+    pairs as the eager path."""
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(400)
+
+    def pinned() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = pinned()
+    lazy = dd.minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.7, materialize=False
+    )
+    assert pinned() - before == set()
+    eager = dd.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.7)
+    assert {tuple(r) for r in lazy.collect()} == {tuple(r) for r in eager.collect()}
+    assert pinned() - before == set()
+
+
 def test_minhash_bad_hash_fn_rejected(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
     with pytest.raises(ValueError, match="hash_fn"):
