@@ -64,6 +64,11 @@ HEADLINE = [
     # foreachBatch MERGE sink path.
     "stream_tumbling_hourly",
     "stream_foreachbatch_merge",
+    # Corpus-wide text shuffles (VERDICT r03 task 6): full-corpus line-level
+    # dedup and unigram-LM scoring are in any real curation run; measure
+    # them round-over-round.
+    "text_line_dedup",
+    "text_unigram_logprob",
     # Production-hash dedup paths (bench-only, see _bench_only()).
     "dedup_simhash_xxhash64",
     "dedup_minhash_xxhash64",
@@ -120,6 +125,18 @@ def main() -> int:
     # Warm-up: JVM + codegen + parquet footer caches.
     regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Load-drift canary (VERDICT r03 task 2): BENCH_r03 was recorded while
+    # other Spark work shared the box and came out ~10-15% inflated, which
+    # misread a flat round as a regression. Re-time the same cheap query
+    # before and after the suite (min-of-3 each, so one GC pause can't trip
+    # it); if the two steady-state readings disagree by >15%, the machine's
+    # load changed mid-run — flag the JSON and exit nonzero so the driver
+    # re-runs instead of recording a contaminated file.
+    def canary() -> float:
+        return round(min(run("q1_pricing_summary") for _ in range(3)), 4)
+
+    canary_start = canary()
+
     # Best of two passes per query: reports steady-state execution rather
     # than whichever run ate a GC pause / first-codegen compile. Sub-second
     # queries get a third pass — at that duration a single GC pause or
@@ -132,6 +149,9 @@ def main() -> int:
         for name, t in times.items()
     }
     total = round(sum(times.values()), 4)
+    canary_end = canary()
+    ratio = round(max(canary_start, canary_end) / max(min(canary_start, canary_end), 1e-9), 4)
+    contaminated = ratio > 1.15
     print(
         json.dumps(
             {
@@ -140,10 +160,14 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "canary_start_sec": canary_start,
+                "canary_end_sec": canary_end,
+                "canary_ratio": ratio,
+                "contaminated": contaminated,
             }
         )
     )
-    return 0
+    return 3 if contaminated else 0
 
 
 if __name__ == "__main__":

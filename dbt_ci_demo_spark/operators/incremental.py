@@ -139,13 +139,23 @@ def cdc_apply(
     upserts. The feed is typically ≪ target, so the anti-join broadcasts
     the keys; target partitions without touched keys stream through
     untouched — delta-proportional cost at 100 TB, like merge_upsert.
+
+    The sort key ends with an xxhash64 over the full change row, making
+    the order TOTAL: two non-delete changes sharing (key, seq, op) but
+    carrying different payloads would otherwise have identical sort keys
+    and row_number would pick a run-to-run-varying winner. With the hash,
+    the winner is arbitrary-but-deterministic; rows that tie even on the
+    hash are identical in every column, so either is the same result.
     """
     keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
     from pyspark.sql.window import Window
 
     is_del = (F.col(op_col) == delete_op).cast("int")
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), is_del.desc(), F.col(op_col)
+        F.col(seq_col).desc(),
+        is_del.desc(),
+        F.col(op_col),
+        F.xxhash64(*[F.col(c) for c in changes.columns]),
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

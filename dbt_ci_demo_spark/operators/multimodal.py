@@ -21,7 +21,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -103,14 +103,25 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     return width, height, fmt
 
 
-def decode_image_metadata(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_image_metadata(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, int, str]] | None = None,
+) -> DataFrame:
     """Decode stage as mapInPandas: one Arrow batch in, one out. Output
-    schema is fixed (IMAGE_META_SCHEMA) so downstream SQL composes."""
+    schema is fixed (IMAGE_META_SCHEMA) so downstream SQL composes.
+
+    ``decoder`` is the codec seam (VERDICT r03 task 8): any picklable
+    ``bytes -> (width, height, format)`` callable — e.g. a PIL header
+    read — rides the identical Arrow plumbing; the deterministic stub
+    stays the default/oracle path. The callable is shipped inside the
+    mapInPandas closure, so it runs executor-side per batch."""
+    decode_one = decoder or _decode_image_stub
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["bytes"]
-            dims = [_decode_image_stub(p) for p in payloads]
+            dims = [decode_one(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -187,14 +198,23 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
     return sample_rate, n_samples
 
 
-def decode_audio_metadata(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_audio_metadata(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
     """Audio decode stage as Arrow-batched mapInPandas (one batch in, one
     out), mirroring decode_image_metadata. duration_s is an exact integer
-    count of seconds in double — identical in any engine."""
+    count of seconds in double — identical in any engine.
+
+    ``decoder`` is the codec seam: any picklable ``bytes ->
+    (sample_rate, n_samples)`` callable (e.g. a soundfile/WAV header
+    read) replaces the stub on the same Arrow plumbing."""
+    decode_one = decoder or _decode_audio_stub
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_decode_audio_stub(p) for p in pdf["bytes"]]
+            meta = [decode_one(p) for p in pdf["bytes"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -214,10 +234,13 @@ def audio_chunk_plan(audio_meta: DataFrame, chunk_s: int = 5) -> DataFrame:
     """Chunking plan for audio-shaped payloads: per-clip fixed-duration
     windows fanned out JVM-side (sequence + explode, no Python) — the
     downstream transcription/feature model touches only chunk boundaries.
-    The last chunk is clipped to the clip duration. Pure per-row fan-out:
-    no shuffle, parallel at any corpus size."""
+    The last chunk is clipped to the clip duration. Zero- or
+    negative-duration clips (possible with a real decoder returning 0
+    samples) produce NO chunk rows — without the filter, n_chunks=0 would
+    still yield a spurious (0, 0) chunk via greatest(n_chunks-1, 0).
+    Pure per-row fan-out: no shuffle, parallel at any corpus size."""
     n_chunks = F.ceil(F.col("duration_s") / F.lit(float(chunk_s))).cast("long")
-    chunks = audio_meta.select(
+    chunks = audio_meta.filter(F.col("duration_s") > 0).select(
         "doc_id",
         "sample_rate",
         "n_samples",

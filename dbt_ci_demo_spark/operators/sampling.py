@@ -117,7 +117,7 @@ def pack_token_windows(
     key_col: str,
     tokens_col: str,
     window_tokens: int = 1024,
-    shards: int = 8,
+    shards: int | None = None,
     seed: str = "pack",
 ) -> DataFrame:
     """Concat-and-chunk packing accounting (the GPT-pretraining data
@@ -133,9 +133,20 @@ def pack_token_windows(
     exactly how a 1000-executor job would emit 1000 packed streams.
     Zero-token documents are excluded (they occupy no window). All
     decisions are md5-hash + integer arithmetic: bit-identical in any
-    engine, stable under appends within a shard's suffix."""
-    if window_tokens < 1 or shards < 1:
+    engine, stable under appends within a shard's suffix.
+
+    ``shards`` caps the job's parallelism (one cumsum stream per shard),
+    so it must scale with the deployment, not be a constant: the default
+    derives from the larger of the input's scan partitions and the
+    cluster's default parallelism — on a 1000-core cluster an unset
+    ``shards`` yields ≥1000 independent packing streams. Pin ``shards``
+    explicitly whenever the packed layout must be reproducible across
+    differently-sized clusters (the registered oracle query does)."""
+    if window_tokens < 1 or (shards is not None and shards < 1):
         raise ValueError("window_tokens and shards must be >= 1")
+    if shards is None:
+        sc = df.sparkSession.sparkContext
+        shards = max(df.rdd.getNumPartitions(), sc.defaultParallelism, 1)
     key, toks = F.col(key_col), F.col(tokens_col).cast("long")
     shard = hash_bucket(key, seed, shards)
     staged = df.select(

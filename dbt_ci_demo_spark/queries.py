@@ -1378,6 +1378,8 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "dedup_containment",
+    "text_source_quality",
     "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

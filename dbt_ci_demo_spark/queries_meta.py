@@ -130,6 +130,62 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW)
 
 
+_CONT_CAP = 20
+_CONT_MIN_SHARED = 2
+_CONT_THR = 0.3
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH fps AS ({_winnow_oracle()}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    kept AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint
+      HAVING count(*) >= 2 AND count(*) <= {_CONT_CAP}
+    ),
+    r AS (SELECT f.doc_id, f.fingerprint FROM fps f JOIN kept USING (fingerprint)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM r a JOIN r b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.shared,
+           round(p.shared::DOUBLE / least(sa.n, sb.n), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE p.shared >= {_CONT_MIN_SHARED}
+      AND round(p.shared::DOUBLE / least(sa.n, sb.n), 6) >= {_CONT_THR}
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment/partial-overlap candidates from shared winnowing
+    fingerprints — catches a short document embedded inside a longer one,
+    where MinHash resemblance stays near zero (the plagiarism-detection
+    gap in symmetric near-dup). Stop-hash df-cap bounds every fingerprint
+    bucket's pair fan-out (operators/dedup.containment_candidates), so
+    the plan is linear in corpus size with no all-pairs stage."""
+    from dbt_ci_demo_spark.operators import dedup as dd
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    fps = tx.winnow_fingerprints(
+        docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW
+    )
+    return dd.containment_candidates(
+        fps,
+        "doc_id",
+        max_doc_freq=_CONT_CAP,
+        min_shared=_CONT_MIN_SHARED,
+        min_containment=_CONT_THR,
+    )
+
+
 @query(
     "flagship_distinct_preagg",
     oracle="""

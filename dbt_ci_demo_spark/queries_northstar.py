@@ -1051,6 +1051,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_source_quality",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS hh, n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (SELECT hh, count(*) AS cnt FROM h GROUP BY hh)
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           round(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS dup_rate,
+           round(avg(h.n_chars), 6) AS avg_chars,
+           CAST(sum(h.toks) AS BIGINT) AS total_tokens
+    FROM h JOIN c USING (hh)
+    GROUP BY h.source
+    """,
+)
+def text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document count, exact-duplicate
+    rate (share of docs whose md5(text) occurs ≥2× corpus-wide), mean
+    length, and total whitespace tokens — the aggregate that feeds
+    source-mixture planning (``source_mixture_sample`` fractions are set
+    from exactly these numbers in a real pipeline).
+
+    Plan: one shuffle for the corpus-wide content-hash counts, a
+    co-partitioned join back on the hash (AQE skew-split handles
+    boilerplate heavy-hitters), then a tiny per-source aggregate. Token
+    and char sums ride the same scan."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.col("text")).alias("hh"),
+        "n_chars",
+        tx.token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    c = d.groupBy("hh").agg(F.count(F.lit(1)).alias("cnt"))
+    is_dup = (F.col("cnt") > 1).cast("int")
+    return (
+        d.join(c, on="hh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("dup_docs"),
+            F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_rate"
+            ),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("toks").alias("total_tokens"),
+        )
+    )
+
+
+@query(
     "text_bigram_topk",
     oracle="""
     WITH toks AS (

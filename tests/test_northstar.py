@@ -127,6 +127,32 @@ def test_minhash_bad_hash_fn_rejected(spark, sf_dir):
         dd.minhash_near_duplicates(docs, "text", "doc_id", hash_fn="sha1").collect()
 
 
+def test_containment_detects_embedded_doc(spark):
+    """containment_candidates catches a short doc CONTAINED in a long one
+    (where MinHash resemblance ~ |short|/|long| stays under any sane
+    threshold), and the stop-hash cap drops corpus-wide boilerplate."""
+    from dbt_ci_demo_spark.operators import text as tx
+
+    core = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [
+        (1, core + " and then walks far away into the hills beyond the old farm gate"),
+        (2, core),  # fully contained in doc 1
+        (3, "completely different content about spark adaptive query execution plans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_candidates(
+            fps, "doc_id", max_doc_freq=10, min_shared=2, min_containment=0.5
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 0.9, out
+    assert not any(3 in pair for pair in out), out
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        dd.containment_candidates(fps, "doc_id", max_doc_freq=1)
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
     sig = dd.simhash32(docs, "text", "doc_id")
@@ -297,6 +323,88 @@ def test_multimodal_pipeline(spark, sf_dir):
     plan = mm.frame_sample_plan(media, every_n_bytes=100)
     prow = plan.groupBy("doc_id").count().collect()
     assert all(r["count"] >= 1 for r in prow)
+
+
+def test_multimodal_real_shaped_decoder_seam(spark):
+    """VERDICT r03 task 8: a decoder that parses REAL file-format headers
+    (PNG IHDR, WAV RIFF/fmt/data) must ride the same Arrow plumbing as
+    the stub — fixed byte vectors in, exact parsed metadata out. The stub
+    remains the default/oracle path; this pins the seam's contract so a
+    production PIL/soundfile codec is a drop-in."""
+    import struct
+
+    import pandas as pd
+
+    def png(width: int, height: int) -> bytes:
+        ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"
+        )
+
+    def wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+        block = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+        )
+        data_size = n_samples * block
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_size)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + fmt
+            + b"data"
+            + struct.pack("<I", data_size)
+            + b"\x00" * data_size
+        )
+
+    def png_decoder(payload: bytes):
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        assert payload[12:16] == b"IHDR"
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h), "png"
+
+    def wav_decoder(payload: bytes):
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not a WAV"
+        _, channels, rate, _, block, _ = struct.unpack("<HHIIHH", payload[20:36])
+        assert payload[36:40] == b"data"
+        (data_size,) = struct.unpack("<I", payload[40:44])
+        return int(rate), int(data_size // block)
+
+    img_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [png(640, 480), png(31, 7)]}),
+        "doc_id long, payload binary",
+    )
+    img_media = mm.attach_media_column(img_df, "payload", "doc_id")
+    meta = {
+        r.doc_id: (r.width, r.height, r.format)
+        for r in mm.decode_image_metadata(img_media, decoder=png_decoder).collect()
+    }
+    assert meta == {1: (640, 480, "png"), 2: (31, 7, "png")}
+
+    aud_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                # doc 3: a real-decoder edge the stub can't produce — 0 samples
+                "payload": [wav(16000, 16000 * 3), wav(8000, 4000), wav(44100, 0)],
+            }
+        ),
+        "doc_id long, payload binary",
+    )
+    aud_media = mm.attach_media_column(aud_df, "payload", "doc_id", modality="audio")
+    ameta = mm.decode_audio_metadata(aud_media, decoder=wav_decoder)
+    parsed = {r.doc_id: (r.sample_rate, r.n_samples, r.duration_s) for r in ameta.collect()}
+    assert parsed == {1: (16000, 48000, 3.0), 2: (8000, 4000, 0.5), 3: (44100, 0, 0.0)}
+    # ADVICE r03: zero-duration clips produce NO chunk rows (no spurious (0,0))
+    chunks = mm.audio_chunk_plan(ameta, chunk_s=2)
+    per_doc = {r.doc_id: r["count"] for r in chunks.groupBy("doc_id").count().collect()}
+    assert per_doc == {1: 2, 2: 1}
 
 
 def test_multimodal_decode_error_path(spark):

@@ -331,6 +331,26 @@ def test_cdc_apply_semantics(spark):
     assert out == {1: "a2", 4: "d", 5: "e"}
 
 
+def test_cdc_apply_duplicate_seq_deterministic(spark):
+    """ADVICE r03: two non-delete changes sharing (key, seq, op) but
+    carrying different payloads must resolve to ONE deterministic winner
+    (the row-hash tie-break makes the sort a total order), stable under
+    re-partitioning of the feed."""
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply
+
+    target = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    changes = spark.createDataFrame(
+        [(1, "p1", 1, "U"), (1, "p2", 1, "U"), (1, "p3", 1, "U")],
+        "id bigint, v string, seq int, op string",
+    )
+    winners = set()
+    for parts in (1, 2, 7):
+        out = cdc_apply(target, changes.repartition(parts), "id", "seq").collect()
+        assert len(out) == 1
+        winners.add(out[0].v)
+    assert len(winners) == 1, f"nondeterministic winner: {winners}"
+
+
 def test_env_namespace_resolution():
     assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
     assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"
