@@ -122,16 +122,25 @@ def main() -> int:
         regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warm-up: JVM + codegen + parquet footer caches.
-    regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: JVM + codegen + parquet footer caches (3 passes — one is
+    # not enough to reach steady tiered-JIT state for the canary below).
+    for _ in range(3):
+        regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Load-drift canary (VERDICT r03 task 2): BENCH_r03 was recorded while
     # other Spark work shared the box and came out ~10-15% inflated, which
     # misread a flat round as a regression. Re-time the same cheap query
     # before and after the suite (min-of-3 each, so one GC pause can't trip
-    # it); if the two steady-state readings disagree by >15%, the machine's
-    # load changed mid-run — flag the JSON and exit nonzero so the driver
-    # re-runs instead of recording a contaminated file.
+    # it). Thresholds are asymmetric because the two directions mean
+    # different things: end SLOWER than start (>15%) = external load
+    # arrived mid-run — contaminated; end FASTER than start is the
+    # expected C2-tiering direction after ~100 query executions (measured
+    # 1.23-1.26x on a clean box), so only a >40% speed-up — more than JIT
+    # delivers — flags load that was present at the start and decayed.
+    # On contamination: still print the JSON (fields are diagnostic) but
+    # exit rc 3 so the driver re-runs instead of recording a loaded-box
+    # file. Same-load-throughout is undetectable from inside one run; the
+    # canary fields are recorded per round so drift across rounds shows.
     def canary() -> float:
         return round(min(run("q1_pricing_summary") for _ in range(3)), 4)
 
@@ -150,8 +159,8 @@ def main() -> int:
     }
     total = round(sum(times.values()), 4)
     canary_end = canary()
-    ratio = round(max(canary_start, canary_end) / max(min(canary_start, canary_end), 1e-9), 4)
-    contaminated = ratio > 1.15
+    ratio = round(canary_end / max(canary_start, 1e-9), 4)
+    contaminated = ratio > 1.15 or ratio < 1.0 / 1.4
     print(
         json.dumps(
             {
