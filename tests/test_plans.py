@@ -93,6 +93,12 @@ def test_whitelist_is_tight(spark, sf_dir):
         ("events_funnel_conversion", ["PushedFilters: [IsNotNull(event_type)"]),
         # label centroids: the scan must read only (label, embedding).
         ("emb_label_centroids", ["ReadSchema: struct<embedding:array<float>,label:int>"]),
+        # line dedup (VERDICT r03 task 4): the count/anti-join key must be
+        # the 8-byte xxhash64 of the line, not the line string.
+        ("text_line_dedup", ["xxhash64"]),
+        # source quality: scan must prune to (text, source, n_chars) —
+        # doc_id and lang are not read.
+        ("text_source_quality", ["ReadSchema: struct<text:string,source:string,n_chars:bigint>"]),
     ],
 )
 def test_scan_pushdown(spark, sf_dir, name, expectations):
