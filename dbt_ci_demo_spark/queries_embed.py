@@ -343,13 +343,12 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge from the fixed-iteration oracle: once an assignment repeats,
     centroids, seeds, and all later rounds repeat identically.
 
-    Loop discipline mirrors connected_components (operators/dedup.py):
-    the corpus is localCheckpointed once (iterative reuse without
-    re-scanning lineage), per-round state (assignment, k×d seed table) is
-    localCheckpointed to keep lineage O(1), the seed table is broadcast
-    (k rows) so each round is ONE shuffle (the centroid update), and the
-    only driver-side values are the per-round moved-counter — the
-    sanctioned scalar read."""
+    Loop discipline (see _kmeans_loop): the corpus is checkpointed once,
+    each round pins only the k×d centroid table (assignments stay a
+    transient stage — never a corpus-sized checkpoint), the seed table
+    is broadcast (k rows) so each round is ONE shuffle (the centroid
+    update), and the only driver-side value is the per-round
+    changed-seed count over k rows — the sanctioned scalar read."""
     cent, _seeds, _base = _kmeans_loop(spark, sf_dir)
     return cent.select(
         "cluster_id",
@@ -371,7 +370,21 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
     """Run the Lloyd loop; returns (cent, seeds, base) where cent holds
     the final (cluster_id, dim, s, n) sums, seeds the final re-quantized
     integer seed table (cluster_id, sq), and base the quantized corpus
-    (vec_id, q)."""
+    (vec_id, q).
+
+    Per-round state discipline (r04): the ONLY corpus-sized pinned table
+    is ``base`` (checkpointed once — iterative reuse without re-scanning
+    lineage). Each round pins just the k×d ``cent`` table: the
+    assignment is a transient stage inside the centroid-update job, NOT
+    a per-round checkpoint — through r03 every round localCheckpointed a
+    corpus-sized assignment table that Spark cannot release (unpersist
+    on a local checkpoint is a guarded no-op), so a 20-round run held 20
+    corpus-sized tables in executor storage. Convergence is now detected
+    on the re-quantized SEED table (k rows, exact integer arrays):
+    seeds_t == seeds_{t-1} ⟺ the assignment repeated ⟹ cent_t ==
+    cent_{t-1} bit-for-bit, so the early-stopped output is unchanged —
+    and the corpus-sized moved-counter join is replaced by a k-row
+    comparison."""
     emb = _t(spark, sf_dir, "embeddings")
     quant = F.transform(
         F.col("embedding").cast("array<double>"),
@@ -382,31 +395,21 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
     )
     idot = _kmeans_idot
-    prev_assigned, cent = None, None
+    from pyspark.sql.window import Window
+
+    cent = None
     for _ in range(_KM_ITERS):
         scored = base.crossJoin(F.broadcast(seeds)).select(
             "vec_id",
             "cluster_id",
             (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
         )
-        from pyspark.sql.window import Window
-
         w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster_id")
-            .localCheckpoint()
         )
-        if prev_assigned is not None:
-            moved = (
-                assigned.alias("a")
-                .join(prev_assigned.alias("p"), "vec_id")
-                .filter(F.col("a.cluster_id") != F.col("p.cluster_id"))
-                .count()
-            )
-            if moved == 0:
-                break
         cent = (
             assigned.join(base, "vec_id")
             .select("cluster_id", F.posexplode(F.col("q")).alias("dim", "fx"))
@@ -415,7 +418,7 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
             .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        seeds = cent.groupBy("cluster_id").agg(
+        new_seeds = cent.groupBy("cluster_id").agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(
@@ -428,7 +431,19 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
                 lambda st: st["fx"],
             ).alias("sq")
         )
-        prev_assigned = assigned
+        changed = (
+            new_seeds.alias("n")
+            .join(seeds.alias("o"), on="cluster_id", how="full_outer")
+            .filter(
+                F.col("n.sq").isNull()
+                | F.col("o.sq").isNull()
+                | (F.col("n.sq") != F.col("o.sq"))
+            )
+            .count()
+        )
+        seeds = new_seeds
+        if changed == 0:
+            break
     return cent, seeds, base
 
 

@@ -32,13 +32,18 @@ def test_minhash_finds_injected_dups(spark, sf_dir):
 
 def test_connected_components_chain_and_islands(spark):
     """Transitivity across a chain (no direct A-C pair), separate
-    components, and survivor marking."""
+    components, and survivor marking. Also (r04): the loop leaves nothing
+    pinned in executor storage — labels are reliable-checkpointed (disk),
+    edges unpersisted on exit."""
     pairs = spark.createDataFrame(
         # chain 1-2-3-4, island pair 10-11, triangle 20-21-22
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a bigint, id_b bigint",
     )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dd.duplicate_clusters(pairs).collect()}
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "connected_components left caches pinned"
     assert out == {
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
         10: (10, True), 11: (10, False),
