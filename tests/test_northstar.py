@@ -51,6 +51,40 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_star_components_match_minlabel_and_beat_diameter(spark):
+    """connected_components_star (large-star/small-star alternation) must
+    produce the same (node, component-min) labeling as min-label
+    propagation on arbitrary graphs — and converge on a 64-hop chain,
+    whose diameter exceeds min-label's 25-round budget (the case the
+    SCALE audit reserves this operator for: O(log d) vs O(d) rounds)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(1, 120))
+    random_pairs = [
+        (min(a, b), max(a, b))
+        for a, b in (rng.sample(nodes, 2) for _ in range(90))
+    ]
+    df = spark.createDataFrame(sorted(set(random_pairs)), "id_a bigint, id_b bigint")
+    star = {(r.id, r.component) for r in dd.connected_components_star(df).collect()}
+    minl = {(r.id, r.component) for r in dd.connected_components(df).collect()}
+    assert star == minl
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 65)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dd.connected_components(chain, max_iter=25)
+    out = {r.id: r.component for r in dd.connected_components_star(chain).collect()}
+    assert out == {i: 1 for i in range(1, 66)}
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dd.connected_components_star(empty).count() == 0
+    # self-pair singleton labels itself
+    single = spark.createDataFrame([(9, 9)], "id_a bigint, id_b bigint")
+    assert {tuple(r) for r in dd.connected_components_star(single).collect()} == {(9, 9)}
+
+
 def test_connected_components_empty_and_bound(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dd.duplicate_clusters(empty).count() == 0
