@@ -192,6 +192,39 @@ def test_containment_detects_embedded_doc(spark):
         dd.containment_candidates(fps, "doc_id", max_doc_freq=1)
 
 
+def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """The corpus near-dup index is a real storable artifact: build it
+    once, write shingles+bands to parquet, read them back, and admission
+    via corpus_index must (a) return the exact pairs of the recompute
+    path and (b) never touch the corpus DataFrame at all (corpus=None
+    proves no corpus-side computation happens)."""
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(600)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    direct = {
+        tuple(r)
+        for r in dd.minhash_near_duplicates_against(
+            corpus, batch, "text", "doc_id"
+        ).collect()
+    }
+    sh, bd = dd.build_minhash_index(corpus, "text", "doc_id")
+    sh.write.mode("overwrite").parquet(str(tmp_path / "sh"))
+    bd.write.mode("overwrite").parquet(str(tmp_path / "bd"))
+    idx = (
+        spark.read.parquet(str(tmp_path / "sh")),
+        spark.read.parquet(str(tmp_path / "bd")),
+    )
+    via_index = {
+        tuple(r)
+        for r in dd.minhash_near_duplicates_against(
+            None, batch, "text", "doc_id", corpus_index=idx
+        ).collect()
+    }
+    assert via_index == direct
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
     sig = dd.simhash32(docs, "text", "doc_id")
