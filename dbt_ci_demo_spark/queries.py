@@ -1378,6 +1378,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "dedup_cluster_star",
     "dedup_containment",
     "text_source_quality",
     "events_retention_cohorts",

@@ -488,6 +488,24 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(pairs)
 
 
+@query("dedup_cluster_star", oracle=_cluster_components_oracle)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering result via the large-star/small-star alternation
+    (operators/dedup.connected_components_star, Kiveris et al. SoCC'14)
+    — the O(log diameter) variant for high-diameter general graphs.
+    Deliberately value-checked against the SAME unrolled min-label
+    oracle as dedup_cluster_components: both algorithms must label every
+    node with its component minimum, so a hash match here certifies the
+    star rewriting end-to-end, not just on toy graphs."""
+    pairs = dd.simhash_near_duplicates(_docs_dup(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    cc = dd.connected_components_star(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
