@@ -130,19 +130,21 @@ def main() -> int:
     # Load-drift canary (VERDICT r03 task 2): BENCH_r03 was recorded while
     # other Spark work shared the box and came out ~10-15% inflated, which
     # misread a flat round as a regression. Re-time the same cheap query
-    # before and after the suite (min-of-3 each, so one GC pause can't trip
-    # it). Thresholds are asymmetric because the two directions mean
-    # different things: end SLOWER than start (>15%) = external load
-    # arrived mid-run — contaminated; end FASTER than start is the
-    # expected C2-tiering direction after ~100 query executions (measured
-    # 1.23-1.26x on a clean box), so only a >40% speed-up — more than JIT
-    # delivers — flags load that was present at the start and decayed.
+    # before and after the suite (min-of-5 each — the min over 5 is a
+    # floor estimator that only shifts under SUSTAINED load; idle-box
+    # min-of-3 readings were seen to jitter past a 15% bar). Thresholds
+    # are asymmetric because the two directions mean different things:
+    # end SLOWER than start by >20% = external load arrived mid-run —
+    # contaminated; end FASTER than start is the expected C2-tiering
+    # direction after ~100 query executions (measured 1.23-1.26x on a
+    # clean box), so only a >40% speed-up — more than JIT delivers —
+    # flags load that was present at the start and decayed.
     # On contamination: still print the JSON (fields are diagnostic) but
     # exit rc 3 so the driver re-runs instead of recording a loaded-box
     # file. Same-load-throughout is undetectable from inside one run; the
     # canary fields are recorded per round so drift across rounds shows.
     def canary() -> float:
-        return round(min(run("q1_pricing_summary") for _ in range(3)), 4)
+        return round(min(run("q1_pricing_summary") for _ in range(5)), 4)
 
     canary_start = canary()
 
@@ -160,7 +162,7 @@ def main() -> int:
     total = round(sum(times.values()), 4)
     canary_end = canary()
     ratio = round(canary_end / max(canary_start, 1e-9), 4)
-    contaminated = ratio > 1.15 or ratio < 1.0 / 1.4
+    contaminated = ratio > 1.2 or ratio < 1.0 / 1.4
     print(
         json.dumps(
             {
