@@ -167,6 +167,67 @@ def cdc_apply(
     return kept.unionByName(upserts)
 
 
+def cdc_apply_versioned(
+    state: DataFrame,
+    changes: DataFrame,
+    unique_key: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Out-of-order/replay-safe CDC apply. Unlike :func:`cdc_apply` —
+    which assumes each batch's changes are newer than the target and
+    would let a replayed OLD update overwrite or resurrect a newer row —
+    the state here RETAINS the sequence column and keeps deletes as
+    TOMBSTONE rows, so applying batches in any order (or twice)
+    converges to the same state: per key, the max-seq row across
+    state ∪ changes wins (max is associative and commutative, which is
+    exactly what makes the operator batch-order-independent).
+
+    ``state`` carries the same columns as ``changes`` (payload + seq +
+    op); bootstrap an initial state from a plain table with
+    ``seq = 0, op = 'U'``. Live rows are ``state.filter(op != 'D')``
+    (:func:`cdc_live`); tombstones are retained so late-arriving older
+    updates cannot resurrect deleted keys — compact them away only past
+    the feed's maximum replay horizon.
+
+    Ties: same-seq delete beats update; a feed row beats an identical-
+    rank state row (new knowledge wins); a final full-row hash makes the
+    order total. Plan shape: one anti-join splits the untouched state
+    (streams through, feed-proportional cost like merge_upsert), one
+    semi-join pulls the touched state rows into the feed-sized window.
+    """
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    from pyspark.sql.window import Window
+
+    cols = state.columns
+    feed_keys = changes.select(*keys).distinct()
+    untouched = state.join(feed_keys, on=keys, how="left_anti")
+    touched = state.join(feed_keys, on=keys, how="left_semi")
+    merged = touched.withColumn("__src", F.lit(0)).unionByName(
+        changes.select(*cols).withColumn("__src", F.lit(1))
+    )
+    is_del = (F.col(op_col) == delete_op).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        is_del.desc(),
+        F.col("__src").desc(),
+        F.col(op_col),
+        F.xxhash64(*[F.col(c) for c in cols]),
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
+    )
+    return untouched.unionByName(latest)
+
+
+def cdc_live(state: DataFrame, op_col: str = "op", delete_op: str = "D") -> DataFrame:
+    """Consumer view of a versioned CDC state: rows minus tombstones."""
+    return state.filter(F.col(op_col) != delete_op)
+
+
 def max_watermark(target: DataFrame, column: str):
     """``_dbt_max_partition`` / is_incremental() watermark scalar
     (bq_insert_overwrite @34992 declare block; is_incremental @157947):

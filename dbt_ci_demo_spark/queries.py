@@ -498,10 +498,10 @@ def incr_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORD_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
-
-@query(
-    "incr_cdc_apply",
-    oracle=f"""
+# Shared by incr_cdc_apply (in-order apply) and incr_cdc_versioned
+# (same feed applied OUT of order): latest-op-wins over the whole feed is
+# the ground truth both must reach.
+_CDC_ORACLE = f"""
     WITH changes AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
              o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
@@ -532,16 +532,12 @@ _ORD_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_
     WHERE l.o_orderkey IS NULL
     UNION ALL
     SELECT {_ORD_COLS} FROM latest WHERE op != 'D'
-    """,
-)
-def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC change-feed apply (operators/incremental.cdc_apply): a derived
-    replication log with conflicting I/U/D ops per key — updates at seq 1,
-    deletes and competing updates at seq 2 (the same-seq D+U tie resolves
-    to the delete), inserts under fresh keys — applied latest-op-wins onto
-    the orders table. Generalizes the reference's MERGE materialization
-    (default__get_merge_sql @89014) to log-structured input."""
-    o = _t(spark, sf_dir, "orders")
+    """
+
+
+def _cdc_change_batches(o: DataFrame):
+    """The shared CDC fixture, as (seq-1 batch, seq-2 batch): updates and
+    fresh-key inserts at seq 1; deletes and competing updates at seq 2."""
     key = F.col("o_orderkey")
     u1 = (
         o.filter(key % 2 == 0)
@@ -563,8 +559,39 @@ def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.lit(1))
         .withColumn("op", F.lit("I"))
     )
-    changes = u1.unionByName(d2).unionByName(u2).unionByName(i1)
-    return incr.cdc_apply(o, changes, "o_orderkey", "seq", "op")
+    return u1.unionByName(i1), d2.unionByName(u2)
+
+
+@query("incr_cdc_apply", oracle=_CDC_ORACLE)
+def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply (operators/incremental.cdc_apply): a derived
+    replication log with conflicting I/U/D ops per key — updates at seq 1,
+    deletes and competing updates at seq 2 (the same-seq D+U tie resolves
+    to the delete), inserts under fresh keys — applied latest-op-wins onto
+    the orders table. Generalizes the reference's MERGE materialization
+    (default__get_merge_sql @89014) to log-structured input."""
+    o = _t(spark, sf_dir, "orders")
+    b1, b2 = _cdc_change_batches(o)
+    return incr.cdc_apply(o, b1.unionByName(b2), "o_orderkey", "seq", "op")
+
+
+@query("incr_cdc_versioned", oracle=_CDC_ORACLE)
+def incr_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC (operators/incremental.cdc_apply_versioned): the
+    SAME change feed as incr_cdc_apply, but the seq-2 batch (deletes +
+    competing updates) is applied FIRST and the seq-1 batch replayed
+    AFTER — the arrival order a real replication log produces under
+    partition lag or a backfill. The versioned state retains seq and
+    keeps tombstones, so the late-arriving older updates neither
+    overwrite the newer rows nor resurrect the deleted keys, and the
+    result hash-matches the in-order single-shot oracle. (The plain
+    cdc_apply would get every %10 key wrong under this ordering.)"""
+    o = _t(spark, sf_dir, "orders")
+    b1, b2 = _cdc_change_batches(o)
+    state = o.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
+    state = incr.cdc_apply_versioned(state, b2, "o_orderkey", "seq", "op")
+    state = incr.cdc_apply_versioned(state, b1, "o_orderkey", "seq", "op")
+    return incr.cdc_live(state).select(*o.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -1378,6 +1405,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "incr_cdc_versioned",
     "dedup_cluster_star",
     "dedup_containment",
     "text_source_quality",

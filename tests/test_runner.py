@@ -351,6 +351,44 @@ def test_cdc_apply_duplicate_seq_deterministic(spark):
     assert len(winners) == 1, f"nondeterministic winner: {winners}"
 
 
+def test_cdc_versioned_batch_order_invariant(spark):
+    """cdc_apply_versioned must converge to the same live state for EVERY
+    application order of the feed's batches (max-seq over tombstoned
+    state is associative/commutative), including replays — the property
+    the plain cdc_apply lacks. Covers the resurrect case: a delete at
+    seq 3 applied before an update at seq 2 must stay deleted."""
+    from itertools import permutations
+
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned, cdc_live
+
+    target = spark.createDataFrame(
+        [(1, "a", 0, "U"), (2, "b", 0, "U"), (3, "c", 0, "U")],
+        "id bigint, v string, seq int, op string",
+    )
+    batches = [
+        spark.createDataFrame(rows, "id bigint, v string, seq int, op string")
+        for rows in (
+            [(1, "a2", 2, "U"), (2, "bX", 3, "D")],   # newest ops
+            [(2, "b2", 2, "U"), (4, "d", 1, "I")],    # older update for deleted key
+            [(1, "a1", 1, "U"), (3, "c1", 1, "U")],   # oldest updates
+        )
+    ]
+    results = set()
+    for order in permutations(range(3)):
+        state = target
+        for i in order:
+            state = cdc_apply_versioned(state, batches[i], "id", "seq")
+        live = frozenset((r.id, r.v) for r in cdc_live(state).collect())
+        results.add(live)
+    assert results == {frozenset({(1, "a2"), (3, "c1"), (4, "d")})}, results
+    # replaying a batch is a no-op
+    replayed = cdc_apply_versioned(
+        cdc_apply_versioned(target, batches[0], "id", "seq"), batches[0], "id", "seq"
+    )
+    once = cdc_apply_versioned(target, batches[0], "id", "seq")
+    assert {tuple(r) for r in replayed.collect()} == {tuple(r) for r in once.collect()}
+
+
 def test_env_namespace_resolution():
     assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
     assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"
