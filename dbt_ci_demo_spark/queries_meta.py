@@ -87,11 +87,11 @@ _WINNOW_K = 8
 _WINNOW_WINDOW = 4
 
 
-def _winnow_oracle() -> str:
+def _winnow_oracle(src: str = "documents") -> str:
     k, w = _WINNOW_K, _WINNOW_WINDOW
     return f"""
     WITH norm AS (
-      SELECT doc_id, lower(text) AS t FROM documents
+      SELECT doc_id, lower(text) AS t FROM {src}
     ),
     hashed AS (
       SELECT doc_id,
@@ -134,10 +134,30 @@ _CONT_CAP = 20
 _CONT_MIN_SHARED = 2
 _CONT_THR = 0.3
 
+# Containment fixture: every 31st document spawns a HOST (its text with a
+# doc-unique quoted passage appended) and a FRAGMENT doc that is exactly
+# that passage — the short-quote-inside-long-doc shape the operator
+# exists to catch. The passage embeds md5(doc_id), so its k-grams are
+# globally unique: the pair's shared fingerprints have document-frequency
+# 2 and SURVIVE the stop-hash cap at every scale factor (the synthetic
+# corpus's own template sentences blow past the cap as the corpus grows,
+# which is why un-salted fragments vanish at sf0.1).
+_CONT_SRC = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "concat(text, ' quoted passage ', md5(CAST(doc_id AS VARCHAR)), ' end') AS text "
+    "FROM documents WHERE doc_id % 31 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 2000000 AS doc_id, "
+    "concat('quoted passage ', md5(CAST(doc_id AS VARCHAR)), ' end') AS text "
+    "FROM documents WHERE doc_id % 31 = 0)"
+)
+
 
 def _containment_oracle() -> str:
     return f"""
-    WITH fps AS ({_winnow_oracle()}),
+    WITH fps AS ({_winnow_oracle(src=_CONT_SRC)}),
     sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
     kept AS (
       SELECT fingerprint FROM fps GROUP BY fingerprint
@@ -166,13 +186,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     where MinHash resemblance stays near zero (the plagiarism-detection
     gap in symmetric near-dup). Stop-hash df-cap bounds every fingerprint
     bucket's pair fan-out (operators/dedup.containment_candidates), so
-    the plan is linear in corpus size with no all-pairs stage."""
+    the plan is linear in corpus size with no all-pairs stage. The
+    fixture spawns, for every 31st document, a host carrying a
+    doc-unique quoted passage and a fragment doc that IS that passage
+    (disjoint id ranges), so genuine containment pairs exist — and must
+    be recovered through the stop-hash cap — at every scale factor."""
     from dbt_ci_demo_spark.operators import dedup as dd
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = base.filter(F.col("doc_id") % 31 == 0)
+    quote = F.concat(
+        F.lit("quoted passage "), F.md5(F.col("doc_id").cast("string")), F.lit(" end")
+    )
+    hosts = marked.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), quote).alias("text"),
+    )
+    frags = marked.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), quote.alias("text")
+    )
+    docs = base.unionByName(hosts).unionByName(frags).repartition(
+        spark.sparkContext.defaultParallelism
     )
     fps = tx.winnow_fingerprints(
         docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_WINDOW
