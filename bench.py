@@ -69,6 +69,10 @@ HEADLINE = [
     # them round-over-round.
     "text_line_dedup",
     "text_unigram_logprob",
+    # r04 corpus ops: winnowing-fingerprint containment (stop-hash capped
+    # pair generation) and the per-source mixture-planning aggregate.
+    "dedup_containment",
+    "text_source_quality",
     # Production-hash dedup paths (bench-only, see _bench_only()).
     "dedup_simhash_xxhash64",
     "dedup_minhash_xxhash64",
