@@ -191,9 +191,13 @@ def cdc_apply_versioned(
     updates cannot resurrect deleted keys — compact them away only past
     the feed's maximum replay horizon.
 
-    Ties: same-seq delete beats update; a feed row beats an identical-
-    rank state row (new knowledge wins); a final full-row hash makes the
-    order total. Plan shape: one anti-join splits the untouched state
+    Ties: same-seq delete beats update; then the full-row content hash
+    decides, so the winner depends ONLY on row content — never on which
+    batch carried it — keeping the merge commutative and associative
+    even when two batches disagree at the same (key, seq, op). The
+    ``__src`` column breaks only content-identical ties (a no-op for the
+    result set; it just makes replay of an exact duplicate stable).
+    Plan shape: one anti-join splits the untouched state
     (streams through, feed-proportional cost like merge_upsert), one
     semi-join pulls the touched state rows into the feed-sized window.
     """
@@ -211,9 +215,9 @@ def cdc_apply_versioned(
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
         is_del.desc(),
-        F.col("__src").desc(),
         F.col(op_col),
         F.xxhash64(*[F.col(c) for c in cols]),
+        F.col("__src").desc(),
     )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))

@@ -137,16 +137,18 @@ def pack_token_windows(
 
     ``shards`` caps the job's parallelism (one cumsum stream per shard),
     so it must scale with the deployment, not be a constant: the default
-    derives from the larger of the input's scan partitions and the
-    cluster's default parallelism — on a 1000-core cluster an unset
-    ``shards`` yields ≥1000 independent packing streams. Pin ``shards``
-    explicitly whenever the packed layout must be reproducible across
-    differently-sized clusters (the registered oracle query does)."""
+    is the cluster's default parallelism — on a 1000-core cluster an
+    unset ``shards`` yields 1000 independent packing streams. (Derived
+    from ``defaultParallelism`` alone, NOT ``df.rdd.getNumPartitions()``:
+    touching ``.rdd`` forces a full DataFrame→RDD conversion plan, a real
+    cost at 100 TB, and scan-partition counts are an input-size artifact
+    rather than a parallelism target.) Pin ``shards`` explicitly whenever
+    the packed layout must be reproducible across differently-sized
+    clusters (the registered oracle query does)."""
     if window_tokens < 1 or (shards is not None and shards < 1):
         raise ValueError("window_tokens and shards must be >= 1")
     if shards is None:
-        sc = df.sparkSession.sparkContext
-        shards = max(df.rdd.getNumPartitions(), sc.defaultParallelism, 1)
+        shards = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     key, toks = F.col(key_col), F.col(tokens_col).cast("long")
     shard = hash_bucket(key, seed, shards)
     staged = df.select(

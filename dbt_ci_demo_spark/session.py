@@ -25,7 +25,9 @@ concurrency/timeout/priority (test_profiles/profiles.yml:11-13). Here Spark
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -61,6 +63,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
@@ -106,6 +109,13 @@ def ensure_checkpoint_dir(spark: SparkSession) -> str:
     temp dir; on a real cluster, point it at HDFS/S3 via an explicit
     ``sc.setCheckpointDir`` before any query runs (this helper respects a
     pre-set dir).
+
+    Disk hygiene for long-lived sessions (bench loops, daily admissions):
+    the owned temp dir is removed at interpreter exit, and
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+    :func:`get_spark`) lets the ContextCleaner delete individual
+    checkpoint files once their RDDs are GC'd, so repeated iterative
+    operators don't accumulate unbounded checkpoint state mid-session.
     """
     sc = spark.sparkContext
     existing = sc.getCheckpointDir()
@@ -113,4 +123,5 @@ def ensure_checkpoint_dir(spark: SparkSession) -> str:
         return existing
     path = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_ckpt_")
     sc.setCheckpointDir(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path

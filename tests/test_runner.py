@@ -389,6 +389,43 @@ def test_cdc_versioned_batch_order_invariant(spark):
     assert {tuple(r) for r in replayed.collect()} == {tuple(r) for r in once.collect()}
 
 
+def test_cdc_versioned_conflicting_payloads_order_invariant(spark):
+    """Two batches disagree at the SAME (key, seq, op) with different
+    payloads — the winner must depend only on row content (the full-row
+    hash tie-break), never on which batch was applied first. Before the
+    r05 fix the feed-beats-state __src term sat above the hash, so X-then-Y
+    kept Y while Y-then-X kept X and live state diverged."""
+    from itertools import permutations
+
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned, cdc_live
+
+    target = spark.createDataFrame(
+        [(1, "a", 0, "U"), (2, "b", 0, "U")],
+        "id bigint, v string, seq int, op string",
+    )
+    batches = [
+        spark.createDataFrame(rows, "id bigint, v string, seq int, op string")
+        for rows in (
+            [(1, "payload_X", 5, "U"), (2, "left", 3, "U")],
+            [(1, "payload_Y", 5, "U"), (2, "right", 3, "U")],
+            [(1, "a1", 1, "U")],
+        )
+    ]
+    results = set()
+    for order in permutations(range(3)):
+        state = target
+        for i in order:
+            state = cdc_apply_versioned(state, batches[i], "id", "seq")
+        live = frozenset((r.id, r.v, r.seq) for r in cdc_live(state).collect())
+        results.add(live)
+    assert len(results) == 1, f"live state diverged across orders: {results}"
+    (live,) = results
+    # the content-hash winner is deterministic but arbitrary — assert shape
+    assert {k for k, _, _ in live} == {1, 2}
+    assert {s for k, _, s in live if k == 1} == {5}
+    assert {s for k, _, s in live if k == 2} == {3}
+
+
 def test_env_namespace_resolution():
     assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
     assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"

@@ -126,18 +126,23 @@ def test_pack_token_windows_contiguous(spark, sf_dir):
 
 
 def test_pack_token_windows_default_shards_scale_with_cluster(spark, sf_dir):
-    """VERDICT r03 task 5: with shards unset, the shard count derives from
-    max(input scan partitions, defaultParallelism) — not a constant 8 —
-    so the per-shard cumsum never caps a big cluster's parallelism."""
+    """VERDICT r03 task 5 + r04 task 4: with shards unset, the shard count
+    derives from defaultParallelism — not a constant 8, and not
+    df.rdd.getNumPartitions() (which forces an RDD conversion plan) — so
+    the per-shard cumsum never caps a big cluster's parallelism."""
     from dbt_ci_demo_spark.operators import text as tx
 
     d = _docs_full(spark, sf_dir).select(
         "doc_id", tx.token_count(F.col("text")).alias("t")
     )
-    expected = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism, 1)
+    expected = max(spark.sparkContext.defaultParallelism, 1)
     out = sp.pack_token_windows(d, "doc_id", "t", window_tokens=64)
     shards_used = out.select("shard").distinct().count()
     # hash-sharding over `expected` buckets: every emitted shard id is in
-    # range, and with enough docs per bucket all buckets are hit
+    # range, and most buckets get hit — on a high-core box (local[*] ⇒
+    # defaultParallelism = cores) the small test corpus can leave a few
+    # buckets empty by chance, so bound coverage instead of requiring
+    # exact equality (ADVICE r04).
     assert out.agg(F.max("shard")).first()[0] < expected
-    assert shards_used == expected
+    assert shards_used > expected // 2
+    assert shards_used <= expected
