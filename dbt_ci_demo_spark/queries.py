@@ -1293,17 +1293,18 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-4 ROTATION (VERDICT r03 task 1): slots 1-30 stay
+# the coverage budget. ROUND-5 ROTATION (VERDICT r04 task 1): slots 1-30 stay
 # the compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
 # representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
 # 31-50 promote twenty queries that had only local-mirror evidence through
-# round 3: the twelve r3 registrations (CDC apply, stream interval join,
-# incremental minhash, Gopher repetition, IVF-trained, audio chunks, source
-# mixture, token packing, unigram-LM, line dedup) plus TPC-H q9/q13/q18/q19/
-# q22, olap_rollup_pricing, stats_exact_moments, ts_date_spine_gapfill,
-# samp_hash_fraction, pipe_embedding_end_to_end. Queries rotated OUT of the
-# window carry driver-green evidence in CORRECTNESS_r01/r02/r03.json and
-# stay in the tail.
+# round 4, leading with the four r4 registrations (versioned CDC, star-CC,
+# containment, per-source quality) plus the curation pipeline, the events
+# analytics tail (retention cohorts, funnel, continuous aggregate, JSON
+# struct), two streaming ops (dedup-watermark, sliding windows), sampling/
+# text ops (stratified-by-lang, PII redaction, TF-IDF), emb_label_affinity,
+# and TPC-H q7/q8/q14/q16/q20. Queries rotated OUT of the window carry
+# driver-green evidence in CORRECTNESS_r01..r04.json and stay in the tail;
+# the never-checked backlog (~26) is ordered for the round-6 rotation.
 # Names not listed keep their insertion order after the listed ones, so a
 # new query is never silently dropped — it lands in the breadth tail until
 # it is slotted here (tests/test_oracle_correctness.py pins list == registry).
@@ -1341,7 +1342,28 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: first-time driver checks (local-green through r03) --
+    # -- slots 31-50: first-time driver checks (local-green through r04) --
+    "incr_cdc_versioned",
+    "dedup_cluster_star",
+    "dedup_containment",
+    "text_source_quality",
+    "pipe_curation_end_to_end",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_continuous_aggregate",
+    "events_json_struct",
+    "stream_dedup_watermark",
+    "stream_sliding_windows",
+    "samp_stratified_lang",
+    "text_redact_pii",
+    "text_tfidf_topterms",
+    "emb_label_affinity",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue_share",
+    "q16_unsold_parts",
+    "q20_excess_suppliers",
+    # -- tail: driver-green in r01..r04 (rotated out of the window) --
     "incr_cdc_apply",
     "stream_interval_join",
     "dedup_incremental_minhash",
@@ -1362,7 +1384,6 @@ _PRIORITY: list[str] = [
     "ts_date_spine_gapfill",
     "samp_hash_fraction",
     "pipe_embedding_end_to_end",
-    # -- tail: driver-green in r01/r02/r03 (rotated out of the window) --
     "dedup_simhash",
     "dedup_exact_groups",
     "dedup_cluster_components",
@@ -1405,27 +1426,15 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
-    "incr_cdc_versioned",
-    "dedup_cluster_star",
-    "dedup_containment",
-    "text_source_quality",
-    "events_retention_cohorts",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
     "emb_normalize_digest",
-    "emb_label_affinity",
     "mm_frame_sample",
     "text_token_counts",
     "text_fingerprint",
     "events_range_join_campaigns",
-    "stream_dedup_watermark",
-    "stream_sliding_windows",
-    "samp_stratified_lang",
-    "text_redact_pii",
     "text_vocab_topk",
-    "text_tfidf_topterms",
     "text_bigram_topk",
-    "pipe_curation_end_to_end",
     "win_running_total",
     "win_rank_orders",
     "win_lead_lag_gaps",
@@ -1434,10 +1443,7 @@ _PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "events_tumbling_hourly",
     "events_topk_users",
-    "events_funnel_conversion",
     "events_sliding_windows",
-    "events_continuous_aggregate",
-    "events_json_struct",
     "events_top_transitions",
     "dq_unique_pass",
     "incr_merge_partial_update",
@@ -1446,17 +1452,12 @@ _PRIORITY: list[str] = [
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_volume",
     "q10_returned_revenue",
-    "q14_promo_revenue_share",
     "q15_top_supplier",
-    "q16_unsold_parts",
     "q17_small_qty_revenue",
     "q2_min_cost_supplier",
-    "q8_market_share",
     "q11_important_parts",
     "q12_priority_by_status",
-    "q20_excess_suppliers",
     "olap_cube_volumes",
     "olap_pivot_status_counts",
     "olap_unpivot_metrics",
