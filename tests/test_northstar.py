@@ -209,12 +209,14 @@ def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
             corpus, batch, "text", "doc_id"
         ).collect()
     }
-    sh, bd = dd.build_minhash_index(corpus, "text", "doc_id")
+    sh, bd, sizes = dd.build_minhash_index(corpus, "text", "doc_id")
     sh.write.mode("overwrite").parquet(str(tmp_path / "sh"))
     bd.write.mode("overwrite").parquet(str(tmp_path / "bd"))
+    sizes.write.mode("overwrite").parquet(str(tmp_path / "sizes"))
     idx = (
         spark.read.parquet(str(tmp_path / "sh")),
         spark.read.parquet(str(tmp_path / "bd")),
+        spark.read.parquet(str(tmp_path / "sizes")),
     )
     via_index = {
         tuple(r)
@@ -223,6 +225,45 @@ def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert via_index == direct
+    # legacy 2-tuple index (no sizes artifact) still works: sizes are
+    # re-counted from the candidates' semi-joined shingles
+    via_legacy = {
+        tuple(r)
+        for r in dd.minhash_near_duplicates_against(
+            None, batch, "text", "doc_id", corpus_index=idx[:2]
+        ).collect()
+    }
+    assert via_legacy == direct
+
+
+def test_admission_jaccard_plan_uses_index_sizes(spark, sf_dir, tmp_path):
+    """VERDICT r04 task 2: on the index admission path the Jaccard
+    verifier must (a) semi-join the corpus shingle index down to
+    candidate ids before the intersection join and (b) consume the
+    precomputed sizes artifact — the plan must reference the sizes
+    parquet, not re-aggregate per-doc counts over the corpus index."""
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(400)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    sh, bd, sizes = dd.build_minhash_index(corpus, "text", "doc_id")
+    sh.write.mode("overwrite").parquet(str(tmp_path / "sh"))
+    sizes.write.mode("overwrite").parquet(str(tmp_path / "sizes"))
+    sh_c = spark.read.parquet(str(tmp_path / "sh"))
+    sizes_c = spark.read.parquet(str(tmp_path / "sizes"))
+    sh_b = dd.word_shingles(batch, "text", "doc_id")
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")
+    out = dd.jaccard_scores(
+        sh_c.unionByName(sh_b),
+        "doc_id",
+        pairs,
+        sizes=sizes_c.select("doc_id", "n").unionByName(sizes_b),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "corpus shingles not semi-joined to candidates"
+    assert str(tmp_path / "sizes") in plan, "precomputed sizes artifact unused"
 
 
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
