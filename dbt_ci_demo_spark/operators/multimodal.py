@@ -16,6 +16,11 @@ Design for 100 TB of media:
   is deterministic (derived from the payload hash) so tests pin the full
   Spark-side contract: schema, batching, partition behavior, null
   handling. Swapping in a real codec changes only the inner function.
+- For header-level metadata no codec library is needed at all:
+  ``operators.media_codecs`` ships real pure-Python PNG/JPEG/WAV header
+  parsers that plug into the same ``decoder=`` seam (the production
+  drop-in for corpora of actual files); the stubs stay the default and
+  the oracle-gate path because driver fixtures synthesize payloads.
 """
 
 from __future__ import annotations

@@ -520,6 +520,108 @@ def test_multimodal_real_shaped_decoder_seam(spark):
     assert per_doc == {1: 2, 2: 1}
 
 
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([1, 0x11, 0x22, 0x00])
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav_bytes(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    import struct
+
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits)
+    data_size = n_samples * block
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    )
+
+
+def test_media_codecs_fixed_vectors():
+    """VERDICT r04 task 3: the shipped pure-Python header decoders parse
+    fixed byte vectors exactly — PNG IHDR, JPEG SOF0 (past an APP0
+    segment), WAV fmt/data (including odd-size chunk padding) — and
+    reject malformed containers with the reason."""
+    import struct
+
+    from dbt_ci_demo_spark.operators import media_codecs as mc
+
+    assert mc.decode_image_header(_png_bytes(640, 480)) == (640, 480, "png")
+    assert mc.decode_image_header(_png_bytes(31, 7)) == (31, 7, "png")
+    assert mc.decode_image_header(_jpeg_bytes(1920, 1080)) == (1920, 1080, "jpeg")
+    # progressive JPEG (SOF2) also carries dimensions
+    prog = _jpeg_bytes(64, 32).replace(b"\xff\xc0", b"\xff\xc2")
+    assert mc.decode_image_header(prog) == (64, 32, "jpeg")
+    assert mc.decode_audio_header(_wav_bytes(16000, 48000)) == (16000, 48000)
+    assert mc.decode_audio_header(_wav_bytes(44100, 0)) == (44100, 0)
+    # stereo 8-bit: block_align = 2, n_samples = data_size / 2
+    assert mc.decode_audio_header(_wav_bytes(8000, 1000, channels=2, bits=8)) == (8000, 1000)
+    # WAV with an odd-sized LIST chunk before fmt: pad byte must be skipped
+    wav = _wav_bytes(22050, 10)
+    padded = wav[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + wav[12:]
+    assert mc.decode_audio_header(padded) == (22050, 10)
+    for decoder, bad, msg in [
+        (mc.decode_image_header, b"", "empty"),
+        (mc.decode_image_header, b"\x89PNG\r\n\x1a\nXXXX", "PNG"),
+        (mc.decode_image_header, b"\xff\xd8\xff\xd9", "no SOF"),
+        (mc.decode_image_header, b"GIF89a..", "unrecognized"),
+        (mc.decode_audio_header, b"RIFF\x00\x00\x00\x00WAVEdata\x00\x00\x00\x00", "fmt"),
+        (mc.decode_audio_header, _wav_bytes(16000, 4)[:20], "fmt"),
+        (mc.decode_audio_header, _wav_bytes(16000, 4)[:36], "data"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decoder(bad)
+
+
+def test_media_codecs_ride_the_seam(spark):
+    """The shipped decoders are drop-ins for the mapInPandas seam: real
+    PNG/JPEG and WAV headers in the media struct, exact metadata out."""
+    import pandas as pd
+
+    from dbt_ci_demo_spark.operators import media_codecs as mc
+
+    img_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "payload": [_png_bytes(640, 480), _jpeg_bytes(320, 200)]}
+        ),
+        "doc_id long, payload binary",
+    )
+    img_media = mm.attach_media_column(img_df, "payload", "doc_id")
+    meta = {
+        r.doc_id: (r.width, r.height, r.format)
+        for r in mm.decode_image_metadata(
+            img_media, decoder=mc.decode_image_header
+        ).collect()
+    }
+    assert meta == {1: (640, 480, "png"), 2: (320, 200, "jpeg")}
+    aud_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [_wav_bytes(16000, 8000)]}),
+        "doc_id long, payload binary",
+    )
+    aud_media = mm.attach_media_column(aud_df, "payload", "doc_id", modality="audio")
+    rows = mm.decode_audio_metadata(aud_media, decoder=mc.decode_audio_header).collect()
+    assert [(r.sample_rate, r.n_samples, r.duration_s) for r in rows] == [(16000, 8000, 0.5)]
+
+
 def test_multimodal_decode_error_path(spark):
     import pandas as pd
 
