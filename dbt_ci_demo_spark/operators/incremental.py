@@ -232,6 +232,37 @@ def cdc_live(state: DataFrame, op_col: str = "op", delete_op: str = "D") -> Data
     return state.filter(F.col(op_col) != delete_op)
 
 
+def cdc_compact(
+    state: DataFrame,
+    horizon_seq,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Garbage-collect tombstones that can no longer matter: drop delete
+    rows with ``seq < horizon_seq``, where ``horizon_seq`` is the feed's
+    replay horizon — the guarantee that no batch carrying a sequence
+    below it will ever arrive (again).
+
+    Why this is safe: a tombstone at seq t exists solely to outrank a
+    late/replayed row with seq s ≤ t for the same key. Under the horizon
+    contract every future row has s ≥ horizon_seq > t, so it outranks
+    the tombstone in :func:`cdc_apply_versioned`'s max-seq merge whether
+    or not the tombstone is present — dropping it changes nothing.
+    Tombstones at t ≥ horizon_seq are KEPT: a replayed s ∈ [horizon, t]
+    would otherwise resurrect the key. Live rows are never touched.
+
+    One narrow filter, no shuffle — run it as part of the periodic state
+    rewrite (the parquet compaction job), not per batch. At 100 TB the
+    point is bounding state growth: without compaction a churn-heavy
+    feed's state is dominated by dead keys forever.
+    """
+    is_stale_tombstone = (F.col(op_col) == delete_op) & (
+        F.col(seq_col) < F.lit(horizon_seq)
+    )
+    return state.filter(~is_stale_tombstone)
+
+
 def max_watermark(target: DataFrame, column: str):
     """``_dbt_max_partition`` / is_incremental() watermark scalar
     (bq_insert_overwrite @34992 declare block; is_incremental @157947):

@@ -192,6 +192,37 @@ def test_containment_detects_embedded_doc(spark):
         dd.containment_candidates(fps, "doc_id", max_doc_freq=1)
 
 
+def test_containment_blind_spot_and_staged_recovery(spark):
+    """VERDICT r04 task 6: a doc duplicated > max_doc_freq times pushes
+    all its fingerprints over the stop-hash cap, so containment alone is
+    BLIND to it — by design. The staged pipeline (exact dedup first,
+    containment on the survivors) recovers the contained pair."""
+    from dbt_ci_demo_spark.operators import text as tx
+
+    core = "the quick brown fox jumps over the lazy dog near the river bank today"
+    long_doc = core + " and then walks far away into the hills beyond the old farm gate"
+    cap = 5
+    # the short doc appears cap+3 times verbatim (mass duplication)
+    docs = [(1, long_doc)] + [(i, core) for i in range(2, cap + 5)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def contained_pairs(frame):
+        fps = tx.winnow_fingerprints(frame, "text", "doc_id", k=8, window=4)
+        return {
+            (r.id_a, r.id_b)
+            for r in dd.containment_candidates(
+                fps, "doc_id", max_doc_freq=cap, min_shared=2, min_containment=0.5
+            ).collect()
+        }
+
+    # blind spot: every core fingerprint has df = cap+3 > cap → dropped
+    assert contained_pairs(df) == set()
+    # staged: exact dedup keeps one copy of the core doc, dfs drop to 2
+    survivors = dd.dedup_keep_first(df, "text", "doc_id")
+    assert survivors.count() == 2
+    assert contained_pairs(survivors) == {(1, 2)}
+
+
 def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
     """The corpus near-dup index is a real storable artifact: build it
     once, write shingles+bands to parquet, read them back, and admission

@@ -426,6 +426,48 @@ def test_cdc_versioned_conflicting_payloads_order_invariant(spark):
     assert {s for k, _, s in live if k == 2} == {3}
 
 
+def test_cdc_compact_drops_only_prehorizon_tombstones(spark):
+    """VERDICT r04 task 7: cdc_compact drops tombstones strictly below
+    the replay horizon and nothing else; replays that RESPECT the
+    horizon produce identical live state on compacted vs uncompacted
+    state, including the resurrect guard for an at-horizon tombstone."""
+    from dbt_ci_demo_spark.operators.incremental import (
+        cdc_apply_versioned,
+        cdc_compact,
+        cdc_live,
+    )
+
+    schema = "id bigint, v string, seq int, op string"
+    state = spark.createDataFrame(
+        [
+            (1, "live", 9, "U"),
+            (2, None, 2, "D"),   # stale tombstone: seq < horizon → dropped
+            (3, None, 5, "D"),   # at-horizon tombstone → kept
+            (4, None, 7, "D"),   # post-horizon tombstone → kept
+        ],
+        schema,
+    )
+    compacted = cdc_compact(state, 5, "seq")
+    rows = {(r.id, r.seq, r.op) for r in compacted.collect()}
+    assert rows == {(1, 9, "U"), (3, 5, "D"), (4, 7, "D")}
+    # horizon-respecting replay: every batch seq >= 5. Key 2's replayed
+    # update (seq 6) legitimately recreates the key on BOTH states (its
+    # stale tombstone was only guarding seqs < 5); key 3's replayed
+    # update at seq 5 ties the kept tombstone, and same-seq delete-beats-
+    # update keeps it dead — compaction never resurrects.
+    replay = spark.createDataFrame(
+        [(2, "back", 6, "U"), (3, "zombie", 5, "U")], schema
+    )
+    live_full = {
+        (r.id, r.v) for r in cdc_live(cdc_apply_versioned(state, replay, "id", "seq")).collect()
+    }
+    live_compacted = {
+        (r.id, r.v)
+        for r in cdc_live(cdc_apply_versioned(compacted, replay, "id", "seq")).collect()
+    }
+    assert live_full == live_compacted == {(1, "live"), (2, "back")}
+
+
 def test_env_namespace_resolution():
     assert EnvConfig(env="ci", database_prefix="dbt_ci").database() == "dbt_ci"
     assert EnvConfig(env="ci", pr_number=42, database_prefix="dbt_ci").database() == "dbt_ci_pr_42"
