@@ -73,6 +73,11 @@ HEADLINE = [
     # pair generation) and the per-source mixture-planning aggregate.
     "dedup_containment",
     "text_source_quality",
+    # r05 (VERDICT r04 task 5): star-CC on a HIGH-DIAMETER synthetic —
+    # 1024 chains of 64 nodes (diameter 63). Min-label would need 63
+    # O(E)-shuffle rounds here; large-star/small-star converges in
+    # O(log d). Bench-only: the graph is synthesized, not a parquet table.
+    "dedup_cluster_star_chain",
     # Production-hash dedup paths (bench-only, see _bench_only()).
     "dedup_simhash_xxhash64",
     "dedup_minhash_xxhash64",
@@ -101,9 +106,20 @@ def _bench_only():
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         return minhash_near_duplicates(docs, "text", "doc_id", hash_fn="xxhash64")
 
+    def cc_star_chain(spark, sf_dir):
+        from dbt_ci_demo_spark.operators.dedup import connected_components_star
+
+        chain_len, n_chains = 64, 1024
+        nodes = spark.range(chain_len * n_chains)
+        pairs = nodes.filter((F.col("id") % chain_len) != chain_len - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        return connected_components_star(pairs)
+
     return {
         "dedup_simhash_xxhash64": simhash_xxh,
         "dedup_minhash_xxhash64": minhash_xxh,
+        "dedup_cluster_star_chain": cc_star_chain,
     }
 
 

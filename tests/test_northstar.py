@@ -85,6 +85,30 @@ def test_star_components_match_minlabel_and_beat_diameter(spark):
     assert {tuple(r) for r in dd.connected_components_star(single).collect()} == {(9, 9)}
 
 
+def test_star_round_count_logarithmic_vs_minlabel_linear(spark):
+    """VERDICT r04 task 5: MEASURE the round counts, don't assert them
+    from the paper. On a 16-node chain (diameter 15), min-label needs
+    ~diameter rounds (one hop of label travel per round) while
+    large-star/small-star needs O(log d). The measured numbers feed
+    SCALE.md's iterative-operator section."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "id_a bigint, id_b bigint"
+    )
+    s_min, s_star = {}, {}
+    minl = {
+        (r.id, r.component)
+        for r in dd.connected_components(chain, max_iter=30, stats=s_min).collect()
+    }
+    star = {
+        (r.id, r.component)
+        for r in dd.connected_components_star(chain, stats=s_star).collect()
+    }
+    assert star == minl == {(i, 1) for i in range(1, 17)}
+    assert s_min["rounds"] >= 15, s_min  # linear in diameter
+    assert s_star["rounds"] <= 8, s_star  # logarithmic
+    assert s_star["rounds"] * 2 < s_min["rounds"], (s_star, s_min)
+
+
 def test_connected_components_empty_and_bound(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dd.duplicate_clusters(empty).count() == 0
