@@ -112,6 +112,27 @@ def source_mixture_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < cut)
 
 
+def source_mixture_sample_by_cuts(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    cuts: DataFrame,
+    seed: str = "mix",
+) -> DataFrame:
+    """Mixture sampling driven by a DATA-derived cut table instead of a
+    literal fraction dict: ``cuts`` is a tiny (source, cut) DataFrame
+    (cut ∈ [0, BUCKETS], typically computed from measured per-source
+    quality stats — see ``pipe_mixture_from_quality``), broadcast-joined
+    onto the corpus; rows keep when their hash bucket < their source's
+    cut. Unlike :func:`source_mixture_sample` no value ever passes
+    through the driver: stats → cuts → filter is one declarative plan,
+    so the whole mixture derivation re-optimizes and scales with the
+    cluster. Sources absent from ``cuts`` are dropped (inner join) —
+    the unvetted-source posture."""
+    tagged = df.join(F.broadcast(cuts.select(source_col, "cut")), on=source_col)
+    return tagged.filter(hash_bucket(F.col(key_col), seed) < F.col("cut"))
+
+
 def pack_token_windows(
     df: DataFrame,
     key_col: str,

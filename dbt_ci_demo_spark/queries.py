@@ -1426,6 +1426,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "pipe_mixture_from_quality",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
     "emb_normalize_digest",

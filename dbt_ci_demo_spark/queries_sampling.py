@@ -290,3 +290,74 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "redacted",
         *[F.col(f"n_{name}").cast("int").alias(f"n_{name}") for name, _, _ in tx.PII_PATTERNS],
     )
+
+
+@query(
+    "pipe_mixture_from_quality",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS hh,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (SELECT hh, count(*) AS cnt FROM h GROUP BY hh),
+    clean AS (
+      SELECT h.source, sum(h.toks) AS clean_tokens
+      FROM h JOIN c USING (hh) WHERE c.cnt = 1
+      GROUP BY h.source
+    ),
+    cuts AS (
+      SELECT source,
+             CAST(floor(({sp.BUCKETS} * (SELECT min(clean_tokens) FROM clean))::DOUBLE
+                        / clean_tokens) AS BIGINT) AS cut
+      FROM clean
+    )
+    SELECT d.doc_id, d.source, d.n_chars, cuts.cut
+    FROM documents d JOIN cuts USING (source)
+    WHERE {_DUCK_HASH.format(seed='mixq', key='d.doc_id')} % {sp.BUCKETS} < cuts.cut
+    """,
+)
+def pipe_mixture_from_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture fractions DERIVED from measured per-source quality (the
+    linkage text_source_quality's docstring promises; VERDICT r04 task
+    8): per source, count CLEAN tokens (tokens of docs whose exact
+    content hash is unique corpus-wide — duplication-discounted supply),
+    set cut_s = floor(BUCKETS * min_clean / clean_s) so every source
+    contributes the smallest source's clean-token volume in expectation
+    (temperature-0 uniform mixing), then keep docs whose hash bucket
+    falls under their source's cut.
+
+    Scale shape: stats → cuts → filter is ONE declarative plan with no
+    driver collect — the per-source clean-token aggregate is a hash
+    shuffle, the k-row cut table broadcast-joins onto the corpus scan,
+    and the keep decision is the same scan-side md5 predicate as every
+    sampler here (append-stable, engine-portable, oracle-checked
+    row-by-row). The smallest source is kept at cut = BUCKETS (100%).
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("text")).alias("hh"),
+        tx.token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    c = d.groupBy("hh").agg(F.count(F.lit(1)).alias("cnt"))
+    clean = (
+        d.join(c, on="hh")
+        .filter(F.col("cnt") == 1)
+        .groupBy("source")
+        .agg(F.sum("toks").alias("clean_tokens"))
+    )
+    target = clean.agg(F.min("clean_tokens").alias("t"))
+    cuts = clean.crossJoin(F.broadcast(target)).select(
+        "source",
+        F.floor(
+            (F.lit(sp.BUCKETS) * F.col("t")).cast("double") / F.col("clean_tokens")
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    out = sp.source_mixture_sample_by_cuts(
+        d.select("doc_id", "source", "n_chars"), "source", "doc_id", cuts, seed="mixq"
+    )
+    return out.select("doc_id", "source", "n_chars", "cut")
