@@ -219,3 +219,22 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def score_weighted_sample(
+    df: DataFrame, key_col: str, score_col: str, seed: str = "qw"
+) -> DataFrame:
+    """Keep each row with probability equal to its [0, 1] score —
+    deterministic quality-weighted downsampling (the curation pattern
+    where high-quality documents are kept outright and low-quality ones
+    survive at a rate proportional to their score, instead of a hard
+    threshold cliff).
+
+    Same contract as every sampler here: the decision is a pure
+    scan-side predicate of (seed, key, score) — no shuffle, no RNG
+    state, append-stable, identical on re-runs and across engines.
+    Scores ≤ 0 never keep; ≥ 1 always keep."""
+    cut = F.least(
+        F.floor(F.col(score_col) * BUCKETS).cast("long"), F.lit(BUCKETS).cast("long")
+    )
+    return df.filter(hash_bucket(F.col(key_col), seed) < cut)

@@ -1426,6 +1426,8 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "samp_quality_weighted",
+    "pipe_decontaminate",
     "pipe_mixture_from_quality",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",

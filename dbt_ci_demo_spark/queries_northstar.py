@@ -1171,3 +1171,74 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train-set decontamination (eval-leak detection)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 5
+
+_DECONTAM_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' near duplicate trailing marker' AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    ct AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM corpus),
+    cg AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        FROM ct WHERE len(t) >= 5
+      )
+    ),
+    bt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM bench),
+    bg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        FROM bt WHERE len(t) >= 5
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+    hits AS (
+      SELECT cg.doc_id, count(*) AS shared_ngrams
+      FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+    )
+    SELECT h.doc_id, s.n_grams, h.shared_ngrams,
+           round(h.shared_ngrams::DOUBLE / s.n_grams, 6) AS overlap_frac
+    FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+@query("pipe_decontaminate", oracle=_DECONTAM_ORACLE)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination (operators/dedup.decontaminate_against):
+    flag corpus documents sharing word 5-grams with a held-out
+    benchmark set. Fixture: docs with doc_id %% 97 == 0 act as the
+    benchmark; the corpus is everything else PLUS a contaminated variant
+    of each benchmark doc (id + 1e6, trailing-marker suffix) — modeling
+    eval text embedded verbatim in crawl documents. Every contaminated
+    variant must surface with overlap_frac near 1; organic 5-gram
+    collisions surface too (same in the oracle).
+
+    Scale: benchmark n-gram set is eval-sized and BROADCAST; the corpus
+    side is one scan + broadcast join + doc-keyed aggregate. Production
+    runs use n=13 (the GPT-3/PaLM wash); the fixture uses 5 so the
+    synthetic corpus has measurable organic overlap."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    contaminated = bench.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate trailing marker")).alias(
+            "text"
+        ),
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(contaminated)
+    return dd.decontaminate_against(
+        corpus, bench, "text", "doc_id", n=_DECONTAM_N
+    )

@@ -361,3 +361,34 @@ def pipe_mixture_from_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", "n_chars"), "source", "doc_id", cuts, seed="mixq"
     )
     return out.select("doc_id", "source", "n_chars", "cut")
+
+
+def _quality_weighted_oracle() -> str:
+    from dbt_ci_demo_spark.queries_northstar import _text_stats_oracle
+
+    hash_expr = _DUCK_HASH.format(seed="qw", key="s.doc_id")
+    return f"""
+    WITH stats AS ({_text_stats_oracle()})
+    SELECT s.doc_id, d.lang, s.quality_score
+    FROM stats s JOIN documents d USING (doc_id)
+    WHERE {hash_expr} % {sp.BUCKETS} <
+          least(CAST(floor(s.quality_score * {sp.BUCKETS}) AS BIGINT), {sp.BUCKETS})
+    """
+
+
+@query("samp_quality_weighted", oracle=_quality_weighted_oracle())
+def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling (operators/sampling.score_weighted_sample):
+    each document survives with probability equal to its measured
+    quality score — the soft alternative to pipe_curation's hard 0.5
+    threshold. The score ladder {{0, .25, .5, .75, 1}} comes from the
+    same quality_metrics whose cross-engine parity text_stats already
+    pins, so the oracle checks every keep/drop decision bit-for-bit.
+    Scan-only: score + hash + compare all run inside the scan's codegen
+    stage; sampling 100 TB this way is one pass, zero shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = d.withColumn(
+        "quality_score", tx.quality_metrics(F.col("text"))["quality_score"]
+    )
+    out = sp.score_weighted_sample(scored, "doc_id", "quality_score", seed="qw")
+    return out.select("doc_id", "lang", "quality_score")

@@ -216,6 +216,43 @@ def test_containment_detects_embedded_doc(spark):
         dd.containment_candidates(fps, "doc_id", max_doc_freq=1)
 
 
+def test_decontaminate_flags_embedded_benchmark_text(spark):
+    """decontaminate_against flags a corpus doc that embeds a benchmark
+    question verbatim (overlap_frac reflects the shared span), ignores
+    clean docs, and the benchmark side never flags itself (it is not in
+    the corpus). Shuffle-join fallback must agree with the broadcast
+    path."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france answer in one word please")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # embeds the benchmark text mid-document
+            (1, "trivia dump page what is the capital of france answer in one word please thanks for reading"),
+            (2, "a completely unrelated document about spark adaptive query execution"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.shared_ngrams, r.overlap_frac)
+        for r in dd.decontaminate_against(corpus, bench, "text", "doc_id", n=5).collect()
+    }
+    assert set(out) == {1}, out
+    n_grams, shared, frac = out[1]
+    # the embedded 11-token span contributes 7 of the doc's 13 five-grams
+    assert shared == 7 and n_grams == 13 and abs(frac - round(7 / 13, 6)) < 1e-9, out[1]
+    shuffled = {
+        r.doc_id: (r.n_grams, r.shared_ngrams, r.overlap_frac)
+        for r in dd.decontaminate_against(
+            corpus, bench, "text", "doc_id", n=5, broadcast_benchmark=False
+        ).collect()
+    }
+    assert shuffled == out
+    with pytest.raises(ValueError, match="min_shared"):
+        dd.decontaminate_against(corpus, bench, "text", "doc_id", n=0)
+
+
 def test_containment_blind_spot_and_staged_recovery(spark):
     """VERDICT r04 task 6: a doc duplicated > max_doc_freq times pushes
     all its fingerprints over the stop-hash cap, so containment alone is
