@@ -376,7 +376,7 @@ def _quality_weighted_oracle() -> str:
     """
 
 
-@query("samp_quality_weighted", oracle=_quality_weighted_oracle())
+@query("samp_quality_weighted", oracle=_quality_weighted_oracle)
 def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted sampling (operators/sampling.score_weighted_sample):
     each document survives with probability equal to its measured
