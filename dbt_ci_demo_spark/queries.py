@@ -594,6 +594,66 @@ def incr_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incr.cdc_live(state).select(*o.columns)
 
 
+_CDC_COMPACT_ORACLE = f"""
+    WITH changes AS (
+      SELECT {_ORD_COLS}, 0 AS seq, 'U' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+             o_orderdate, o_orderpriority, 1, 'U'
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice,
+             o_orderdate, o_orderpriority, 1, 'I'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT {_ORD_COLS}, 2, 'D' FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+             o_orderdate, o_orderpriority, 2, 'U'
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT {_ORD_COLS}, 4, 'D' FROM orders WHERE o_orderkey % 9 = 0
+    ),
+    state AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY o_orderkey
+                 ORDER BY seq DESC,
+                          CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC, op) AS rn
+        FROM changes) v
+      WHERE rn = 1
+    )
+    SELECT {_ORD_COLS}, seq, op FROM state
+    WHERE NOT (op = 'D' AND seq < 3)
+    """
+
+
+@query("incr_cdc_compact", oracle=_CDC_COMPACT_ORACLE)
+def incr_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone compaction on a versioned CDC state
+    (operators/incremental.cdc_compact): the incr_cdc_versioned feed
+    plus a later delete wave (seq 4 for %9 keys), compacted at replay
+    horizon 3. The seq-2 tombstones (%10 keys) are strictly below the
+    horizon — any future row outranks them anyway — so they are dropped
+    and those keys vanish from the state entirely; the seq-4 tombstones
+    are at/above the horizon and MUST remain (a replayed seq-3 update
+    would otherwise resurrect them). The oracle checks the full
+    post-compaction state rows including seq and op, so tombstone
+    presence/absence is verified key-by-key, not just live-row counts.
+    Plan: the compaction itself is one narrow filter — no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    b1, b2 = _cdc_change_batches(o)
+    b3 = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("seq", F.lit(4))
+        .withColumn("op", F.lit("D"))
+    )
+    state = o.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
+    for batch in (b2, b1, b3):
+        state = incr.cdc_apply_versioned(state, batch, "o_orderkey", "seq", "op")
+    return incr.cdc_compact(state, 3, "seq").select(*o.columns, "seq", "op")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 snapshot family (SURVEY §2.B.3). customer-derived v1/v2 fixtures.
 # v1 = customers with c_custkey % 7 != 0 @ 2024-01-01.
@@ -1426,6 +1486,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "incr_cdc_compact",
     "samp_quality_weighted",
     "pipe_decontaminate",
     "pipe_mixture_from_quality",
