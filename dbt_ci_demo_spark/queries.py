@@ -1486,6 +1486,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "stream_cdc_versioned",
     "incr_cdc_compact",
     "samp_quality_weighted",
     "pipe_decontaminate",

@@ -390,3 +390,60 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, so the streaming operator gets a full value oracle."""
     joined = es.stream_stream_interval_join(spark, sf_dir)
     return _run_stream(spark, joined, "q_stream_ivjoin", "append")
+
+
+@query(
+    "stream_cdc_versioned",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_type, value, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM feed) v
+      WHERE rn = 1
+    )
+    SELECT user_id, event_type, value, seq FROM latest WHERE op != 'D'
+    """,
+)
+def stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC replication to a keyed state
+    (streaming/events_stream.run_foreach_batch_cdc +
+    operators/incremental.cdc_apply_versioned): the events fixture
+    becomes a change feed — key user_id, seq = event_id (globally
+    unique, so the per-key max is well-defined), op 'D' on error events
+    — split into FOUR parquet files streamed one file per micro-batch.
+    File listing order is whatever the source produces; the versioned
+    merge is batch-order invariant, so the final live state equals the
+    batch latest-per-key computation regardless — which is what the
+    oracle checks. Errors-as-deletes leave tombstones; a user whose
+    latest event is an error is absent from the live view."""
+    import itertools as _it
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    feed_dir = tempfile.mkdtemp(prefix=f"cdcfeed_{next(_sink_seq)}_")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    state = es.run_foreach_batch_cdc(
+        spark, stream, f"cdcv_{next(_sink_seq)}", "user_id", "seq", "op"
+    )
+    from dbt_ci_demo_spark.operators.incremental import cdc_live
+
+    return cdc_live(state).select("user_id", "event_type", "value", "seq")

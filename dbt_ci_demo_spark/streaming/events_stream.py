@@ -264,3 +264,47 @@ def run_foreach_batch_merge(
     )
     q.awaitTermination(120)
     return holder["target"]
+
+
+def run_foreach_batch_cdc(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    unique_key,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Streaming CDC sink: each micro-batch is applied to the accumulated
+    state with the ORDER-INVARIANT versioned merge
+    (operators/incremental.cdc_apply_versioned). This is the streaming
+    shape of continuous replication: micro-batches may arrive in any
+    order (file-source listing order, Kafka partition lag, restarts) and
+    may replay after checkpoint recovery — the tombstone-retaining
+    max-seq merge makes the final state identical in every case, which
+    is exactly the property the foreachBatch contract (at-least-once per
+    batch) needs. Consumers read ``cdc_live(state)``; tombstones compact
+    away past the replay horizon with ``cdc_compact``.
+
+    The accumulated state lives driver-referenced and is localCheckpointed
+    per batch (session-independent data, bounded by |keys|)."""
+    import tempfile
+
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned
+
+    holder = {"state": spark.createDataFrame([], stream_df.schema)}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = cdc_apply_versioned(
+            holder["state"], batch_df, unique_key, seq_col, op_col
+        )
+        holder["state"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return holder["state"]
