@@ -374,3 +374,47 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return staged.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+# C4-style blocklist (the real list is Jigsaw's "List of Dirty, Naughty,
+# Obscene..." — fixture stands in with neutral common words so the
+# oracle-checkable mechanics are identical without embedding slurs).
+BADWORDS_EN: tuple[str, ...] = ("error", "deprecated", "lorem", "todo", "xxx")
+
+
+def badword_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words: tuple[str, ...] = BADWORDS_EN,
+) -> DataFrame:
+    """C4-style blocklist filter: per document, the count of blocklisted
+    word occurrences (word-boundary, case-insensitive) and the keep
+    decision (C4 drops a page on ANY hit). The list is compiled into ONE
+    alternation regex, so a 100 TB corpus is filtered in a single
+    codegen'd scan — zero shuffles, zero joins; a 400-word production
+    list is still one automaton. For blocklists too large to inline in a
+    regex (domain lists in the millions), the shape switches to an
+    explode + broadcast join — not needed at word-list scale."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    n_bad = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    return df.select(
+        F.col(id_col),
+        n_bad.cast("int").alias("n_badwords"),
+        (n_bad == 0).alias("keep"),
+    )
+
+
+def url_domains(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document URL domain extraction: every http(s) URL's host,
+    lowercased, one row per occurrence (id, domain). The curation input
+    for domain-level blocklists/quality priors (a la C4/RefinedWeb
+    domain filtering). Pure regexp in the scan; the per-domain corpus
+    aggregate downstream is one hash shuffle on the domain."""
+    # host charset written as [^/ :] (plain space, not \s) so the pattern
+    # is the same literal string in Spark SQL and DuckDB — backslash
+    # escaping in string literals differs between the engines.
+    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://([^/ :]+)', 1)")
+    return df.select(
+        F.col(id_col), F.explode(urls).alias("domain")
+    ).withColumn("domain", F.lower(F.col("domain")))

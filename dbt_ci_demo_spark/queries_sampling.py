@@ -392,3 +392,54 @@ def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sp.score_weighted_sample(scored, "doc_id", "quality_score", seed="qw")
     return out.select("doc_id", "lang", "quality_score")
+
+
+_BADWORDS_FIXTURE = ("slow", "dup", "deprecated")
+
+
+@query(
+    "text_badwords_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '\\b({"|".join(_BADWORDS_FIXTURE)})\\b')) AS INT) AS n_badwords,
+           len(regexp_extract_all(lower(text),
+                '\\b({"|".join(_BADWORDS_FIXTURE)})\\b')) = 0 AS keep
+    FROM documents
+    """,
+)
+def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (operators/text.badword_filter): per
+    document, blocklisted-word occurrences (word-boundary, lowercased)
+    and the drop-on-any-hit keep decision. The whole blocklist compiles
+    to ONE alternation regex, so filtering 100 TB is a single codegen'd
+    scan — no joins, no shuffles; the oracle checks every count and
+    keep/drop decision. (Fixture list uses neutral corpus words; the
+    production list is a drop-in tuple.)"""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.badword_filter(d, "text", "doc_id", words=_BADWORDS_FIXTURE)
+
+
+@query(
+    "text_url_domains",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || {_PII_SUFFIX_SQL} ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, lower(domain) AS domain FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://([^/ :]+)', 1)) AS domain
+      FROM docs
+    )
+    """,
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL domain extraction (operators/text.url_domains) over the
+    PII-injected corpus (every 10th document carries a synthetic
+    https://example.com link): one (doc_id, domain) row per URL
+    occurrence — the input for domain-level blocklists and quality
+    priors (C4/RefinedWeb-style domain filtering). Pure regexp in the
+    scan; occurrence-exact against the oracle."""
+    return tx.url_domains(_docs_pii(spark, sf_dir), "text", "doc_id")
