@@ -273,6 +273,7 @@ def run_foreach_batch_cdc(
     unique_key,
     seq_col: str,
     op_col: str = "op",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Streaming CDC sink: each micro-batch is applied to the accumulated
     state with the ORDER-INVARIANT versioned merge
@@ -291,13 +292,14 @@ def run_foreach_batch_cdc(
 
     from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned
 
-    holder = {"state": spark.createDataFrame([], stream_df.schema)}
+    holder = {"state": spark.createDataFrame([], stream_df.schema), "batches": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         merged = cdc_apply_versioned(
             holder["state"], batch_df, unique_key, seq_col, op_col
         )
         holder["state"] = merged.localCheckpoint(eager=True)
+        holder["batches"] += 1
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -307,4 +309,6 @@ def run_foreach_batch_cdc(
         .start()
     )
     q.awaitTermination(120)
+    if stats is not None:
+        stats["batches"] = holder["batches"]
     return holder["state"]

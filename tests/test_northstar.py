@@ -766,6 +766,52 @@ def test_streaming_session_windows(spark, sf_dir):
         q.stop()
 
 
+def test_streaming_cdc_runs_multiple_batches_any_order(spark, tmp_path):
+    """The foreachBatch CDC sink must actually process MULTIPLE
+    micro-batches (one per feed file) and converge to latest-per-key
+    regardless of which file the source lists first — the order-invariance
+    cdc_apply_versioned guarantees. Batch count is observed through the
+    sink's own counter."""
+    from dbt_ci_demo_spark.operators.incremental import cdc_live
+    from dbt_ci_demo_spark.streaming import events_stream as es
+
+    rows = [
+        (1, "a", 1, "U"), (2, "b", 2, "U"),   # file A
+        (1, "a2", 3, "U"), (3, "c", 1, "U"),  # file B
+        (2, None, 5, "D"), (3, "c2", 4, "U"), # file C
+    ]
+    schema = "key bigint, v string, seq int, op string"
+    for i in range(3):
+        spark.createDataFrame(rows[2 * i : 2 * i + 2], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"f{i}"))
+    # one directory, three files
+    import shutil
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(3):
+        src = next((tmp_path / f"f{i}").glob("part-*.parquet"))
+        shutil.copy(src, feed / f"batch_{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    stats = {}
+    state = es.run_foreach_batch_cdc(
+        spark, stream, "t_cdc_multi", "key", "seq", "op", stats=stats
+    )
+    live = {(r.key, r.v, r.seq) for r in cdc_live(state).collect()}
+    assert live == {(1, "a2", 3), (3, "c2", 4)}
+    # tombstone retained for key 2
+    assert {(r.key, r.seq) for r in state.filter("op = 'D'").collect()} == {(2, 5)}
+    # the file source really split the feed: 3 files, 1 per trigger
+    assert stats["batches"] == 3, stats
+    for q in spark.streams.active:
+        q.stop()
+
+
 def test_streaming_dedup(spark, sf_dir):
     from dbt_ci_demo_spark.streaming import events_stream as es
 
