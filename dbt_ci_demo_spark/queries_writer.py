@@ -666,3 +666,38 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
+
+
+@query(
+    "wr_zorder_cluster",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200 AND o_totalprice < 50000
+    """,
+)
+def wr_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered CTAS (operators/cluster.zorder_layout): orders
+    written 16-file Morton-ordered on (o_custkey, o_totalprice), read
+    back and filtered on BOTH clustered dimensions. The oracle proves
+    the layout is content-preserving (clustering must never change
+    query results); the pruning payoff — a narrow predicate's
+    min/max-vs-footer check skipping most files — is verified
+    mechanically by tests/test_runner.py::test_zorder_layout_skips_files
+    on per-file parquet statistics. At 100 TB this is the second-
+    dimension answer where date partitioning alone leaves full-partition
+    scans."""
+    from dbt_ci_demo_spark.operators import cluster as cl
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    path = os.path.join(_wh_root(), "orders_zorder")
+    cl.zorder_layout(o, ["o_custkey", "o_totalprice"], 16).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("o_custkey").between(100, 200)) & (F.col("o_totalprice") < 50000)
+    )

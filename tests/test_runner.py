@@ -550,3 +550,58 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     wh.drop_database()
+
+
+def test_zorder_layout_skips_files(spark, sf_dir, tmp_path):
+    """Z-order's entire point, verified on parquet footers: with orders
+    written 16-file Morton-ordered on (custkey, totalprice), a narrow
+    custkey predicate intersects the per-file min/max of only a small
+    fraction of files; the same rows written in scan order intersect
+    nearly all of them. (Spark's scan applies exactly this stats check,
+    so fewer intersecting files = fewer files read at 100 TB.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_ci_demo_spark.operators import cluster as cl
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("p")
+    )
+    cl.zorder_layout(o, ["o_custkey", "p"], 64).write.mode("overwrite").parquet(
+        str(tmp_path / "z")
+    )
+    o.repartition(64).write.mode("overwrite").parquet(str(tmp_path / "plain"))
+
+    # narrow custkey band: ~2% of the actual key domain, off-center (the
+    # domain midpoint is the z-curve's top-level quadrant boundary — its
+    # measured worst case) — a point-ish second-dimension lookup
+    kmin, kmax = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo = kmin + (kmax - kmin) * 20 // 100
+    hi = kmin + (kmax - kmin) * 22 // 100
+
+    def touched(d):
+        n_hit = n_all = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_custkey"]
+            fmin = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            n_all += 1
+            if fmax >= lo and fmin <= hi:
+                n_hit += 1
+        return n_hit, n_all
+
+    z_hit, z_all = touched(str(tmp_path / "z"))
+    p_hit, p_all = touched(str(tmp_path / "plain"))
+    # layout must not change content
+    zt = spark.read.parquet(str(tmp_path / "z"))
+    assert zt.count() == o.count()
+    assert z_all >= 32 and p_all >= 32, (z_all, p_all)
+    # row-order layout: nearly every file spans the whole custkey domain
+    assert p_hit >= p_all - 2, (p_hit, p_all)
+    # z-order: under a third of the files intersect the band (measured
+    # ~17/64 vs 64/64; boundary-crossing files keep it from the aligned-
+    # block ideal, and the fraction shrinks further as file count grows)
+    assert z_hit * 3 <= p_hit, (z_hit, p_hit)
