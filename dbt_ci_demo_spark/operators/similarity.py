@@ -208,6 +208,28 @@ def ivf_centroids(
     return means
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The STORABLE IVF serving artifacts (the similarity twin of
+    dedup.build_minhash_index): (clustered corpus, centroid table).
+    Write the corpus ``partitionBy(cluster_col)`` and the (tiny)
+    centroid table as plain parquet; serving then reads both back and
+    passes centroids to :func:`ivf_topk` via ``centroids=`` — probe-time
+    cost is the centroid broadcast plus ONLY the probed clusters'
+    partitions (Spark's dynamic partition pruning turns the probe join
+    into a partition filter on the cluster-partitioned layout; verified
+    by tests/test_northstar.py::test_ivf_index_roundtrip_and_pruning).
+    Rebuild both artifacts together — centroids are meaningless against
+    a different assignment."""
+    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    return corpus.select(id_col, vec_col, cluster_col), cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -217,14 +239,24 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 2,
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank clusters by query-centroid cosine, probe the top
     ``n_probe`` clusters, exact-rank within them. The corpus is read only
     in the probed partitions — with the corpus written partitioned by
-    cluster id, Catalyst prunes the rest at the storage layer."""
+    cluster id, Catalyst prunes the rest at the storage layer.
+
+    ``centroids`` — the stored (cluster, centroid) artifact from
+    :func:`build_ivf_index`, typically read back from parquet — skips
+    the corpus-wide centroid aggregate entirely (the production serving
+    path; when omitted the centroids are computed from the corpus)."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    cents = (
+        centroids.select("cluster", "centroid")
+        if centroids is not None
+        else ivf_centroids(corpus, cluster_col, vec_col, dim)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )

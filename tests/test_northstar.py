@@ -506,6 +506,33 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """The IVF serving artifacts are REAL storable tables (the similarity
+    twin of the minhash-index round-trip): build (clustered corpus,
+    centroids), write the corpus PARTITIONED BY cluster and the centroid
+    table to parquet, read both back, and serving via ``centroids=``
+    must (a) return exactly the recompute path's results and (b) read
+    the partitioned corpus through a dynamic-partition-pruning filter on
+    the probe join — only probed clusters' partitions are scanned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    direct = {
+        tuple(r)
+        for r in sim.ivf_topk(emb, queries, "label", k=5, n_probe=2).collect()
+    }
+    corpus, cents = sim.build_ivf_index(emb, "label")
+    corpus.write.mode("overwrite").partitionBy("label").parquet(str(tmp_path / "c"))
+    cents.write.mode("overwrite").parquet(str(tmp_path / "cents"))
+    c_back = spark.read.parquet(str(tmp_path / "c"))
+    cents_back = spark.read.parquet(str(tmp_path / "cents"))
+    served = sim.ivf_topk(
+        c_back, queries, "label", k=5, n_probe=2, centroids=cents_back
+    )
+    assert {tuple(r) for r in served.collect()} == direct
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "probe join did not prune partitions"
+
+
 def test_multimodal_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = mm.synthesize_media_from_text(docs, "text", "doc_id")
