@@ -623,3 +623,67 @@ def pipe_embedding_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l2_fx").cast("double") / F.count(F.lit(1)) / F.lit(_FX), 6
         ).alias("mean_l2_norm"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ),
+    qz AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM m
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ','))
+             AS q_digest,
+           round(CASE WHEN scale > 0 THEN
+                   list_max(list_transform(range(1, len(v) + 1),
+                            i -> abs(q[i] * scale - v[i])))
+                 ELSE 0.0 END, 6) AS max_err_r
+    FROM qz
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding
+    (operators/similarity.quantize_embeddings_int8): per vector, the
+    scale, an md5 digest of the int8 codes, and the max reconstruction
+    error |q·scale − v| — float32→int8 is the 4× storage/bandwidth cut
+    for a 100 TB embedding corpus, and the surfaced error is what recall
+    budgeting reads. Codes use explicit floor(x+0.5) rounding so the
+    quantization is bit-identical in any IEEE-double engine (round()
+    half-up/half-even conventions differ; floor(+0.5) does not). Pure
+    per-row expressions — zero shuffles; every code array is
+    digest-checked against the oracle."""
+    from dbt_ci_demo_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    v = F.col("embedding").cast("array<double>")
+    joined = emb.select("vec_id", v.alias("v")).join(qdf, "vec_id")
+    err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.zip_with(
+                F.col("q"), F.col("v"), lambda qq, xx: F.abs(qq * F.col("scale") - xx)
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.md5(
+            F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")
+        ).alias("q_digest"),
+        F.round(err, 6).alias("max_err_r"),
+    )
