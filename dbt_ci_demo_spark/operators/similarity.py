@@ -348,3 +348,53 @@ def quantize_embeddings_int8(
     return df.select(
         F.col(id_col), scale.alias("scale"), q.alias("q")
     )
+
+
+def cosine_topk_quantized(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "q",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k COSINE over int8-quantized vectors: because symmetric
+    quantization scales each vector by a positive constant, the scales
+    cancel out of the cosine — so the whole ranking runs on INTEGER dot
+    products of the codes (64-dim int8 dots stay far under 2^53; only
+    the final normalize divides in doubles). This is the serving half of
+    :func:`quantize_embeddings_int8`: 4× less data moves through the
+    scan and the broadcast, ranking quality is bounded by the
+    per-element quantization error the build step surfaces, and the
+    integer arithmetic makes results bit-identical across engines.
+    Inputs are (id, q) frames from the quantizer. Same contract as
+    :func:`cosine_topk_bruteforce` otherwise (query side broadcast,
+    round-6 + id tie-break, self-matches excluded)."""
+    from pyspark.sql.window import Window
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries_q.select(F.col(id_col).alias("query_id"), F.col(codes_col).alias("qq"))
+    c = corpus_q.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("cq"))
+    num = idot(F.col("qq"), F.col("cq")).cast("double")
+    den = F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
+        idot(F.col("cq"), F.col("cq")).cast("double")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6).alias(
+                "cosine_r"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -687,3 +687,57 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_digest"),
         F.round(err, 6).alias("max_err_r"),
     )
+
+
+@query(
+    "sim_topk_quantized",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM m
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN list_inner_product(qs.q, qs.q) > 0
+                         AND list_inner_product(c.q, c.q) > 0
+                   THEN list_inner_product(qs.q, c.q)::DOUBLE /
+                        (sqrt(list_inner_product(qs.q, qs.q)::DOUBLE)
+                         * sqrt(list_inner_product(c.q, c.q)::DOUBLE))
+                   ELSE 0.0 END, 6) AS cosine_r
+      FROM qz c JOIN qz qs ON qs.vec_id < 5 AND c.vec_id != qs.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over int8 codes (operators/similarity.
+    cosine_topk_quantized): symmetric quantization's positive per-vector
+    scale cancels out of the cosine, so the entire ranking runs on
+    exact INTEGER dot products of the codes — 4× less data through scan
+    and broadcast than float32, bit-identical across engines, with only
+    the final normalize in doubles. End-to-end with the quantizer:
+    quantize the corpus, rank the 5 query vectors' neighbors on codes
+    alone, every (neighbor, score, rank) oracle-checked."""
+    from dbt_ci_demo_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    out = sim.cosine_topk_quantized(qz, qz.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -506,6 +506,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """int8-code ranking must preserve float cosine ranking almost
+    everywhere: top-5 recall vs the float brute force stays high (the
+    per-element error is ≤ scale/2 ≈ max|v|/254), and quantized cosines
+    match float cosines to ~1e-2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    qz = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    quant = sim.cosine_topk_quantized(qz, qz.filter(F.col("vec_id") < 20), k=5)
+    e = {(r.query_id, r.neighbor_id): r.cosine_r for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine_r for r in quant.collect()}
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 0.8, f"int8 ranking lost the float neighbors: {recall}"
+    for pair in set(e) & set(a):
+        assert abs(e[pair] - a[pair]) < 2e-2, (pair, e[pair], a[pair])
+
+
 def test_ivf_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     """The IVF serving artifacts are REAL storable tables (the similarity
     twin of the minhash-index round-trip): build (clustered corpus,

@@ -32,6 +32,7 @@ from dbt_ci_demo_spark import queries as q
 _CARTESIAN_OK = {
     "events_range_join_campaigns",
     "sim_topk_bruteforce",
+    "sim_topk_quantized",  # same shape: exact verifier, broadcast query side
     "dedup_jaccard_pairs",
     "sim_ivf_topk",
     "sim_ivf_kmeans_trained",  # same shape: broadcast of the tiny trained-centroid table
