@@ -1486,6 +1486,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "graph_pagerank",
     "sim_topk_quantized",
     "emb_quantize_int8",
     "wr_zorder_cluster",

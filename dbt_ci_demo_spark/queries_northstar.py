@@ -1242,3 +1242,147 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.decontaminate_against(
         corpus, bench, "text", "doc_id", n=_DECONTAM_N
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: fixed-point PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ROUNDS = 10
+
+_PAGERANK_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+        UNION ALL
+        SELECT l_partkey + 10000000 AS src, l_suppkey AS dst FROM lineitem)
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    params AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1000000000000 // (SELECT n FROM params) AS rank FROM nodes),
+    r1 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r0 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r2 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r1 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r3 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r2 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r4 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r3 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r5 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r4 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r6 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r5 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r7 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r6 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r8 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r7 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r9 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r8 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r10 AS (
+      SELECT n.id,
+             CAST(((1000000000000 // (SELECT n FROM params)) * 15) // 100
+             + (COALESCE(SUM(r.rank // d.deg), 0) * 85) // 100 AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r9 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    )
+    SELECT id, rank FROM r10
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.pagerank), 10
+    rounds over the supplier↔part co-occurrence graph derived from
+    lineitem (edges both directions, distinct). Every transfer is
+    explicit floor division on integer micro-mass, so all 10
+    unrolled oracle rounds match value-by-value — the float formulation
+    would diverge on summation order alone. Per round: one co-partitioned
+    rank-onto-edges join + one dst aggregate, rank table reliable-
+    checkpointed (O(1) lineage, the iterative-job discipline shared with
+    connected components and the k-means loop)."""
+    from dbt_ci_demo_spark.operators import graph as gr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10000000).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return gr.pagerank(edges, rounds=_PAGERANK_ROUNDS)

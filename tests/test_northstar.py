@@ -506,6 +506,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_pagerank_star_graph_semantics(spark):
+    """PageRank sanity on a hub graph: all spokes point at the hub, the
+    hub points at one spoke — the hub must out-rank every spoke, spokes
+    pointed at by nobody share the base rank, and dangling mass (none
+    here) / parameter validation behave as documented."""
+    from dbt_ci_demo_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 6)] + [(99, 1)], "src bigint, dst bigint"
+    )
+    ranks = {r.id: r.rank for r in gr.pagerank(edges, rounds=5).collect()}
+    assert set(ranks) == {1, 2, 3, 4, 5, 99}
+    assert ranks[99] == max(ranks.values())
+    # spokes 2..5 have identical in-link structure (none) → identical rank
+    assert len({ranks[i] for i in (2, 3, 4, 5)}) == 1
+    assert ranks[1] > ranks[2]  # spoke 1 receives the hub's mass
+    with pytest.raises(ValueError, match="rounds"):
+        gr.pagerank(edges, rounds=0)
+    with pytest.raises(ValueError, match="damping"):
+        gr.pagerank(edges, damping_pct=101)
+
+
 def test_quantized_topk_recall_vs_float(spark, sf_dir):
     """int8-code ranking must preserve float cosine ranking almost
     everywhere: top-5 recall vs the float brute force stays high (the
