@@ -169,3 +169,61 @@ def freshness_age_seconds(df: DataFrame, loaded_at_field: str, as_of: Column) ->
         "max_loaded_at",
         (F.col("age_us") / F.lit(1000000.0)).alias("age_seconds"),
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    date_col: str,
+    window: int = 7,
+    threshold_pct: int = 200,
+) -> DataFrame:
+    """Source volume monitoring (the dbt-adjacent 'did today's load look
+    like the last week's?' check, cf. elementary/re_data volume tests):
+    per day, the row count, the trailing-``window`` mean, an exact
+    variance, and an anomaly flag when |count - mean| exceeds
+    ``threshold_pct``% of the trailing standard deviation.
+
+    Exactness discipline: counts are integers, so trailing mean and
+    variance are computed from EXACT integer window sums
+    (n·Σx² − (Σx)² over n·(n−1)) and only the final comparison touches
+    doubles — deterministic in any engine, unlike streaming
+    stddev_samp whose accumulation order is engine-specific. The flag
+    compares squared quantities, avoiding sqrt entirely:
+    ((x−mean)·n)² · 10⁴ · (n−1) > pct² · var_num · n  (both sides exact
+    integers), so the anomaly decision itself is integer-exact too.
+
+    One window shuffle over the (tiny) per-day count table; the per-day
+    aggregate before it is the only corpus-sized stage. Days with fewer
+    than 2 trailing days have undefined variance → flagged false."""
+    daily = df.groupBy(F.col(date_col).alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("d").rowsBetween(-window, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cnt").over(w)
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    # var_num = n·Σx² − (Σx)²  (variance numerator; var = var_num/(n(n-1)))
+    var_num = n * sq - s * s
+    dev_num = F.col("cnt") * n - s  # (x − mean)·n, exact
+    # |x−mean| > pct/100·sqrt(var_num/(n(n−1)))
+    # ⇔ dev_num²·10⁴·(n−1) > pct²·var_num·n   (multiply by 10⁴·n²(n−1))
+    flag = F.when(
+        n >= 2,
+        (dev_num * dev_num * F.lit(10000) * (n - 1))
+        > (F.lit(threshold_pct * threshold_pct) * var_num * n),
+    ).otherwise(F.lit(False))
+    return daily.select(
+        "d",
+        "cnt",
+        n.alias("n_trailing"),
+        F.round(s.cast("double") / n, 6).alias("trailing_mean"),
+        F.round(
+            F.when(n >= 2, var_num.cast("double") / (n * (n - 1))).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("trailing_var"),
+        flag.alias("is_anomaly"),
+    )

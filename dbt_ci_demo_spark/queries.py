@@ -261,6 +261,50 @@ def dq_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT d, cnt,
+             count(*) OVER win AS n_trailing,
+             SUM(cnt) OVER win AS s,
+             SUM(cnt * cnt) OVER win AS sq
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, cnt, CAST(n_trailing AS BIGINT) AS n_trailing,
+           round(s::DOUBLE / n_trailing, 6) AS trailing_mean,
+           round(CASE WHEN n_trailing >= 2
+                 THEN (n_trailing * sq - s * s)::DOUBLE
+                      / (n_trailing * (n_trailing - 1)) END, 6) AS trailing_var,
+           CASE WHEN n_trailing >= 2 THEN
+             ((cnt * n_trailing - s) * (cnt * n_trailing - s)
+               * 10000 * (n_trailing - 1))
+             > (200 * 200 * (n_trailing * sq - s * s) * n_trailing)
+           ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source volume monitoring (operators/quality.volume_anomalies):
+    per-day event counts vs their trailing-7-day window — count, exact
+    trailing mean/variance from integer window sums, and an anomaly
+    flag at 2 trailing standard deviations. The variance and the flag
+    decision are pure integer arithmetic (n·Σx² − (Σx)² and a squared
+    threshold compare — no sqrt, no engine-specific streaming stddev),
+    so every per-day decision hash-matches the oracle. One tiny window
+    shuffle after the per-day aggregate; the aggregate is the only
+    corpus-sized stage."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("timestamp").alias("day")
+    )
+    return dq.volume_anomalies(ev, "day", window=7, threshold_pct=200)
+
+
+@query(
     "dq_suite_all_tests",
     oracle="""
     WITH uq AS (
@@ -1486,6 +1530,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "dq_volume_anomaly",
     "graph_pagerank",
     "sim_topk_quantized",
     "emb_quantize_int8",
