@@ -22,6 +22,9 @@ the first micro-batch (done in session.get_spark).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -208,6 +211,17 @@ def stream_stream_interval_join(
     return joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
+def _stream_ckpt_dir(name: str) -> str:
+    """Per-query streaming checkpointLocation in a temp dir removed at
+    interpreter exit — repeated oracle/bench invocations in a long
+    session must not accumulate offsets/commits dirs on local disk."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -247,19 +261,24 @@ def run_foreach_batch_merge(
 
     # foreachBatch executes on the driver but inside a CLONED session, so
     # session-scoped temp views set there are invisible outside; hold the
-    # accumulated target in a driver-side reference instead (materialized
-    # via localCheckpoint, so the DataFrame is session-independent data).
+    # accumulated target in a driver-side reference instead, materialized
+    # via RELIABLE checkpoint (files in the session checkpoint dir, which
+    # get cleaned; localCheckpoint blocks pin executor storage and cannot
+    # be unpersisted — the same discipline as the iterative operators).
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     holder = {"target": spark.createDataFrame([], stream_df.schema)}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         merged = merge_upsert(holder["target"], batch_df, unique_key)
-        holder["target"] = merged.localCheckpoint(eager=True)
+        holder["target"] = merged.checkpoint(eager=True)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", _stream_ckpt_dir(name))
         .start()
     )
     q.awaitTermination(120)
@@ -286,26 +305,29 @@ def run_foreach_batch_cdc(
     batch) needs. Consumers read ``cdc_live(state)``; tombstones compact
     away past the replay horizon with ``cdc_compact``.
 
-    The accumulated state lives driver-referenced and is localCheckpointed
-    per batch (session-independent data, bounded by |keys|)."""
+    The accumulated state lives driver-referenced and is RELIABLE-
+    checkpointed per batch (files, not pinned executor blocks — the
+    shared iterative-operator discipline), bounded by |keys|."""
     import tempfile
 
     from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
 
+    ensure_checkpoint_dir(spark)
     holder = {"state": spark.createDataFrame([], stream_df.schema), "batches": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         merged = cdc_apply_versioned(
             holder["state"], batch_df, unique_key, seq_col, op_col
         )
-        holder["state"] = merged.localCheckpoint(eager=True)
+        holder["state"] = merged.checkpoint(eager=True)
         holder["batches"] += 1
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", _stream_ckpt_dir(name))
         .start()
     )
     q.awaitTermination(120)
