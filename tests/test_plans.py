@@ -114,3 +114,30 @@ def test_broadcasts_present(spark, sf_dir):
     for name in ("q5_local_supplier_volume", "q3_top_orders", "q10_returned_revenue"):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every sampler/filter below claims "scan-only" in its docstring:
+        # the keep/assign decision is a pure column predicate, so the
+        # physical plan must contain NO Exchange at all — sampling 100 TB
+        # is one scan, zero shuffles.
+        "samp_hash_fraction",
+        "samp_train_test_split",
+        "samp_source_mixture",
+        "samp_quality_weighted",
+        "text_badwords_filter",
+    ],
+)
+def test_scan_only_samplers_have_no_exchange(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "Exchange" not in plan, f"{name}: claimed scan-only but plan shuffles"
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """pipe_decontaminate's n-gram wash must broadcast the (eval-sized)
+    benchmark side — a shuffle join of corpus n-grams against the
+    benchmark would re-shuffle the corpus-dominated gram table."""
+    plan = _plan(spark, "pipe_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan, "benchmark n-gram set not broadcast"
