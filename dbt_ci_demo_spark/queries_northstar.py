@@ -1386,3 +1386,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return gr.pagerank(edges, rounds=_PAGERANK_ROUNDS)
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_tok FROM tf GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(round(round(ln((c_tok + 1)::DOUBLE / (t.n + t.v)), 6) * 1000000.0)
+                  AS BIGINT) AS lp_e6
+      FROM vocab CROSS JOIN tot t
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(f.c * l.lp_e6) AS BIGINT) AS s
+      FROM tf f JOIN lp l ON l.tok = f.tok
+      GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id, d.lang, p.n_tokens,
+             round(p.s::DOUBLE / p.n_tokens / 1000000.0, 6) AS avg_logprob
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    nt AS (
+      SELECT *, ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id) AS b
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM nt
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: per LANGUAGE, documents ranked by
+    unigram-LM fluency (text_unigram_logprob's score) and split into
+    head/middle/tail thirds — the bucketing public pipelines use to keep
+    head outright, re-filter middle, and drop tail. Ordering uses the
+    rounded score with a doc_id tie-break, so bucket boundaries are
+    bit-identical across engines; ntile follows the SQL-standard uneven
+    split. Plan: the unigram scoring shuffles (tokenize + vocab), then
+    ONE window shuffle on lang — at corpus scale the window carries a
+    6-column table, not text."""
+    from pyspark.sql.window import Window
+
+    scores = text_unigram_logprob(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -40,6 +40,7 @@ _CARTESIAN_OK = {
     "q11_important_parts",
     "text_tfidf_topterms",
     "text_unigram_logprob",  # same shape: 1-row (N, V) totals broadcast
+    "text_ccnet_buckets",  # same shape: built on the unigram totals broadcast
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "emb_kmeans_step",
 }
