@@ -264,3 +264,64 @@ def flagship_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang.name").alias("name"))
         .agg(F.approx_count_distinct("repo_name").alias("repositories_number_approx"))
     )
+
+
+@query(
+    "meta_content_digest",
+    oracle="""
+    WITH oh AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)),
+             1, 8))::BIGINT AS h
+      FROM orders
+    ),
+    nh AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(n_nationkey AS VARCHAR), n_name,
+               CAST(n_regionkey AS VARCHAR))), 1, 8))::BIGINT AS h
+      FROM nation
+    )
+    SELECT 'orders' AS table_name, count(*) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS content_digest_sum
+    FROM oh
+    UNION ALL
+    SELECT 'nation', count(*), CAST(SUM(h) AS BIGINT) FROM nh
+    """,
+)
+def meta_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset content versioning (sources/metadata.content_digest): an
+    order-independent digest per table — per-row md5 summed — the DATA
+    analog of checksum-based `state:modified`: runs diff digests to
+    detect silent upstream drift without comparing tables (any changed,
+    inserted, or deleted row moves the sum; repartitioning does not).
+    Doubles enter via an exact cents projection and dates via an
+    explicit format string, so the payload renders byte-identically in
+    both engines. One scan + a 1-row aggregate per table; the decimal
+    accumulator cannot overflow at any corpus size (final cast to
+    BIGINT is safe through ~2·10⁹ rows and exists for driver-hash
+    comparability)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        "o_orderpriority",
+    )
+    n = _t(spark, sf_dir, "nation")
+    d_o = md.content_digest(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "cents", "odate", "o_orderpriority"]
+    ).select(
+        F.lit("orders").alias("table_name"),
+        "n_rows",
+        F.col("content_digest_sum").cast("long").alias("content_digest_sum"),
+    )
+    d_n = md.content_digest(n, ["n_nationkey", "n_name", "n_regionkey"]).select(
+        F.lit("nation").alias("table_name"),
+        "n_rows",
+        F.col("content_digest_sum").cast("long").alias("content_digest_sum"),
+    )
+    return d_o.unionByName(d_n)

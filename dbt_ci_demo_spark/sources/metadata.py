@@ -116,3 +116,28 @@ def fixture_catalog(spark: SparkSession, sf_dir: str, tables: list[str]) -> Data
     return spark.createDataFrame(
         rows, "table_name string, n_columns long, row_count long"
     ).orderBy("table_name")
+
+
+def content_digest(df, columns: list[str]):
+    """Order-independent, engine-exact content digest of a DataFrame:
+    per row, md5 over the '|'-joined column values (NULLs rendered as a
+    sentinel so they are distinguishable from empty strings), the first
+    8 hex chars as a 32-bit integer, summed in decimal. Any row change,
+    insert, or delete moves the digest; row ORDER and partitioning do
+    not (sum is commutative) — which is what makes this the DATA analog
+    of the checksum-based `state:modified` selection: pipelines diff
+    digests across runs to detect silent upstream drift without
+    comparing tables. One scan + a 1-row aggregate at any scale.
+
+    Returns a 1-row DataFrame (n_rows, content_digest_sum).
+    """
+    from pyspark.sql import functions as F
+
+    payload = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in columns]
+    )
+    h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").alias("content_digest_sum"),
+    )
