@@ -73,10 +73,13 @@ HEADLINE = [
     # pair generation) and the per-source mixture-planning aggregate.
     "dedup_containment",
     "text_source_quality",
-    # r05 corpus ops: benchmark n-gram decontamination (broadcast wash)
-    # and the one-regex blocklist filter.
+    # r05 corpus ops: benchmark n-gram decontamination (broadcast wash),
+    # the one-regex blocklist filter, CCNet head/middle/tail bucketing,
+    # and int8 embedding quantization.
     "pipe_decontaminate",
     "text_badwords_filter",
+    "text_ccnet_buckets",
+    "emb_quantize_int8",
     # r05 (VERDICT r04 task 5): star-CC on a HIGH-DIAMETER synthetic —
     # 1024 chains of 64 nodes (diameter 63). Min-label would need 63
     # O(E)-shuffle rounds here; large-star/small-star converges in
