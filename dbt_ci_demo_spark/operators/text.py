@@ -418,3 +418,50 @@ def url_domains(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.explode(urls).alias("domain")
     ).withColumn("domain", F.lower(F.col("domain")))
+
+
+def sentence_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sentences_per_chunk: int = 3,
+    stride: int = 2,
+) -> DataFrame:
+    """Sentence-aware overlapping chunking (the RAG / long-context
+    training prep stage): split on terminal punctuation + whitespace,
+    then emit windows of ``sentences_per_chunk`` sentences every
+    ``stride`` sentences (stride < window ⇒ overlap, so no boundary
+    context is lost). Output (id, chunk_idx, n_sentences, chunk_text).
+
+    The split pattern deliberately avoids lookbehind ([.!?]+\\s+ —
+    terminal punctuation is consumed by the boundary) so the exact same
+    regex runs under Java regex and RE2/DuckDB. Everything is one
+    codegen'd projection + explode: no shuffle at any corpus size, the
+    same shape as every text operator here. The final chunk may be
+    shorter than the window; chunks never start past the last sentence.
+    """
+    if sentences_per_chunk < 1 or stride < 1:
+        raise ValueError("sentences_per_chunk and stride must be >= 1")
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"), lambda s: s != ""
+    )
+    staged = df.select(F.col(id_col), sents.alias("__s")).filter(F.size("__s") > 0)
+    n = F.size("__s")
+    # chunk starts: 1, 1+stride, ... while start <= n
+    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda st, i: F.struct(
+            i.alias("chunk_idx"),
+            F.least(F.lit(sentences_per_chunk), n - st + 1).alias("n_sentences"),
+            F.concat_ws(" ", F.slice(F.col("__s"), st, sentences_per_chunk)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return staged.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.n_sentences").cast("long").alias("n_sentences"),
+        "c.chunk_text",
+    )

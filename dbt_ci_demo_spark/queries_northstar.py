@@ -1458,3 +1458,48 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+_SENT_PAT = r"((?:\S+ ){5}\S+) "
+
+
+@query(
+    "text_sentence_chunks",
+    oracle=r"""
+    WITH sent AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1. ', 'g'),
+               '[.!?]+\s+'), s -> s <> '') AS s
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s, CAST(st AS BIGINT) AS st
+      FROM sent, unnest(range(1, len(s) + 1, 2)) AS r(st)
+      WHERE len(s) > 0
+    )
+    SELECT doc_id,
+           (st - 1) // 2 AS chunk_idx,
+           CAST(least(3, len(s) - st + 1) AS BIGINT) AS n_sentences,
+           array_to_string(list_slice(s, st, st + 2), ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def text_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware overlapping chunking (operators/text.
+    sentence_chunks): the RAG / long-context prep stage — 3-sentence
+    windows every 2 sentences (1-sentence overlap) so no boundary
+    context is lost. The fixture corpus has no punctuation, so both
+    engines first sentence-ify it identically (a period after every 6th
+    token via the same regex; only the replacement-group SYNTAX differs
+    between Java regex and RE2). One codegen'd projection + explode —
+    no shuffle at any corpus size; every chunk's text is byte-compared
+    against the oracle."""
+    d = _docs(spark, sf_dir)
+    sentenced = d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _SENT_PAT, "$1. ").alias("text"),
+    )
+    return tx.sentence_chunks(
+        sentenced, "text", "doc_id", sentences_per_chunk=3, stride=2
+    )
