@@ -48,7 +48,10 @@ def with_zorder_key(
 
     Linear bucketing assumes roughly uniform value spread; for heavily
     skewed columns, pre-transform (log, rank) before clustering — the
-    interleave is agnostic to how buckets were derived.
+    interleave is agnostic to how buckets were derived. NULL values in a
+    clustering column land in the TOP bucket (Spark's least() skips
+    nulls), so they cluster together rather than erroring; filter or
+    impute first if nulls should not share a region.
     """
     if not cols:
         raise ValueError("cols must be non-empty")
