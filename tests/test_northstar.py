@@ -889,3 +889,57 @@ def test_streaming_dedup(spark, sf_dir):
     assert n == total  # event_ids are unique in the fixture; nothing dropped
     for q in spark.streams.active:
         q.stop()
+
+
+def test_sentence_chunks_cover_and_overlap(spark):
+    """Chunking invariants: every sentence appears in at least one chunk,
+    consecutive chunks overlap by window−stride sentences, the last
+    chunk may be short but never empty, and no chunk starts past the
+    last sentence. Also: punctuation-free text is one sentence → one
+    chunk; empty text → no rows."""
+    from dbt_ci_demo_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1 a. s2 b. s3 c. s4 d. s5 e"),
+            (2, "only one sentence no punctuation"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tx.sentence_chunks(docs, "text", "doc_id", sentences_per_chunk=3, stride=2)
+    rows = sorted((r.doc_id, r.chunk_idx, r.n_sentences, r.chunk_text) for r in out.collect())
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert [r[3] for r in d1] == [
+        "s1 a s2 b s3 c",      # sentences 1-3
+        "s3 c s4 d s5 e",      # sentences 3-5 (1-sentence overlap)
+        "s5 e",                # final short chunk
+    ]
+    assert [r[2] for r in d1] == [3, 3, 1]
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, 1, "only one sentence no punctuation")]
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError, match="stride"):
+        tx.sentence_chunks(docs, "text", "doc_id", stride=0)
+
+
+def test_quantized_codes_roundtrip_parquet(spark, sf_dir, tmp_path):
+    """The int8 code table is a storable serving artifact: write (id,
+    scale, q) to parquet, read it back, and quantized top-k over the
+    stored codes equals top-k over freshly computed codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    qz.write.mode("overwrite").parquet(str(tmp_path / "codes"))
+    back = spark.read.parquet(str(tmp_path / "codes"))
+    direct = {
+        tuple(r)
+        for r in sim.cosine_topk_quantized(qz, qz.filter(F.col("vec_id") < 8), k=5).collect()
+    }
+    stored = {
+        tuple(r)
+        for r in sim.cosine_topk_quantized(
+            back, back.filter(F.col("vec_id") < 8), k=5
+        ).collect()
+    }
+    assert stored == direct
