@@ -398,3 +398,78 @@ def cosine_topk_quantized(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF serving with int8 candidate scoring — the production ANN
+    composition: the cluster PROBE ranks the k-row float centroid table
+    (tiny, broadcast — quantizing it buys nothing), while the
+    corpus-sized candidate ranking inside the probed clusters runs on
+    integer dot products of int8 codes (:func:`quantize_embeddings_int8`
+    — scales cancel out of the cosine), so the stage that actually
+    touches the corpus moves 4× less data and stays engine-exact.
+    Same output contract as :func:`ivf_topk`; scores are the quantized
+    cosines."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cluster",
+        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    qz_c = quantize_embeddings_int8(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq")
+    )
+    qz_q = quantize_embeddings_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    clusters = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cluster_col).alias("cluster")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    num = idot(F.col("qq"), F.col("cq")).cast("double")
+    den = F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
+        idot(F.col("cq"), F.col("cq")).cast("double")
+    )
+    scored = (
+        qz_c.join(clusters, on="neighbor_id")
+        .join(F.broadcast(probes), on="cluster")
+        .join(F.broadcast(qz_q), on="query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6).alias(
+                "cosine_r"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

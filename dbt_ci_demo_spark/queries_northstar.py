@@ -1503,3 +1503,85 @@ def text_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.sentence_chunks(
         sentenced, "text", "doc_id", sentences_per_chunk=3, stride=2
     )
+
+
+def _ivf_quantized_oracle() -> str:
+    # Float centroid probe (the existing IVF shape) + int8 candidate
+    # scoring (the quantization CTE): the composition sim.ivf_topk_int8
+    # implements. Zero-norm guards mirror the operator.
+    return f"""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pos AS (
+      SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM base
+    ),
+    means AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+      FROM pos GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label AS cluster, list(mean ORDER BY pos) AS centroid
+      FROM means GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    qc AS (
+      SELECT query_id, cluster,
+             {_COS.format(a='qv', b='centroid')} AS ccos
+      FROM q, cents
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, cluster) AS crank
+        FROM qc
+      ) WHERE crank <= 2
+    ),
+    m AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ),
+    qz AS (
+      SELECT vec_id, label,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM m
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN list_inner_product(qs.q, qs.q) > 0
+                         AND list_inner_product(c.q, c.q) > 0
+                   THEN list_inner_product(qs.q, c.q)::DOUBLE /
+                        (sqrt(list_inner_product(qs.q, qs.q)::DOUBLE)
+                         * sqrt(list_inner_product(c.q, c.q)::DOUBLE))
+                   ELSE 0.0 END, 6) AS cosine_r
+      FROM qz c
+      JOIN probes p ON c.label = p.cluster
+      JOIN qz qs ON qs.vec_id = p.query_id
+      WHERE c.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_r, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_ivf_quantized", oracle=_ivf_quantized_oracle)
+def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with int8 candidate scoring (operators/similarity.
+    ivf_topk_int8): the probe ranks the tiny float centroid table, and
+    the corpus-sized within-cluster ranking runs on integer dot products
+    of the quantized codes — the production composition where the stage
+    that touches the corpus moves 4× less data. Every (neighbor, score,
+    rank) oracle-checked against the identical float-probe + int8-score
+    pipeline in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk_int8(
+        emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -35,6 +35,7 @@ _CARTESIAN_OK = {
     "sim_topk_quantized",  # same shape: exact verifier, broadcast query side
     "dedup_jaccard_pairs",
     "sim_ivf_topk",
+    "sim_ivf_quantized",  # same shape: tiny centroid-table broadcast for the probe
     "sim_ivf_kmeans_trained",  # same shape: broadcast of the tiny trained-centroid table
     "q22_idle_rich_customers",
     "q11_important_parts",
