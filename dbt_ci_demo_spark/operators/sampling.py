@@ -238,3 +238,48 @@ def score_weighted_sample(
         F.floor(F.col(score_col) * BUCKETS).cast("long"), F.lit(BUCKETS).cast("long")
     )
     return df.filter(hash_bucket(F.col(key_col), seed) < cut)
+
+
+def allocate_budget(
+    df: DataFrame, stratum_col: str, budget: int
+) -> DataFrame:
+    """Largest-remainder apportionment of a global row budget across
+    strata (the 'sample exactly B documents, proportionally by
+    language/source' planning step ahead of :func:`stratified_sample`):
+    quota_s = floor(B·n_s/N), then the leftover seats go to the largest
+    remainders (B·n_s mod N, stratum as tie-break). Everything is
+    integer arithmetic — quotas sum to exactly ``budget`` (when
+    budget ≤ N) and are bit-identical in any engine, unlike
+    float-rounded shares which can over- or under-shoot.
+
+    Plan: one corpus aggregate to per-stratum counts, then window math
+    over the k-row stratum table — nothing else touches the corpus.
+    Returns (stratum, n_rows, quota)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    # two 1-row broadcasts: N, then base-quota sum (leftover seats)
+    n_total = counts.agg(F.sum("n_rows").alias("N"))
+    with_base = counts.crossJoin(F.broadcast(n_total)).select(
+        "stratum",
+        "n_rows",
+        F.expr(f"{budget}L * n_rows div N").alias("base"),
+        F.expr(f"({budget}L * n_rows) % N").alias("rem"),
+    )
+    leftover = with_base.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
+    return (
+        with_base.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "stratum",
+            "n_rows",
+            (F.col("base") + (F.col("__rk") <= F.col("leftover")).cast("long")).alias(
+                "quota"
+            ),
+        )
+    )

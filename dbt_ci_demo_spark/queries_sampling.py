@@ -443,3 +443,41 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     priors (C4/RefinedWeb-style domain filtering). Pure regexp in the
     scan; occurrence-exact against the oracle."""
     return tx.url_domains(_docs_pii(spark, sf_dir), "text", "doc_id")
+
+
+_BUDGET = 1000
+
+
+@query(
+    "samp_budget_allocation",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_rows) AS N FROM counts),
+    base AS (
+      SELECT stratum, n_rows,
+             ({_BUDGET} * n_rows) // (SELECT N FROM tot) AS base,
+             ({_BUDGET} * n_rows) % (SELECT N FROM tot) AS rem
+      FROM counts
+    ),
+    lo AS (SELECT {_BUDGET} - SUM(base) AS leftover FROM base)
+    SELECT stratum, n_rows,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                             <= (SELECT leftover FROM lo)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM base
+    """,
+)
+def samp_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment (operators/sampling.
+    allocate_budget): split a 1000-document sampling budget across
+    languages exactly proportionally — floor quotas plus leftover seats
+    to the largest remainders, all integer arithmetic, so the quotas sum
+    to exactly the budget and every per-language number hash-matches
+    the oracle (float-rounded shares can over/under-shoot). The
+    planning half of stratified sampling: feed each quota into
+    stratified_sample's per-stratum cap. One corpus aggregate; the
+    apportionment itself is window math over the k-row stratum table."""
+    d = _t(spark, sf_dir, "documents").select("lang")
+    return sp.allocate_budget(d, "lang", _BUDGET)

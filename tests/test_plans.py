@@ -43,6 +43,7 @@ _CARTESIAN_OK = {
     "text_unigram_logprob",  # same shape: 1-row (N, V) totals broadcast
     "text_ccnet_buckets",  # same shape: built on the unigram totals broadcast
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
+    "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "emb_kmeans_step",
 }
 
