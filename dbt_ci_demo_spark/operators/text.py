@@ -465,3 +465,92 @@ def sentence_chunks(
         F.col("c.n_sentences").cast("long").alias("n_sentences"),
         "c.chunk_text",
     )
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The published Gopher quality-filter ruleset (Rae et al. 2021,
+    App. A) as one codegen'd scan — the canonical named document filter,
+    complementing the generic :func:`quality_metrics` score:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio ('#', '...') ≤ 0.1
+    - ≤ 90% of lines start with a bullet ([-*•])
+    - ≤ 30% of lines end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct Gopher stopwords present
+
+    Output: every ratio (rounded 6) plus per-rule booleans and the
+    conjunction ``keep``. All whitespace/line math is array expressions
+    over the same split both engines share — zero shuffles, per-row
+    only, oracle-checkable decision by decision."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.round(
+        F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0)),
+        6,
+    )
+    n_sym = F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    sym_ratio = F.round(
+        F.when(n_words > 0, n_sym.cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))).cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_words,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    low = F.lower(t)
+    stop_hits = sum(
+        [
+            (F.regexp_count(low, F.lit(f"\\b{w}\\b")) > 0).cast("int")
+            for w in GOPHER_STOPWORDS
+        ],
+        F.lit(0),
+    )
+    r_words = (n_words >= 50) & (n_words <= 100000)
+    r_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    r_sym = sym_ratio <= 0.1
+    r_bullet = bullet_frac <= 0.9
+    r_ellipsis = ellipsis_frac <= 0.3
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        (r_words & r_wl & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop).alias(
+            "keep"
+        ),
+    )

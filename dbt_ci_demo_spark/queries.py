@@ -1530,6 +1530,7 @@ _PRIORITY: list[str] = [
     "samp_train_test_split",
     "emb_label_centroids",
     # -- tail: local-mirror evidence only (newest first — next rotation) --
+    "text_gopher_rules",
     "samp_budget_allocation",
     "sim_ivf_quantized",
     "text_sentence_chunks",

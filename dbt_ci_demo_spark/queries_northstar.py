@@ -1585,3 +1585,61 @@ def sim_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), "label", k=5, n_probe=2
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _gopher_oracle() -> str:
+    stop_hits = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in tx.GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+             list_filter(string_split_regex(text, '\\n'), x -> x <> '') AS lines,
+             CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+               + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+             ({stop_hits}) AS stop_hits
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) > 0 THEN
+               list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))::DOUBLE
+               / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN len(toks) > 0 THEN n_sym::DOUBLE / len(toks)
+                   ELSE 0.0 END, 6) AS symbol_word_ratio,
+             round(CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE
+               / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+             round(CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$')))::DOUBLE
+               / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+             round(CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(toks) ELSE 0.0 END, 6) AS alpha_word_frac,
+             CAST(stop_hits AS INTEGER) AS stopword_hits
+      FROM m
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_word_ratio <= 0.1
+           AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3
+           AND alpha_word_frac >= 0.8
+           AND stopword_hits >= 2 AS keep
+    FROM r
+    """
+
+
+@query("text_gopher_rules", oracle=_gopher_oracle)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete published Gopher document-quality ruleset
+    (operators/text.gopher_rules) over the corpus: word-count bounds,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stopword presence — every
+    ratio and the per-document keep decision oracle-checked. One
+    codegen'd scan, zero shuffles at any corpus size."""
+    return tx.gopher_rules(_docs(spark, sf_dir), "text", "doc_id")
