@@ -80,6 +80,13 @@ HEADLINE = [
     "text_badwords_filter",
     "text_ccnet_buckets",
     "emb_quantize_int8",
+    # r06 (VERDICT r05 task 6): the promoted corpus ops join the ratchet —
+    # the decision-exact Gopher ruleset scan, the quality-derived mixture
+    # plan (stats → cuts → filter, one declarative plan), and the Z-order
+    # clustered write (the one write-path cost in the headline set).
+    "text_gopher_rules",
+    "pipe_mixture_from_quality",
+    "wr_zorder_cluster",
     # r05 (VERDICT r04 task 5): star-CC on a HIGH-DIAMETER synthetic —
     # 1024 chains of 64 nodes (diameter 63). Min-label would need 63
     # O(E)-shuffle rounds here; large-star/small-star converges in
@@ -130,12 +137,69 @@ def _bench_only():
     }
 
 
+def _canary_probe(sf_dir: str) -> None:
+    """Child mode (``--canary-probe``): in a FRESH process/JVM, warm q1
+    3 passes and print the min-of-5 q1 wall time on stdout. Because both
+    the start and end canary run this identical fresh-JVM procedure, the
+    ratio between them reflects only the box (external load), never the
+    suite's own late-run JVM state."""
+    from dbt_ci_demo_spark.queries import registry_queries
+    from dbt_ci_demo_spark.session import get_spark
+
+    spark = get_spark("bench-canary")
+    q = registry_queries()["q1_pricing_summary"]
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for _ in range(3):
+        run()
+    print(round(min(run() for _ in range(5)), 4))
+
+
+def _canary() -> float:
+    """Run the canary probe in a forked subprocess (fresh JVM)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--canary-probe"],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=600,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+
+    # Load-drift canary (VERDICT r03 task 2, probe isolation r06): BENCH_r03
+    # was recorded while other Spark work shared the box and came out
+    # ~10-15% inflated, which misread a flat round as a regression. Time the
+    # same cheap query before and after the suite (min-of-5 — a floor
+    # estimator that only shifts under SUSTAINED load). r05 lesson: running
+    # the end canary inside the suite's own session false-positived even on
+    # an idle box (ratio 1.25 — late-run GC pressure/listener backlog/
+    # checkpoint-cleaner activity from the 55-row suite degraded the probe
+    # itself, not the measured queries, which matched their in-suite
+    # timings). Fix: BOTH canaries fork a fresh subprocess+JVM running the
+    # identical warm-3/min-of-5 procedure, so start and end probe the same
+    # JVM state and the ratio isolates external box load. Thresholds stay
+    # asymmetric: end >20% slower = load arrived mid-run — contaminated;
+    # end >40% faster = load present at start that decayed (fresh-JVM
+    # probes have no JIT carry-over, but keep the guard for decaying load).
+    # On contamination: still print the JSON (fields are diagnostic) but
+    # exit rc 3 so the driver re-runs instead of recording a loaded-box
+    # file. Same-load-throughout is undetectable from inside one run; the
+    # canary fields are recorded per round so drift across rounds shows.
+    canary_start = _canary()
 
     from dbt_ci_demo_spark.queries import registry_queries
     from dbt_ci_demo_spark.session import get_spark
@@ -150,30 +214,9 @@ def main() -> int:
         return time.perf_counter() - t0
 
     # Warm-up: JVM + codegen + parquet footer caches (3 passes — one is
-    # not enough to reach steady tiered-JIT state for the canary below).
+    # not enough to reach steady tiered-JIT state).
     for _ in range(3):
         regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # Load-drift canary (VERDICT r03 task 2): BENCH_r03 was recorded while
-    # other Spark work shared the box and came out ~10-15% inflated, which
-    # misread a flat round as a regression. Re-time the same cheap query
-    # before and after the suite (min-of-5 each — the min over 5 is a
-    # floor estimator that only shifts under SUSTAINED load; idle-box
-    # min-of-3 readings were seen to jitter past a 15% bar). Thresholds
-    # are asymmetric because the two directions mean different things:
-    # end SLOWER than start by >20% = external load arrived mid-run —
-    # contaminated; end FASTER than start is the expected C2-tiering
-    # direction after ~100 query executions (measured 1.23-1.26x on a
-    # clean box), so only a >40% speed-up — more than JIT delivers —
-    # flags load that was present at the start and decayed.
-    # On contamination: still print the JSON (fields are diagnostic) but
-    # exit rc 3 so the driver re-runs instead of recording a loaded-box
-    # file. Same-load-throughout is undetectable from inside one run; the
-    # canary fields are recorded per round so drift across rounds shows.
-    def canary() -> float:
-        return round(min(run("q1_pricing_summary") for _ in range(5)), 4)
-
-    canary_start = canary()
 
     # Best of two passes per query: reports steady-state execution rather
     # than whichever run ate a GC pause / first-codegen compile. Sub-second
@@ -187,7 +230,10 @@ def main() -> int:
         for name, t in times.items()
     }
     total = round(sum(times.values()), 4)
-    canary_end = canary()
+    # Stop the suite session before the end probe so its (idle but
+    # heap-holding) JVM doesn't compete with the probe's.
+    spark.stop()
+    canary_end = _canary()
     ratio = round(canary_end / max(canary_start, 1e-9), 4)
     contaminated = ratio > 1.2 or ratio < 1.0 / 1.4
     print(
@@ -209,4 +255,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--canary-probe" in sys.argv:
+        _canary_probe(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        raise SystemExit(0)
     raise SystemExit(main())
