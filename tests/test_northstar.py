@@ -109,6 +109,27 @@ def test_star_round_count_logarithmic_vs_minlabel_linear(spark):
     assert s_star["rounds"] * 2 < s_min["rounds"], (s_star, s_min)
 
 
+def test_star_components_skewed_supernode(spark):
+    """r06 (VERDICT r05 finding #1): a degree-10^5 supernode must not
+    wedge the star steps. The neighborhood min is now a map-side-
+    combinable groupBy joined back (an AQE-splittable sort-merge join on
+    the hot key) instead of an unbounded window that funnels the whole
+    neighborhood into one task. Correctness: every node labels to the
+    component min; rounds stay O(log d) (a star has diameter 2)."""
+    n = 100_000
+    hub = 50_000
+    pairs = (
+        spark.range(1, n + 1)
+        .filter(F.col("id") != hub)
+        .select(F.lit(hub).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    s = {}
+    out = dd.connected_components_star(pairs, stats=s)
+    assert out.filter(F.col("component") != 1).count() == 0
+    assert out.count() == n
+    assert s["rounds"] <= 4, s
+
+
 def test_connected_components_empty_and_bound(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dd.duplicate_clusters(empty).count() == 0
@@ -749,6 +770,31 @@ def test_media_codecs_fixed_vectors():
     ]:
         with pytest.raises(ValueError, match=msg):
             decoder(bad)
+
+
+def test_media_codec_encoders_roundtrip():
+    """r06: the shipped header ENCODERS (fixture builders for
+    mm_image_metadata_codec) roundtrip through the real decoders for a
+    grid of dimensions including edge sizes, and their byte lengths are
+    the format constants the oracle relies on (PNG 33, JPEG 17, WAV 44)."""
+    from dbt_ci_demo_spark.operators import media_codecs as mc
+
+    for w, h in [(1, 1), (1, 512), (512, 1), (511, 505), (65535, 1), (640, 480)]:
+        png = mc.encode_png_header(w, h)
+        assert len(png) == 33
+        assert mc.decode_image_header(png) == (w, h, "png")
+        if w <= 0xFFFF and h <= 0xFFFF:
+            jpg = mc.encode_jpeg_header(w, h)
+            assert len(jpg) == 17
+            assert mc.decode_image_header(jpg) == (w, h, "jpeg")
+    wav = mc.encode_wav_header(16000, 48000)
+    assert len(wav) == 44
+    assert mc.decode_audio_header(wav) == (16000, 48000)
+    assert mc.decode_audio_header(mc.encode_wav_header(8000, 0, block_align=4)) == (8000, 0)
+    with pytest.raises(ValueError):
+        mc.encode_png_header(0, 5)
+    with pytest.raises(ValueError):
+        mc.encode_jpeg_header(70000, 5)
 
 
 def test_media_codecs_ride_the_seam(spark):
