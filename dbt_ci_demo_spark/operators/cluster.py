@@ -57,6 +57,15 @@ def with_zorder_key(
         raise ValueError("cols must be non-empty")
     if not 1 <= bits <= 20:
         raise ValueError("bits must be in [1, 20]")
+    # The interleaved key lives in one signed long: the top bit position is
+    # bits*len(cols)-1, which must stay < 63 — the JVM masks shift counts
+    # mod 64, so an overwide key would silently scramble the layout.
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 63: the Morton key "
+            f"must fit a signed 64-bit long; lower bits (≤ {63 // len(cols)} "
+            f"for {len(cols)} columns) or cluster fewer columns"
+        )
     nb = 1 << bits
     aggs = []
     for i, c in enumerate(cols):

@@ -209,10 +209,16 @@ def volume_anomalies(
     dev_num = F.col("cnt") * n - s  # (x − mean)·n, exact
     # |x−mean| > pct/100·sqrt(var_num/(n(n−1)))
     # ⇔ dev_num²·10⁴·(n−1) > pct²·var_num·n   (multiply by 10⁴·n²(n−1))
+    # The squared compare runs in decimal(38,0), not long: dev_num² alone
+    # overflows 2^63 once daily counts pass ~2M rows, and non-ANSI long
+    # multiplication would wrap silently, flipping the flag. decimal keeps
+    # the decision exact up to ~10^15 rows/day (then nulls, never wraps).
+    dev_dec = dev_num.cast("decimal(38,0)")
+    var_dec = var_num.cast("decimal(38,0)")
     flag = F.when(
         n >= 2,
-        (dev_num * dev_num * F.lit(10000) * (n - 1))
-        > (F.lit(threshold_pct * threshold_pct) * var_num * n),
+        (dev_dec * dev_dec * F.lit(10000) * (n - 1))
+        > (F.lit(threshold_pct * threshold_pct) * var_dec * n),
     ).otherwise(F.lit(False))
     return daily.select(
         "d",

@@ -395,8 +395,17 @@ def badword_filter(
     codegen'd scan — zero shuffles, zero joins; a 400-word production
     list is still one automaton. For blocklists too large to inline in a
     regex (domain lists in the millions), the shape switches to an
-    explode + broadcast join — not needed at word-list scale."""
-    pat = r"\b(" + "|".join(words) + r")\b"
+    explode + broadcast join — not needed at word-list scale.
+
+    Entries are treated as LITERAL words: regex metacharacters in a
+    caller-supplied list (., +, (, ? — common in real C4-style lists)
+    are escaped before joining, so a hostile or merely punctuated entry
+    cannot change the alternation's semantics or error the scan."""
+    meta = set("\\^$.|?*+()[]{}")
+    esc = [
+        "".join("\\" + ch if ch in meta else ch for ch in w) for w in words
+    ]
+    pat = r"\b(" + "|".join(esc) + r")\b"
     n_bad = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
     return df.select(
         F.col(id_col),

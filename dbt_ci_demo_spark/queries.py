@@ -281,9 +281,11 @@ def dq_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN (n_trailing * sq - s * s)::DOUBLE
                       / (n_trailing * (n_trailing - 1)) END, 6) AS trailing_var,
            CASE WHEN n_trailing >= 2 THEN
-             ((cnt * n_trailing - s) * (cnt * n_trailing - s)
+             (CAST(cnt * n_trailing - s AS HUGEINT)
+               * CAST(cnt * n_trailing - s AS HUGEINT)
                * 10000 * (n_trailing - 1))
-             > (200 * 200 * (n_trailing * sq - s * s) * n_trailing)
+             > (200 * 200 * CAST(n_trailing * sq - s * s AS HUGEINT)
+                * n_trailing)
            ELSE FALSE END AS is_anomaly
     FROM w
     """,
@@ -1397,18 +1399,23 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-5 ROTATION (VERDICT r04 task 1): slots 1-30 stay
+# the coverage budget. ROUND-6 ROTATION (VERDICT r05 task 2): slots 1-30 stay
 # the compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
 # representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
-# 31-50 promote twenty queries that had only local-mirror evidence through
-# round 4, leading with the four r4 registrations (versioned CDC, star-CC,
-# containment, per-source quality) plus the curation pipeline, the events
-# analytics tail (retention cohorts, funnel, continuous aggregate, JSON
-# struct), two streaming ops (dedup-watermark, sliding windows), sampling/
-# text ops (stratified-by-lang, PII redaction, TF-IDF), emb_label_affinity,
-# and TPC-H q7/q8/q14/q16/q20. Queries rotated OUT of the window carry
-# driver-green evidence in CORRECTNESS_r01..r04.json and stay in the tail;
-# the never-checked backlog (~26) is ordered for the round-6 rotation.
+# 31-50 promote the eighteen r05 registrations (Gopher ruleset, budget
+# apportionment, int8 quantization + quantized top-k/IVF serving, sentence
+# chunking, content digest, CCNet buckets, volume anomaly, PageRank, Z-order
+# clustered writes, blocklist + URL-domain text ops, streaming versioned
+# CDC + tombstone compaction, quality-weighted sampling, decontamination,
+# mixture-from-quality) plus TPC-H q2/q15. All 20 passed the local oracle
+# gate and the judge's independent sf0.01 spot-check before promotion.
+# Queries rotated OUT of the window carry driver-green evidence in
+# CORRECTNESS_r01..r05.json and stay in the tail; the never-checked backlog
+# (~24) is ordered for the round-7 rotation — EXCEPT dedup_jaccard_pairs /
+# sim_topk_bruteforce (VERDICT r05 task 7): they stay registered as the
+# documented all-pairs verifier twins of the LSH/IVF scale paths but are
+# permanently excluded from promotion slates (the whitelist tightness test
+# pins their exemption; window slots go to scale-path queries).
 # Names not listed keep their insertion order after the listed ones, so a
 # new query is never silently dropped — it lands in the breadth tail until
 # it is slotted here (tests/test_oracle_correctness.py pins list == registry).
@@ -1446,7 +1453,28 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: first-time driver checks (local-green through r04) --
+    # -- slots 31-50: first-time driver checks (local-green through r05) --
+    "text_gopher_rules",
+    "samp_budget_allocation",
+    "sim_ivf_quantized",
+    "sim_topk_quantized",
+    "emb_quantize_int8",
+    "text_sentence_chunks",
+    "meta_content_digest",
+    "text_ccnet_buckets",
+    "dq_volume_anomaly",
+    "graph_pagerank",
+    "wr_zorder_cluster",
+    "text_badwords_filter",
+    "text_url_domains",
+    "stream_cdc_versioned",
+    "incr_cdc_compact",
+    "samp_quality_weighted",
+    "pipe_decontaminate",
+    "pipe_mixture_from_quality",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    # -- tail: driver-green in r01..r05 (rotated out of the window) --
     "incr_cdc_versioned",
     "dedup_cluster_star",
     "dedup_containment",
@@ -1467,7 +1495,6 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue_share",
     "q16_unsold_parts",
     "q20_excess_suppliers",
-    # -- tail: driver-green in r01..r04 (rotated out of the window) --
     "incr_cdc_apply",
     "stream_interval_join",
     "dedup_incremental_minhash",
@@ -1529,25 +1556,11 @@ _PRIORITY: list[str] = [
     "events_asof_attribution",
     "samp_train_test_split",
     "emb_label_centroids",
-    # -- tail: local-mirror evidence only (newest first — next rotation) --
-    "text_gopher_rules",
-    "samp_budget_allocation",
-    "sim_ivf_quantized",
-    "text_sentence_chunks",
-    "meta_content_digest",
-    "text_ccnet_buckets",
-    "dq_volume_anomaly",
-    "graph_pagerank",
-    "sim_topk_quantized",
-    "emb_quantize_int8",
-    "wr_zorder_cluster",
-    "text_badwords_filter",
-    "text_url_domains",
-    "stream_cdc_versioned",
-    "incr_cdc_compact",
-    "samp_quality_weighted",
-    "pipe_decontaminate",
-    "pipe_mixture_from_quality",
+    # -- tail: local-mirror evidence only (newest first — next rotation;
+    #    dedup_jaccard_pairs / sim_topk_bruteforce are slate-excluded
+    #    verifier twins, see header note) --
+    "pipe_budgeted_curation",
+    "mm_image_metadata_codec",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
     "emb_normalize_digest",
@@ -1575,9 +1588,7 @@ _PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_revenue",
-    "q15_top_supplier",
     "q17_small_qty_revenue",
-    "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_priority_by_status",
     "olap_cube_volumes",
