@@ -131,6 +131,57 @@ def decode_wav_header(payload: bytes) -> tuple[int, int]:
     return sample_rate, data_size // block_align
 
 
+def encode_png_header(width: int, height: int) -> bytes:
+    """Minimal REAL PNG container prefix (signature + IHDR, 33 bytes):
+    enough of the format for any header parser to read dimensions. The
+    IHDR CRC is zeroed and no IDAT follows — this is a header fixture
+    for decoder tests/pipelines, not a renderable image."""
+    if not (0 < width <= 0xFFFFFFFF and 0 < height <= 0xFFFFFFFF):
+        raise ValueError("PNG dimensions must be positive uint32")
+    ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    return PNG_SIGNATURE + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal REAL JPEG marker stream (SOI + SOF0 + EOI, 17 bytes):
+    a valid marker walk for any SOF-seeking header parser (1 grayscale
+    component, no entropy data)."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("JPEG dimensions must be positive uint16")
+    sof = (
+        struct.pack(">H", 11)  # segment length: 2 + 1 + 4 + 1 + 3
+        + bytes([8])  # precision
+        + struct.pack(">HH", height, width)
+        + bytes([1])  # component count
+        + bytes([1, 0x11, 0x00])  # component: id, sampling, quant table
+    )
+    return b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xd9"
+
+
+def encode_wav_header(
+    sample_rate: int, n_samples: int, block_align: int = 2
+) -> bytes:
+    """Minimal REAL RIFF/WAVE header (44 bytes): fmt + data chunk headers
+    declaring ``n_samples * block_align`` data bytes (none appended — a
+    header fixture for parsers that read sizes, not samples)."""
+    if sample_rate <= 0 or n_samples < 0 or block_align <= 0:
+        raise ValueError("WAV parameters must be positive")
+    data_size = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
 def decode_audio_header(payload: bytes) -> tuple[int, int]:
     """Dispatch for multimodal.decode_audio_metadata's ``decoder=`` seam
     (WAV is the only container parsed without a codec library)."""

@@ -91,6 +91,41 @@ def synthesize_media_from_text(df: DataFrame, text_col: str, id_col: str) -> Dat
     )
 
 
+IMAGE_FIXTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_image_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-container fixture (r06, VERDICT r05 task 4):
+    per row, a minimal-but-valid PNG (even ids) or JPEG (odd ids) header
+    payload built with :mod:`operators.media_codecs` encoders, dimensions
+    arithmetic in the id — width = 1 + id % 512, height = 1 + (id*7) %
+    512 — so an oracle can verify the REAL header parsers end-to-end
+    without any media library. Payload synthesis is an Arrow-batched
+    mapInPandas stage riding the same plumbing as the decode stage; the
+    result is the typed media struct every downstream media operator
+    consumes."""
+    from dbt_ci_demo_spark.operators import media_codecs as mc
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                mc.encode_png_header(1 + i % 512, 1 + (i * 7) % 512)
+                if i % 2 == 0
+                else mc.encode_jpeg_header(1 + i % 512, 1 + (i * 7) % 512)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    fixture = df.select(F.col(id_col)).mapInPandas(synth, IMAGE_FIXTURE_SCHEMA)
+    return attach_media_column(fixture, "payload", "doc_id")
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
     """STUB for the real image decoder (PIL.Image.open). Deterministic fake:
     dimensions and format derived from the payload's md5 — replace the body

@@ -240,6 +240,33 @@ def score_weighted_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < cut)
 
 
+def stratified_sample_by_quota(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    quotas: DataFrame,
+    seed: str = "strat",
+) -> DataFrame:
+    """Exact per-stratum cap driven by a DATA-derived quota table instead
+    of a constant: ``quotas`` is a tiny (strata..., quota) DataFrame —
+    typically :func:`allocate_budget`'s output — broadcast-joined onto
+    the ranked corpus; rows keep while their in-stratum (hash, key) rank
+    is within their stratum's quota. The execution half of budgeted
+    sampling: allocate_budget plans the quotas, this enforces them, and
+    the two compose as ONE declarative plan with no value passing
+    through the driver. Same one-shuffle rank-window plan as
+    :func:`stratified_sample`; strata absent from ``quotas`` are dropped
+    (inner join — the unbudgeted-stratum posture)."""
+    order = [_key_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.join(F.broadcast(quotas), on=strata_cols)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("quota"))
+        .drop("__rk")
+    )
+
+
 def allocate_budget(
     df: DataFrame, stratum_col: str, budget: int
 ) -> DataFrame:

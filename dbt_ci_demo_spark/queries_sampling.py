@@ -481,3 +481,73 @@ def samp_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     apportionment itself is window math over the k-row stratum table."""
     d = _t(spark, sf_dir, "documents").select("lang")
     return sp.allocate_budget(d, "lang", _BUDGET)
+
+
+_CURATION_BUDGET = 200
+
+
+def _budgeted_curation_oracle() -> str:
+    from dbt_ci_demo_spark.queries_northstar import _text_stats_oracle
+
+    hash_expr = _DUCK_HASH.format(seed="bcur", key="k.doc_id")
+    return f"""
+    WITH stats AS ({_text_stats_oracle()}),
+    kept AS (
+      SELECT s.doc_id, d.lang, s.quality_score
+      FROM stats s JOIN documents d USING (doc_id)
+      WHERE s.quality_score >= 0.5
+    ),
+    counts AS (SELECT lang AS stratum, count(*) AS n_rows FROM kept GROUP BY lang),
+    tot AS (SELECT SUM(n_rows) AS N FROM counts),
+    base AS (
+      SELECT stratum, n_rows,
+             ({_CURATION_BUDGET} * n_rows) // (SELECT N FROM tot) AS base,
+             ({_CURATION_BUDGET} * n_rows) % (SELECT N FROM tot) AS rem
+      FROM counts
+    ),
+    lo AS (SELECT {_CURATION_BUDGET} - SUM(base) AS leftover FROM base),
+    quotas AS (
+      SELECT stratum AS lang,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                               <= (SELECT leftover FROM lo)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM base
+    ),
+    ranked AS (
+      SELECT k.doc_id, k.lang, k.quality_score, q.quota,
+             row_number() OVER (
+               PARTITION BY k.lang ORDER BY {hash_expr}, k.doc_id
+             ) AS rk
+      FROM kept k JOIN quotas q USING (lang)
+    )
+    SELECT doc_id, lang, quality_score, quota FROM ranked WHERE rk <= quota
+    """
+
+
+@query("pipe_budgeted_curation", oracle=_budgeted_curation_oracle)
+def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation end-to-end (r06, VERDICT r05 task 8 — the
+    flagship 100 TB curation shape): measure per-document quality →
+    hard-gate at 0.5 → apportion a global 200-document budget across
+    languages by largest remainder over the SURVIVING corpus
+    (allocate_budget) → enforce each language's quota with the
+    hash-ordered stratified cap (stratified_sample_by_quota). The
+    budget is planned from measured data, not config, and the whole
+    chain — quality scan, k-row apportionment window, broadcast quota
+    join, rank cap — is one declarative plan with no driver collect:
+    quotas sum to exactly the budget, and every kept doc_id is
+    oracle-checked. Scale shape: two corpus-sized passes (the quality
+    aggregate feeding counts, the rank window on lang), both
+    AQE-managed hash exchanges; everything else is k-row."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        tx.quality_metrics(F.col("text"))["quality_score"].alias("quality_score"),
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.5)
+    quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
+        F.col("stratum").alias("lang"), "quota"
+    )
+    out = sp.stratified_sample_by_quota(kept, ["lang"], "doc_id", quotas, seed="bcur")
+    return out.select("doc_id", "lang", "quality_score", "quota")

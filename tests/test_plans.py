@@ -44,6 +44,7 @@ _CARTESIAN_OK = {
     "text_ccnet_buckets",  # same shape: built on the unigram totals broadcast
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
+    "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
     "emb_kmeans_step",
 }
 
