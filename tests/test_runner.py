@@ -605,3 +605,43 @@ def test_zorder_layout_skips_files(spark, sf_dir, tmp_path):
     # ~17/64 vs 64/64; boundary-crossing files keep it from the aligned-
     # block ideal, and the fraction shrinks further as file count grows)
     assert z_hit * 3 <= p_hit, (z_hit, p_hit)
+
+
+def test_volume_anomaly_decision_exact_at_scale_counts(spark):
+    """ADVICE r05: with daily counts in the millions, dev²·10⁴·(n−1)
+    exceeds 2^63 and non-ANSI long multiplication would wrap silently,
+    flipping the anomaly decision. The decimal(38,0) comparison must
+    flag a 5M-row spike over a flat ~2.2M-row week (the wrapped
+    arithmetic mis-decided exactly this shape) and stay quiet on a flat
+    day. 20M synthetic rows via spark.range — cheap on local[32]."""
+    import datetime
+
+    from dbt_ci_demo_spark.operators import quality as dq
+
+    base = datetime.datetime(2024, 1, 1)
+    counts = [2_200_000, 2_200_431, 2_199_612, 2_200_207, 2_199_890,
+              2_200_118, 2_199_705, 2_200_344, 5_000_000]
+    bounds, acc = [], 0
+    for c in counts:
+        acc += c
+        bounds.append(acc)
+    day = F.lit(None).cast("timestamp")
+    expr = None
+    for i in range(len(counts) - 1, -1, -1):
+        d = F.lit(base + datetime.timedelta(days=i))
+        lo = bounds[i - 1] if i > 0 else 0
+        cond = F.col("id") >= lo
+        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
+    # build when-chain from the top day downward so first match wins
+    rows = spark.range(bounds[-1]).select(expr.alias("day"))
+    out = dq.volume_anomalies(rows, "day", window=7, threshold_pct=200)
+    days = [base + datetime.timedelta(days=i) for i in range(len(counts))]
+    got = {r.d: r for r in out.collect()}
+    assert got[days[7]].n_trailing == 7
+    assert not got[days[7]].is_anomaly  # flat day: quiet
+    spike = got[days[8]]
+    assert spike.cnt == 5_000_000 and spike.n_trailing == 7
+    assert spike.is_anomaly, (
+        "5M spike over a flat 2.2M week must flag; a silent 64-bit wrap "
+        f"suppresses it (got {spike})"
+    )
