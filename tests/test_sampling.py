@@ -146,3 +146,41 @@ def test_pack_token_windows_default_shards_scale_with_cluster(spark, sf_dir):
     assert out.agg(F.max("shard")).first()[0] < expected
     assert shards_used > expected // 2
     assert shards_used <= expected
+
+
+def test_budget_quota_cap_composition(spark, sf_dir):
+    """r06: allocate_budget -> stratified_sample_by_quota composition.
+    Quotas sum to exactly the budget; the capped sample keeps exactly
+    min(quota, |stratum|) per stratum; strata absent from the quota
+    table are dropped; the kept set is deterministic across runs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    budget = 37
+    quotas = sp.allocate_budget(d, "lang", budget)
+    qmap = {r.stratum: (r.n_rows, r.quota) for r in quotas.collect()}
+    assert sum(q for _, q in qmap.values()) == budget
+    out = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", quotas.select(F.col("stratum").alias("lang"), "quota")
+    )
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, (n_rows, quota) in qmap.items():
+        assert per.get(lang, 0) == min(n_rows, quota), (lang, n_rows, quota)
+    # determinism
+    again = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", quotas.select(F.col("stratum").alias("lang"), "quota")
+    )
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+    # a stratum missing from the quota table is dropped entirely
+    some_lang = next(iter(qmap))
+    pruned = quotas.filter(F.col("stratum") != some_lang)
+    out2 = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", pruned.select(F.col("stratum").alias("lang"), "quota")
+    )
+    assert out2.filter(F.col("lang") == some_lang).count() == 0
+    # quota larger than the stratum keeps the whole stratum, no more
+    big = spark.createDataFrame(
+        [(lang, 10_000_000) for lang in qmap], "lang string, quota long"
+    )
+    out3 = sp.stratified_sample_by_quota(d, ["lang"], "doc_id", big)
+    assert out3.count() == d.count()
