@@ -206,9 +206,14 @@ def stratified_sample(
     (hash order) and reproducibly.
 
     One shuffle, on the strata columns. With few large strata (languages)
-    a rank-window is the right plan: the window's sort is per-partition
-    and AQE splits skewed strata readers. The (hash, key) order key is a
-    total order, so the kept set is unique — no ties, no run-to-run drift.
+    a rank-window is the right plan because Spark pushes a partial
+    WindowGroupLimit to the MAP side (verified in the executed plan):
+    every input task keeps at most ``n_per_stratum`` rows per stratum
+    before the exchange, so the reduce-side window partition is bounded
+    by n·map_tasks, never by stratum size — a 90%-English corpus does
+    not funnel 90 TB into one task. The (hash, key) order key is a
+    total order, so the kept set is unique — no ties, no run-to-run
+    drift.
     """
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")
