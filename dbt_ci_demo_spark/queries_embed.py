@@ -345,11 +345,13 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Loop discipline (see _kmeans_loop): the corpus is checkpointed once,
     each round pins only the k×d centroid table (assignments stay a
-    transient stage — never a corpus-sized checkpoint), the seed table
-    is broadcast (k rows) so each round is ONE shuffle (the centroid
-    update), and the only driver-side value is the per-round
-    changed-seed count over k rows — the sanctioned scalar read."""
-    cent, _seeds, _base = _kmeans_loop(spark, sf_dir)
+    transient stage — never a corpus-sized checkpoint), the quantizer is
+    driver-held bounded model state embedded as literals (the MLlib
+    design) so each round is ONE corpus job whose only exchange is the
+    map-side-combined k×d centroid aggregate, and the only driver-side
+    read is the k-row re-quantized seed table — the sanctioned bounded
+    model-state read."""
+    cent, _seed_items, _base = _kmeans_loop(spark, sf_dir)
     return cent.select(
         "cluster_id",
         "dim",
@@ -366,10 +368,55 @@ def _kmeans_idot(a: str, b: str):
     )
 
 
+def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
+    """Nearest-centroid expression over DRIVER-HELD literal centroids
+    (the MLlib design: the quantizer is bounded model state — k×d
+    integers — not corpus data, so it lives on the driver and is embedded
+    into the scan as literals each round). Assignment becomes a pure
+    projection: no broadcast join, no rank window, no shuffle of any
+    corpus row.
+
+    Scoring uses ``|s|² − 2·q·s`` — the full squared distance minus the
+    per-row constant ``|q|²``, which shifts every cluster's score equally
+    and therefore preserves both the argmin and the tie structure of the
+    oracle's ``|q|² − 2·q·s + |s|²``. All terms are exact: products of
+    fixed-point components ≤ 2^40, partial sums ≤ 2^53, so the
+    double-typed comparison is integer-exact (same invariant as
+    _kmeans_idot). Ties break to the LOWEST cluster_id via lexicographic
+    struct comparison in ``array_min`` — identical to the
+    ``row_number() OVER (ORDER BY dist, cluster_id)`` it replaces."""
+    q = F.col("q")
+    structs = []
+    for cid, sv in seed_items:
+        lit_sq = F.array(*[F.lit(int(v)) for v in sv]).cast("array<bigint>")
+        dot = F.aggregate(
+            F.zip_with(q, lit_sq, lambda x, y: x * y),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        ss = float(sum(int(v) * int(v) for v in sv))
+        structs.append(
+            F.struct(
+                (F.lit(ss) - 2 * dot).alias("score"),
+                F.lit(int(cid)).alias("cluster_id"),
+            )
+        )
+    return F.array_min(F.array(*structs))["cluster_id"]
+
+
+def _collect_seed_items(seeds_df) -> list[tuple[int, list[int]]]:
+    """Collect a (cluster_id, sq-array) seed table to driver model state:
+    the sanctioned bounded read of the Lloyd loop (k rows of d ints)."""
+    return sorted(
+        (int(r["cluster_id"]), [int(v) for v in r["sq"]]) for r in seeds_df.collect()
+    )
+
+
 def _kmeans_loop(spark: SparkSession, sf_dir: str):
-    """Run the Lloyd loop; returns (cent, seeds, base) where cent holds
-    the final (cluster_id, dim, s, n) sums, seeds the final re-quantized
-    integer seed table (cluster_id, sq), and base the quantized corpus
+    """Run the Lloyd loop; returns (cent, seed_items, base) where cent
+    holds the final (cluster_id, dim, s, n) sums, seed_items the final
+    re-quantized integer seeds as driver-held model state
+    (sorted (cluster_id, sq) tuples), and base the quantized corpus
     (vec_id, q).
 
     Per-round state discipline (r04): the ONLY corpus-sized pinned table
@@ -379,72 +426,74 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
     a per-round checkpoint — through r03 every round localCheckpointed a
     corpus-sized assignment table that Spark cannot release (unpersist
     on a local checkpoint is a guarded no-op), so a 20-round run held 20
-    corpus-sized tables in executor storage. Convergence is now detected
-    on the re-quantized SEED table (k rows, exact integer arrays):
-    seeds_t == seeds_{t-1} ⟺ the assignment repeated ⟹ cent_t ==
-    cent_{t-1} bit-for-bit, so the early-stopped output is unchanged —
-    and the corpus-sized moved-counter join is replaced by a k-row
-    comparison."""
+    corpus-sized tables in executor storage.
+
+    Round shape (r06): the quantizer lives on the DRIVER as bounded
+    model state (k×d integers — the MLlib k-means design) and each round
+    embeds it into the scan as literals (_kmeans_assign_expr). A round
+    is therefore ONE corpus job — scan → nearest-centroid projection →
+    posexplode → map-side-combined (cluster, dim) aggregate — whose only
+    exchange carries k·d rows per map partition; the broadcast seed
+    join, the corpus×k rank-window shuffle, and the corpus-sized
+    assignment-to-base re-join of the r04/r05 shape are all gone. The
+    per-round driver reads are the k-row re-quantized seed table (the
+    sanctioned bounded model-state read, replacing the old full_outer
+    convergence join) — seeds_t == seeds_{t-1} ⟺ the assignment
+    repeated ⟹ cent_t == cent_{t-1} bit-for-bit, so early-stop output
+    is unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
     quant = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * F.lit(_FX)).cast("long"),
     )
     base = emb.select("vec_id", quant.alias("q")).localCheckpoint(eager=False)
-    seeds = base.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+    seed_items = _collect_seed_items(
+        base.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+        )
     )
-    idot = _kmeans_idot
-    from pyspark.sql.window import Window
 
     cent = None
     for _ in range(_KM_ITERS):
-        scored = base.crossJoin(F.broadcast(seeds)).select(
-            "vec_id",
-            "cluster_id",
-            (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster_id")
-        )
+        # Two selects (cluster projection, then posexplode): mixing the
+        # struct-field access with a generator in ONE select trips
+        # Catalyst's Generate rewrite (field names degrade to col1/col2
+        # before resolution); the projections collapse into one stage.
         cent = (
-            assigned.join(base, "vec_id")
+            base.select(
+                _kmeans_assign_expr(seed_items).alias("cluster_id"), "q"
+            )
             .select("cluster_id", F.posexplode(F.col("q")).alias("dim", "fx"))
             .select("cluster_id", F.col("dim").cast("bigint").alias("dim"), "fx")
             .groupBy("cluster_id", "dim")
             .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        new_seeds = cent.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("dim"),
-                            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("fx"),
+        # Re-quantization stays a Spark expression (F.round HALF_UP) so the
+        # seed values remain bit-identical to the unrolled oracle CTEs —
+        # only the k finished rows are read back, never recomputed.
+        new_items = _collect_seed_items(
+            cent.groupBy("cluster_id").agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim"),
+                                F.round(F.col("s").cast("double") / F.col("n"))
+                                .cast("long")
+                                .alias("fx"),
+                            )
                         )
-                    )
-                ),
-                lambda st: st["fx"],
-            ).alias("sq")
-        )
-        changed = (
-            new_seeds.alias("n")
-            .join(seeds.alias("o"), on="cluster_id", how="full_outer")
-            .filter(
-                F.col("n.sq").isNull()
-                | F.col("o.sq").isNull()
-                | (F.col("n.sq") != F.col("o.sq"))
+                    ),
+                    lambda st: st["fx"],
+                ).alias("sq")
             )
-            .count()
         )
-        seeds = new_seeds
-        if changed == 0:
+        converged = new_items == seed_items
+        seed_items = new_items
+        if converged:
             break
-    return cent, seeds, base
+    return cent, seed_items, base
 
 
 _COS_SQL = (
@@ -521,28 +570,19 @@ def _ivf_kmeans_sql(iters: int) -> str:
 @query("sim_ivf_kmeans_trained", oracle=_ivf_kmeans_sql(_KM_ITERS))
 def sim_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN served from the k-means-trained coarse quantizer: the Lloyd
-    loop (emb_kmeans_converged) produces the final seed table, every
-    corpus vector is assigned to its nearest seed (one broadcast argmin —
-    same exact integer distance as training), and sim.ivf_topk probes the
+    loop (emb_kmeans_converged) produces the final quantizer, every
+    corpus vector is assigned to its nearest seed by the same
+    literal-centroid projection the training rounds use (zero-shuffle
+    argmin, exact integer distances), and sim.ivf_topk probes the
     2 nearest trained clusters. This is the production IVF lifecycle —
     train the quantizer, partition the corpus by it, serve probes against
     only the probed partitions — with every stage oracle-checked end to
     end."""
     from dbt_ci_demo_spark.operators import similarity as sim
-    from pyspark.sql.window import Window
 
-    _cent, seeds, base = _kmeans_loop(spark, sf_dir)
-    idot = _kmeans_idot
-    scored = base.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cluster_id",
-        (idot("q", "q") - 2 * idot("q", "sq") + idot("sq", "sq")).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id")
+    _cent, seed_items, base = _kmeans_loop(spark, sf_dir)
+    assigned = base.select(
+        "vec_id", _kmeans_assign_expr(seed_items).alias("cluster_id")
     )
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.join(assigned, "vec_id").select("vec_id", "embedding", "cluster_id")
