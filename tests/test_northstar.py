@@ -989,3 +989,39 @@ def test_quantized_codes_roundtrip_parquet(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stored == direct
+
+
+def test_kmeans_assign_expr_matches_bruteforce_argmin(spark):
+    """The literal-centroid assignment expression (r06 Lloyd rewrite) must
+    reproduce the brute-force argmin over full squared distances,
+    including ties — equal-distance vectors go to the LOWEST cluster_id,
+    the same order the rank-window shape it replaced used. Vectors are
+    chosen to force ties (symmetric seeds around the midpoint) and
+    negative components."""
+    from dbt_ci_demo_spark import queries_embed as qe
+
+    seeds = [(0, [0, 0, 0]), (1, [1000, 0, 0]), (2, [-1000, 0, 0]), (3, [0, 1000, -1000])]
+    vectors = [
+        (10, [500, 0, 0]),      # exact tie between clusters 0 and 1 -> 0
+        (11, [-500, 0, 0]),     # exact tie between clusters 0 and 2 -> 0
+        (12, [999, 1, -1]),     # nearest 1
+        (13, [-2000, 0, 0]),    # nearest 2
+        (14, [0, 600, -600]),   # nearest 3
+        (15, [0, 0, 0]),        # sits ON seed 0
+        (16, [1000, 0, 0]),     # sits ON seed 1
+    ]
+
+    def brute(q):
+        scored = [
+            (sum((x - s) ** 2 for x, s in zip(q, sv)), cid) for cid, sv in seeds
+        ]
+        return min(scored)[1]
+
+    df = spark.createDataFrame(vectors, "vec_id int, q array<bigint>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in df.select(
+            "vec_id", qe._kmeans_assign_expr(seeds).alias("cluster_id")
+        ).collect()
+    }
+    assert got == {vid: brute(q) for vid, q in vectors}
