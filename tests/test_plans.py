@@ -145,3 +145,35 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     benchmark would re-shuffle the corpus-dominated gram table."""
     plan = _plan(spark, "pipe_decontaminate", sf_dir)
     assert "BroadcastHashJoin" in plan, "benchmark n-gram set not broadcast"
+
+
+def test_kmeans_round_is_single_exchange_no_join_no_window(spark, sf_dir):
+    """The r06 Lloyd round shape: with the quantizer driver-held and
+    embedded as literals, one training round must be a pure projection
+    feeding the map-side-combined (cluster, dim) aggregate — no Window,
+    no Join, and exactly ONE Exchange (the k·d-row centroid aggregate)
+    in the physical plan. This is the zero-corpus-shuffle claim of
+    SCALE.md's k-means section, pinned."""
+    from pyspark.sql import functions as F
+
+    from dbt_ci_demo_spark import queries_embed as qe
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", qe._kmeans_quant_expr().alias("q"))
+    seed_items = qe._collect_seed_items(
+        base.filter(F.col("vec_id") < qe._KM_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+        )
+    )
+    cent = (
+        base.select(qe._kmeans_assign_expr(seed_items).alias("cluster_id"), "q")
+        .select("cluster_id", F.posexplode(F.col("q")).alias("dim", "fx"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "Lloyd round regressed to a window argmin"
+    assert "Join" not in plan, "Lloyd round regressed to a join-based assignment"
+    assert plan.count("Exchange") == 1, f"expected exactly 1 Exchange:\n{plan}"
+    assert "partial_sum" in plan, "centroid aggregate lost map-side combine"
