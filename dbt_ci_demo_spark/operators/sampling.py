@@ -294,11 +294,19 @@ def allocate_budget(
     )
     # two 1-row broadcasts: N, then base-quota sum (leftover seats)
     n_total = counts.agg(F.sum("n_rows").alias("N"))
+    # budget·n_rows in decimal(38,0), not long: a 10^9 budget over a
+    # 10^12-row stratum is 10^21 ≫ 2^63, and non-ANSI long multiplication
+    # wraps SILENTLY — flipping quotas at exactly the 100 TB scale this
+    # plans for (same discipline as the volume-anomaly decision and the
+    # connected-components fixpoint sum). decimal div/mod stay exact;
+    # base ≤ budget fits back in a long.
     with_base = counts.crossJoin(F.broadcast(n_total)).select(
         "stratum",
         "n_rows",
-        F.expr(f"{budget}L * n_rows div N").alias("base"),
-        F.expr(f"({budget}L * n_rows) % N").alias("rem"),
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * n_rows div N AS BIGINT)"
+        ).alias("base"),
+        F.expr(f"(CAST({budget} AS DECIMAL(38,0)) * n_rows) % N").alias("rem"),
     )
     leftover = with_base.agg(
         (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")

@@ -184,3 +184,24 @@ def test_budget_quota_cap_composition(spark, sf_dir):
     )
     out3 = sp.stratified_sample_by_quota(d, ["lang"], "doc_id", big)
     assert out3.count() == d.count()
+
+
+def test_allocate_budget_exact_past_long_overflow(spark):
+    """budget·n_rows must not wrap at 2^63 (r06: same silent-wrap class
+    as the volume-anomaly decision): a 4e18 budget over a 3-row corpus
+    puts budget*n_rows at 1.2e19 > 2^63 for the 2-row stratum — the old
+    long arithmetic wrapped negative and misallocated every seat. The
+    decimal(38,0) path must reproduce exact largest-remainder quotas,
+    summing to the budget."""
+    big = 4_000_000_000_000_000_000
+    df = spark.createDataFrame([("a",), ("b",), ("b",)], "s string")
+    got = {r.stratum: r.quota for r in sp.allocate_budget(df, "s", big).collect()}
+    exact = {s: big * n // 3 for s, n in {"a": 1, "b": 2}.items()}
+    rem = {s: big * n % 3 for s, n in {"a": 1, "b": 2}.items()}
+    leftover = big - sum(exact.values())
+    for s in sorted(exact, key=lambda t: (-rem[t], t)):
+        if leftover > 0:
+            exact[s] += 1
+            leftover -= 1
+    assert got == exact
+    assert sum(got.values()) == big
