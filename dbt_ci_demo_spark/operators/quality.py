@@ -198,23 +198,38 @@ def volume_anomalies(
     daily = df.groupBy(F.col(date_col).alias("d")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return volume_anomalies_from_daily(daily, window, threshold_pct)
+
+
+def volume_anomalies_from_daily(
+    daily: DataFrame, window: int = 7, threshold_pct: int = 200
+) -> DataFrame:
+    """The decision half of :func:`volume_anomalies`, over an existing
+    per-day (d, cnt) count table — the entry point for monitoring
+    pipelines that already maintain daily counts (and for unit-testing
+    the arithmetic at magnitudes impractical to materialize as rows)."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy("d").rowsBetween(-window, -1)
     n = F.count(F.lit(1)).over(w)
     s = F.sum("cnt").over(w)
-    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    # Decimal discipline STARTS AT THE PRODUCTS (r06, completing the
+    # ADVICE fix): cnt² in long wraps once a day passes ~3·10^9 rows, and
+    # (Σx)² wraps once the trailing-window total does — casting the
+    # already-wrapped long to decimal downstream would launder the wrap.
+    # Every square below is decimal(38,0) end-to-end.
+    cnt_dec = F.col("cnt").cast("decimal(38,0)")
+    s_dec = s.cast("decimal(38,0)")
+    sq = F.sum(cnt_dec * cnt_dec).over(w)
     # var_num = n·Σx² − (Σx)²  (variance numerator; var = var_num/(n(n-1)))
-    var_num = n * sq - s * s
-    dev_num = F.col("cnt") * n - s  # (x − mean)·n, exact
+    var_num = n * sq - s_dec * s_dec
+    dev_num = F.col("cnt") * n - s  # (x − mean)·n: ≤ cnt·n, long-safe
     # |x−mean| > pct/100·sqrt(var_num/(n(n−1)))
     # ⇔ dev_num²·10⁴·(n−1) > pct²·var_num·n   (multiply by 10⁴·n²(n−1))
-    # The squared compare runs in decimal(38,0), not long: dev_num² alone
-    # overflows 2^63 once daily counts pass ~2M rows, and non-ANSI long
-    # multiplication would wrap silently, flipping the flag. decimal keeps
-    # the decision exact up to ~10^15 rows/day (then nulls, never wraps).
+    # decimal keeps the decision exact up to ~10^15 rows/day at the
+    # default window (then nulls via decimal overflow — never wraps).
     dev_dec = dev_num.cast("decimal(38,0)")
-    var_dec = var_num.cast("decimal(38,0)")
+    var_dec = var_num
     flag = F.when(
         n >= 2,
         (dev_dec * dev_dec * F.lit(10000) * (n - 1))

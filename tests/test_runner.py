@@ -645,3 +645,46 @@ def test_volume_anomaly_decision_exact_at_scale_counts(spark):
         "5M spike over a flat 2.2M week must flag; a silent 64-bit wrap "
         f"suppresses it (got {spike})"
     )
+
+
+def test_volume_anomaly_decision_exact_at_billions_per_day(spark):
+    """r06 (completing the ADVICE decimal fix): the long-arithmetic wraps
+    compose homomorphically mod 2^64, so the decision only corrupts once
+    the TRUE variance numerator n·Σx² − (Σx)² exceeds 2^63 — reached at
+    day-to-day jitter ≥ ~5·10^8 over the default 7-day window. This
+    fixture alternates 3.5e9/6.5e9 daily counts (var_num ≈ 1.08e20,
+    wrapped sign-negative), where the pre-fix plan — decimal cast AFTER
+    the wrapped window sums — flagged EVERY day (lhs > negative rhs);
+    exact arithmetic must stay quiet on the dead-center 5e9 day and
+    still flag a genuine 9e9 spike. Exact expectations from Python
+    bigints."""
+    import datetime
+
+    from dbt_ci_demo_spark.operators import quality as dq
+
+    base = datetime.date(2024, 1, 1)
+    counts = [3_499_999_487, 6_500_000_213, 3_500_000_114, 6_499_999_267,
+              3_499_999_757, 6_500_000_875, 3_500_000_236, 6_499_999_970,
+              5_000_000_000, 9_000_000_000]
+    daily = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), c) for i, c in enumerate(counts)],
+        "d date, cnt long",
+    )
+    out = {r.d: r for r in dq.volume_anomalies_from_daily(daily, window=7).collect()}
+
+    def exact_flag(i):
+        trail = counts[max(0, i - 7):i]
+        n = len(trail)
+        if n < 2:
+            return False
+        s, sq = sum(trail), sum(c * c for c in trail)
+        var_num = n * sq - s * s
+        dev = counts[i] * n - s
+        return dev * dev * 10_000 * (n - 1) > 200 * 200 * var_num * n
+
+    for i, day in enumerate(base + datetime.timedelta(days=i) for i in range(len(counts))):
+        assert bool(out[day].is_anomaly) == exact_flag(i), (i, out[day])
+    # the dead-center day is quiet (the wrapped plan false-flagged it) …
+    assert not out[base + datetime.timedelta(days=8)].is_anomaly
+    # … and a genuine 9e9 spike over the same high-variance window flags
+    assert out[base + datetime.timedelta(days=9)].is_anomaly
