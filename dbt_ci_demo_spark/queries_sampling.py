@@ -349,10 +349,17 @@ def pipe_mixture_from_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("toks").alias("clean_tokens"))
     )
     target = clean.agg(F.min("clean_tokens").alias("t"))
+    # BUCKETS·t in decimal(38,0), then ::double — NOT a long product: at
+    # ~9e12 clean tokens in the smallest source (a ~40 TB text corpus)
+    # BUCKETS·t passes 2^63 and the long multiply wraps the cut negative,
+    # silently dropping whole sources. The decimal product is exact and
+    # its double cast rounds identically to the oracle's exact-BIGINT-
+    # then-::DOUBLE, so parity holds at every scale.
     cuts = clean.crossJoin(F.broadcast(target)).select(
         "source",
         F.floor(
-            (F.lit(sp.BUCKETS) * F.col("t")).cast("double") / F.col("clean_tokens")
+            (F.lit(sp.BUCKETS).cast("decimal(38,0)") * F.col("t")).cast("double")
+            / F.col("clean_tokens")
         )
         .cast("long")
         .alias("cut"),
