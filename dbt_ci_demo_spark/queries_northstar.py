@@ -802,6 +802,107 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_duplicates(corpus, id_col="vec_id", threshold=0.99)
 
 
+_SEM_K = 8  # coarse clusters; at scale k ∝ corpus/target_cluster_size
+_SEM_THRESHOLD = 0.99
+
+
+def _semdedup_oracle() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH base0 AS ({_EMB_DUP}),
+    base AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      FROM base0),
+    seeds AS (SELECT vec_id AS cluster_id, q AS sq FROM base
+              WHERE vec_id < {_SEM_K}),
+    scored AS (
+      SELECT b.vec_id, s.cluster_id,
+             list_inner_product(b.q, b.q) - 2 * list_inner_product(b.q, s.sq)
+               + list_inner_product(s.sq, s.sq) AS dist
+      FROM base b CROSS JOIN seeds s),
+    assigned AS (
+      SELECT r.vec_id, r.cluster_id, b.v
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster_id) AS rn
+            FROM scored) r
+      JOIN base b ON b.vec_id = r.vec_id
+      WHERE r.rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_SEM_THRESHOLD})
+    SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semdedup_oracle)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus, then drop
+    every vector whose cosine to a smaller-id member of its OWN cluster
+    is ≥ 0.99 — the min-id survivor rule the whole dedup family uses.
+    Complements `sim_embedding_neardup` (global LSH buckets): clustering
+    bounds candidate pairs by cluster size (Σ|c|² instead of n², with k
+    sized so clusters stay small at 100 TB), at the documented recall
+    trade that a near-dup pair straddling two clusters is not dropped —
+    exactly SemDeDup's published design point.
+
+    Scale shape: cluster assignment is the r06 Lloyd path — the k seed
+    vectors are driver-held bounded model state embedded as literals
+    (`_kmeans_assign_expr`), so assignment is a pure zero-shuffle
+    projection (no broadcast join, no rank window). The only exchanges
+    are the equi self-join on cluster_id (hash-partitioned; with
+    production k in the 10^4+ range the key space is wide and AQE
+    skew-splits outliers) and the final left-anti-shaped membership
+    join. The assignment projection re-evaluates per join branch — a
+    scan-shaped recompute; production would persist the assignment as a
+    stored artifact (the build_ivf_index pattern)."""
+    from dbt_ci_demo_spark.queries_embed import (
+        _FX,
+        _collect_seed_items,
+        _kmeans_assign_expr,
+    )
+
+    corpus = _emb_dup(spark, sf_dir)
+    base = corpus.select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("v"), lambda x: F.round(x * F.lit(_FX)).cast("long")
+        ).alias("q"),
+    )
+    seed_items = _collect_seed_items(
+        base.filter(F.col("vec_id") < _SEM_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+        )
+    )
+    assigned = base.select(
+        "vec_id", "v", _kmeans_assign_expr(seed_items).alias("cluster_id")
+    )
+    left = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    right = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        left.join(right, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+            >= F.lit(_SEM_THRESHOLD)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cluster_id", F.col("dup").isNull().alias("is_kept"))
+
+
 def _ivf_oracle() -> str:
     # The IVF "training" is a single deterministic pass: per-cluster,
     # per-dimension decimal-exact means (order-independent, so DuckDB

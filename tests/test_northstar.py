@@ -1025,3 +1025,20 @@ def test_kmeans_assign_expr_matches_bruteforce_argmin(spark):
         ).collect()
     }
     assert got == {vid: brute(q) for vid, q in vectors}
+
+
+def test_semdedup_drops_exactly_injected_dups(spark, sf_dir):
+    """SemDeDup semantic pin: over the dup-injected corpus, the dropped
+    set (is_kept = false) is EXACTLY the injected perturbed copies —
+    every injected copy lands in its original's cluster (a 0.01
+    single-component perturbation cannot flip an argmin over these
+    seeds) and no organic pair reaches cosine 0.99; and each dropped
+    vector's surviving partner (vec_id - 100000) is kept."""
+    from dbt_ci_demo_spark.queries_northstar import dedup_semantic_clusters
+
+    out = dedup_semantic_clusters(spark, sf_dir).collect()
+    dropped = {r["vec_id"] for r in out if not r["is_kept"]}
+    kept = {r["vec_id"] for r in out if r["is_kept"]}
+    injected = {r["vec_id"] for r in out if r["vec_id"] >= 100000}
+    assert dropped == injected
+    assert {v - 100000 for v in dropped} <= kept
