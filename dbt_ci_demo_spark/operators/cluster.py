@@ -111,3 +111,53 @@ def zorder_layout(
         .sortWithinPartitions(key)
         .drop(key)
     )
+
+
+def compact_layout(
+    df: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    rows_per_file: int,
+) -> DataFrame:
+    """Rows arranged so that a ``partitionBy(partition_col)`` parquet
+    write emits ~``ceil(partition_rows / rows_per_file)`` right-sized
+    files per partition value — the OPTIMIZE/compaction maintenance pass
+    for the small-files problem (a streaming or per-shard ingest leaves
+    hundreds of tiny files per partition; at 100 TB the scan's task
+    scheduling and footer reads are then dominated by file count, not
+    bytes).
+
+    Shape: one map-side-combinable per-partition-value count (broadcast
+    back — partition-cardinality rows, bounded metadata, never corpus
+    data), then each row salts into ``pmod(xxhash64(key_cols), n_files)``
+    and the result hash-repartitions on (partition value, salt). Every
+    partition's rewrite therefore spreads over ``n_files`` tasks — NOT
+    the classic ``coalesce(1)``-per-partition trap that serializes a hot
+    partition's entire rewrite through one task. The join is null-safe,
+    so a null partition value compacts like any other (it lands in the
+    writer's default-partition directory).
+
+    Two tasks may still merge salts of one partition (hash collision into
+    the same shuffle partition), so pair the write with
+    ``.option("maxRecordsPerFile", rows_per_file)`` as the hard upper
+    bound on file size; the salt bounds task-level parallelism and the
+    option bounds file rows. ``key_cols`` must be stable row identifiers
+    (the salt — and so the layout — is then deterministic)."""
+    if rows_per_file < 1:
+        raise ValueError("rows_per_file must be >= 1")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    cnt = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = df.join(
+        F.broadcast(cnt.withColumnRenamed(partition_col, "__pc")),
+        F.col(partition_col).eqNullSafe(F.col("__pc")),
+    )
+    n_files = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("__n") / F.lit(rows_per_file))
+    )
+    salted = j.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), n_files)
+    )
+    return salted.repartition(F.col(partition_col), F.col("__salt")).drop(
+        "__pc", "__n", "__salt"
+    )

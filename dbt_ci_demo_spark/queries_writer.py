@@ -701,3 +701,44 @@ def wr_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         (F.col("o_custkey").between(100, 200)) & (F.col("o_totalprice") < 50000)
     )
+
+
+@query(
+    "wr_compact_small_files",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS ds
+    FROM events
+    WHERE CAST(CAST(ts AS DATE) AS VARCHAR) IN ({", ".join(f"'{d}'" for d in _SHARD_DATES)})
+    """,
+)
+def wr_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (operators/cluster.compact_layout): three
+    event days first written deliberately fragmented (32 shuffle tasks ×
+    partitionBy(ds) — the shape a streaming/per-shard ingest leaves
+    behind), then rewritten so each day lands in right-sized files. The
+    oracle proves the maintenance pass is content-preserving (a
+    compaction must never change query results); the file-count payoff
+    and the no-single-task-per-partition salting are verified
+    mechanically by tests/test_runner.py::test_compact_layout_right_sizes
+    on the written directories. At 100 TB this is the OPTIMIZE pass that
+    keeps scan cost proportional to bytes, not file count."""
+    from dbt_ci_demo_spark.operators import cluster as cl
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ds", F.to_date("ts").cast("string"))
+        .filter(F.col("ds").isin(_SHARD_DATES))
+        .select("event_id", "user_id", "event_type", "value", "ds")
+    )
+    frag = os.path.join(_wh_root(), "events_fragmented")
+    ev.repartition(32).write.mode("overwrite").partitionBy("ds").parquet(frag)
+    compacted = os.path.join(_wh_root(), "events_compacted")
+    cl.compact_layout(
+        spark.read.parquet(frag), "ds", ["event_id"], rows_per_file=1_000_000
+    ).write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).partitionBy(
+        "ds"
+    ).parquet(compacted)
+    return spark.read.parquet(compacted).select(
+        "event_id", "user_id", "event_type", "value", F.col("ds").cast("string").alias("ds")
+    )

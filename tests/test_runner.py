@@ -688,3 +688,55 @@ def test_volume_anomaly_decision_exact_at_billions_per_day(spark):
     assert not out[base + datetime.timedelta(days=8)].is_anomaly
     # … and a genuine 9e9 spike over the same high-variance window flags
     assert out[base + datetime.timedelta(days=9)].is_anomaly
+
+
+def test_compact_layout_right_sizes(spark, sf_dir, tmp_path):
+    """compact_layout's entire point, verified on the written directories:
+    a 32-task fragmented partitionBy write leaves many small files per
+    day; the compacted rewrite leaves ceil(rows/target) per day (here 1),
+    with identical content. Also pins the salting contract: with a small
+    rows_per_file the hot day spreads over MULTIPLE files (no
+    coalesce(1)-per-partition single-task rewrite)."""
+    import glob
+
+    from dbt_ci_demo_spark.operators import cluster as cl
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ds", F.to_date("ts").cast("string"))
+        .filter(F.col("ds").isin(["2024-01-05", "2024-01-06"]))
+        .select("event_id", "user_id", "event_type", "value", "ds")
+    )
+    frag = str(tmp_path / "frag")
+    ev.repartition(32).write.partitionBy("ds").parquet(frag)
+
+    def files_per_day(root):
+        return {
+            d.rsplit("ds=", 1)[1]: len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{root}/ds=*")
+        }
+
+    frag_counts = files_per_day(frag)
+    assert all(n > 4 for n in frag_counts.values()), frag_counts
+
+    comp = str(tmp_path / "comp")
+    cl.compact_layout(
+        spark.read.parquet(frag), "ds", ["event_id"], rows_per_file=10**6
+    ).write.option("maxRecordsPerFile", 10**6).partitionBy("ds").parquet(comp)
+    comp_counts = files_per_day(comp)
+    assert comp_counts == {d: 1 for d in frag_counts}, comp_counts
+
+    back = spark.read.parquet(comp).select(*ev.columns)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).isEmpty() and ev.exceptAll(back).isEmpty()
+
+    # small target: the day must spread across multiple right-sized files
+    rows_day = ev.filter(F.col("ds") == "2024-01-05").count()
+    target = max(1, rows_day // 4)
+    multi = str(tmp_path / "multi")
+    cl.compact_layout(
+        ev.filter(F.col("ds") == "2024-01-05"), "ds", ["event_id"], target
+    ).write.option("maxRecordsPerFile", target).partitionBy("ds").parquet(multi)
+    n_multi = files_per_day(multi)["2024-01-05"]
+    assert n_multi >= 2, n_multi
