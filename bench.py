@@ -95,6 +95,8 @@ HEADLINE = [
     # Production-hash dedup paths (bench-only, see _bench_only()).
     "dedup_simhash_xxhash64",
     "dedup_minhash_xxhash64",
+    "dedup_semantic_clusters",
+    "wr_compact_small_files",
 ]
 
 
