@@ -1600,6 +1600,9 @@ _PRIORITY: list[str] = [
     "join_full_outer_reconcile",
     "win_first_last_value",
     "set_repeat_vs_churned",
+    # -- late-r06 registrations (r07 slate candidates) --
+    "dedup_semantic_clusters",
+    "wr_compact_small_files",
 ]
 
 

@@ -740,3 +740,29 @@ def test_compact_layout_right_sizes(spark, sf_dir, tmp_path):
     ).write.option("maxRecordsPerFile", target).partitionBy("ds").parquet(multi)
     n_multi = files_per_day(multi)["2024-01-05"]
     assert n_multi >= 2, n_multi
+
+
+def test_swap_in_failure_leaves_target_intact(spark, tmp_path):
+    """Stage-and-swap fault injection: a result whose evaluation FAILS
+    mid-write (assert_true trips on a row) must abort while staging the
+    tmp relation -- the live table keeps its old content, and the next
+    successful swap_in recovers (stale tmp is dropped up front). This is
+    the SCALE.md 'failures never leave a half-written target' claim,
+    verified mechanically."""
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+
+    wh = Warehouse(
+        spark, f"wh_{tmp_path.name.lower()}_swap", location=str(tmp_path / "whswap")
+    )
+    wh.write_table(spark.range(5).withColumnRenamed("id", "x"), "t")
+
+    bad = spark.range(10).select(
+        F.col("id").alias("x"), F.assert_true(F.col("id") < 5).alias("guard")
+    )
+    with pytest.raises(Exception):
+        wh.swap_in(bad, "t")
+    assert sorted(r.x for r in wh.read("t").collect()) == list(range(5))
+
+    wh.swap_in(spark.range(3).withColumnRenamed("id", "x"), "t")
+    assert wh.read("t").count() == 3
+    wh.drop_database()
