@@ -766,3 +766,25 @@ def test_swap_in_failure_leaves_target_intact(spark, tmp_path):
     wh.swap_in(spark.range(3).withColumnRenamed("id", "x"), "t")
     assert wh.read("t").count() == 3
     wh.drop_database()
+
+
+def test_compact_layout_broadcasts_counts(spark):
+    """compact_layout's count table is bounded metadata (one row per
+    partition value) and must enter as a BroadcastHashJoin -- a
+    sort-merge or nested-loop stage here would shuffle the corpus
+    against its own metadata. Also pins that the null-safe equality
+    still plans as an equi hash join."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("ds")
+    )
+    from dbt_ci_demo_spark.operators import cluster as cl
+
+    plan = (
+        cl.compact_layout(df, "ds", ["k"], 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
