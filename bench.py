@@ -97,6 +97,8 @@ HEADLINE = [
     "dedup_minhash_xxhash64",
     "dedup_semantic_clusters",
     "wr_compact_small_files",
+    "stats_sketch_quantiles",
+    "stats_sketch_distinct_merge",
 ]
 
 

@@ -1603,6 +1603,8 @@ _PRIORITY: list[str] = [
     # -- late-r06 registrations (r07 slate candidates) --
     "dedup_semantic_clusters",
     "wr_compact_small_files",
+    "stats_sketch_quantiles",
+    "stats_sketch_distinct_merge",
 ]
 
 

@@ -375,3 +375,124 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based approximate aggregates — the 100 TB scale path for quantiles
+# and distinct counts. Raw sketch ESTIMATES are engine-specific by
+# construction (Spark: GK summaries / Apache DataSketches HLL; DuckDB: its
+# own t-digest / HLL), so — by the same portability rule as the moments
+# above — the registered, hash-compared surface is the sketch's ACCURACY
+# CONTRACT evaluated in-plan (booleans that must all come out TRUE) plus
+# exact values both engines compute identically. The contract is the real
+# guarantee a 100 TB user relies on: a failed bound is a driver-red row.
+# ---------------------------------------------------------------------------
+
+_SKQ_QS = [0.25, 0.50, 0.75, 0.95]
+_SKQ_ACC = 1000  # GK accuracy: rank error <= n/accuracy
+
+
+@query(
+    "stats_sketch_quantiles",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS quantile,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           TRUE AS within_bound
+    FROM (VALUES (0.25), (0.50), (0.75), (0.95)) t(q)
+    ORDER BY quantile
+    """,
+)
+def stats_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) over lineitem prices,
+    with its rank-error contract verified in-plan: GK at accuracy A
+    returns an element whose rank is within eps*n of q*n (eps = 1/A).
+    The verification pass counts, per returned value v, the exact
+    #rows < v and #rows <= v, and checks the occupied rank interval
+    meets [(q-eps)n - 1, (q+eps)n + 1] (the +/-1 absorbs rank-definition
+    off-by-ones). At 100 TB this is THE quantile plan: the sketch is one
+    map-side-combinable pass (exact percentiles need a full sort, cf.
+    stats_exact_percentiles); the verify rescan exists only for the
+    contract check and broadcast-crossJoins the 4-row quantile table —
+    the standard scalar-broadcast shape (bounded fan-out of 4, same
+    whitelisted pattern as text_unigram_logprob's 1-row totals).
+    Estimates themselves are engine-specific, hence the contract-surface
+    oracle (module docstring)."""
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("price"))
+    eps = 1.0 / _SKQ_ACC
+    qarr = F.array(*[F.lit(q) for q in _SKQ_QS])
+    qv = (
+        l.agg(F.approx_percentile("price", qarr, F.lit(_SKQ_ACC)).alias("vals"))
+        .select(F.posexplode("vals").alias("pos", "v"))
+        .select(F.element_at(qarr, F.col("pos") + 1).alias("quantile"), "v")
+    )
+    return (
+        l.crossJoin(F.broadcast(qv))
+        .groupBy("quantile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("price") < F.col("v"), 1).otherwise(0)).alias("n_lt"),
+            F.sum(F.when(F.col("price") <= F.col("v"), 1).otherwise(0)).alias("n_le"),
+        )
+        .select(
+            "quantile",
+            "n_rows",
+            (
+                (F.col("n_lt") <= (F.col("quantile") + eps) * F.col("n_rows") + 1)
+                & (F.col("n_le") >= (F.col("quantile") - eps) * F.col("n_rows") - 1)
+            ).alias("within_bound"),
+        )
+        .orderBy("quantile")
+    )
+
+
+@query(
+    "stats_sketch_distinct_merge",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS est_within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    ORDER BY event_type
+    """,
+)
+def stats_sketch_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count sketches (Apache DataSketches, lgK=12) per
+    event type PLUS the property that makes them the 100 TB plan:
+    MERGEABILITY — the per-type sketches union (hll_union_agg) into a
+    global estimate without rescanning, exactly how partial sketches
+    combine across 1000 executors (and how a daily sketch table rolls up
+    to any window: sublinear state, no distinct shuffle). In-plan
+    contract per group and for the merged 'ALL' row: |estimate - exact|
+    <= 2 + 5% (3 sigma at lgK=12 is ~4.9%, +2 absolute for tiny groups).
+    The exact count_distinct column exists for the oracle contract and
+    would be dropped at scale. Estimates are engine-specific, hence the
+    contract-surface oracle (module docstring)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact) <= 2.0 + 0.05 * exact
+    )
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        "event_type",
+        "exact_distinct",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_distinct")).alias(
+            "est_within_bound"
+        ),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.hll_sketch_estimate("sk").alias("est")
+    )
+    all_row = (
+        e.agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_distinct",
+            ok(F.col("est"), F.col("exact_distinct")).alias("est_within_bound"),
+        )
+    )
+    return per_rows.unionByName(all_row).orderBy("event_type")

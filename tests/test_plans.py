@@ -46,6 +46,8 @@ _CARTESIAN_OK = {
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
     "emb_kmeans_step",
+    "stats_sketch_quantiles",  # same shape: 4-row GK-quantile broadcast for the rank verify
+    "stats_sketch_distinct_merge",  # same shape: 1-row merged-HLL-estimate broadcast
 }
 
 # Queries whose construction performs warehouse writes/DDL; building their
@@ -105,6 +107,9 @@ def test_whitelist_is_tight(spark, sf_dir):
         # source quality: scan must prune to (text, source, n_chars) —
         # doc_id and lang are not read.
         ("text_source_quality", ["ReadSchema: struct<text:string,source:string,n_chars:bigint>"]),
+        # sketch quantiles: both the sketch pass and the rank-verify
+        # rescan must read ONLY the price column.
+        ("stats_sketch_quantiles", ["ReadSchema: struct<l_extendedprice:double>"]),
     ],
 )
 def test_scan_pushdown(spark, sf_dir, name, expectations):
