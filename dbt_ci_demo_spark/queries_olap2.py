@@ -467,32 +467,44 @@ def stats_sketch_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 2 + 5% (3 sigma at lgK=12 is ~4.9%, +2 absolute for tiny groups).
     The exact count_distinct column exists for the oracle contract and
     would be dropped at scale. Estimates are engine-specific, hence the
-    contract-surface oracle (module docstring)."""
+    contract-surface oracle (module docstring).
+
+    Plan shape: ONE scan. ``rollup`` (GROUPING SETS ((event_type), ()))
+    computes the per-type rows and the global-exact row in a single
+    Expand+partial-aggregate pass — the naive three-subtree phrasing
+    (per-group agg referenced twice + a global-exact agg) planned three
+    full scans with zero exchange reuse. The merge demonstration then
+    runs hll_union_agg as a window over the aggregated k-row result
+    (nulls skip the global row's sketch), so the union costs k rows, not
+    a rescan; the global row's contract compares that MERGED estimate
+    against its own exact count. The single-partition window is bounded
+    by the event-type cardinality — the same k-row shape the per-group
+    output already has."""
+    from pyspark.sql.window import Window
+
     e = _t(spark, sf_dir, "events").select("event_type", "user_id")
     ok = lambda est, exact: (  # noqa: E731
         F.abs(est.cast("double") - exact) <= 2.0 + 0.05 * exact
     )
-    per = e.groupBy("event_type").agg(
+    agg = e.rollup("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
         F.count_distinct("user_id").alias("exact_distinct"),
+        F.grouping("event_type").alias("g"),
     )
-    per_rows = per.select(
-        "event_type",
-        "exact_distinct",
-        ok(F.hll_sketch_estimate("sk"), F.col("exact_distinct")).alias(
-            "est_within_bound"
-        ),
-    )
-    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.hll_sketch_estimate("sk").alias("est")
-    )
-    all_row = (
-        e.agg(F.count_distinct("user_id").alias("exact_distinct"))
-        .crossJoin(F.broadcast(merged))
-        .select(
-            F.lit("ALL").alias("event_type"),
-            "exact_distinct",
-            ok(F.col("est"), F.col("exact_distinct")).alias("est_within_bound"),
+    merged_est = F.hll_sketch_estimate(
+        F.hll_union_agg(F.when(F.col("g") == 0, F.col("sk"))).over(
+            Window.partitionBy()
         )
     )
-    return per_rows.unionByName(all_row).orderBy("event_type")
+    return agg.select(
+        F.when(F.col("g") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "exact_distinct",
+        ok(
+            F.when(F.col("g") == 1, merged_est).otherwise(
+                F.hll_sketch_estimate("sk")
+            ),
+            F.col("exact_distinct"),
+        ).alias("est_within_bound"),
+    ).orderBy("event_type")

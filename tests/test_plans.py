@@ -47,7 +47,6 @@ _CARTESIAN_OK = {
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
     "emb_kmeans_step",
     "stats_sketch_quantiles",  # same shape: 4-row GK-quantile broadcast for the rank verify
-    "stats_sketch_distinct_merge",  # same shape: 1-row merged-HLL-estimate broadcast
 }
 
 # Queries whose construction performs warehouse writes/DDL; building their
@@ -116,6 +115,16 @@ def test_scan_pushdown(spark, sf_dir, name, expectations):
     plan = _plan(spark, name, sf_dir)
     for fragment in expectations:
         assert fragment in plan, f"{name}: missing {fragment!r}"
+
+
+def test_hll_merge_is_single_scan(spark, sf_dir):
+    """stats_sketch_distinct_merge claims a ONE-scan rollup plan (per-type
+    rows + global row from one Expand pass, merge via a k-row window) —
+    pin it: exactly one parquet scan, no join of any kind."""
+    plan = _plan(spark, "stats_sketch_distinct_merge", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Expand" in plan  # the GROUPING SETS pass
 
 
 def test_broadcasts_present(spark, sf_dir):
