@@ -556,5 +556,16 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
         F.col("stratum").alias("lang"), "quota"
     )
-    out = sp.stratified_sample_by_quota(kept, ["lang"], "doc_id", quotas, seed="bcur")
+    out = sp.stratified_sample_by_quota(
+        kept,
+        ["lang"],
+        "doc_id",
+        quotas,
+        seed="bcur",
+        # Skew guard (r07): every largest-remainder quota is <= the total
+        # budget, so the budget is the plan-time literal that lets Spark
+        # plan a map-side WindowGroupLimit — without it the whole
+        # surviving majority-language stratum sorts in ONE reduce task.
+        max_quota=_CURATION_BUDGET,
+    )
     return out.select("doc_id", "lang", "quality_score", "quota")

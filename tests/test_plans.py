@@ -191,3 +191,44 @@ def test_kmeans_round_is_single_exchange_no_join_no_window(spark, sf_dir):
     assert "Join" not in plan, "Lloyd round regressed to a join-based assignment"
     assert plan.count("Exchange") == 1, f"expected exactly 1 Exchange:\n{plan}"
     assert "partial_sum" in plan, "centroid aggregate lost map-side combine"
+
+
+def test_quota_sampler_gets_window_group_limit(spark, sf_dir):
+    """r07 (VERDICT r06 #1): stratified_sample_by_quota's exact filter is
+    ``__rk <= col("quota")`` — a COLUMN bound, which Spark's
+    InferWindowGroupLimit rule cannot use, so without a guard each whole
+    stratum funnels into one reduce task. The fix adds a redundant
+    plan-time literal conjunct (max_quota = the total budget); this test
+    pins that the guarded path plans a map-side WindowGroupLimit exactly
+    like the literal-cap sampler, and that the unguarded path indeed does
+    not (so the test fails loudly if Spark ever starts inferring the
+    column case and the guard becomes removable)."""
+    from pyspark.sql import functions as F
+
+    from dbt_ci_demo_spark.operators import sampling as sp
+    from dbt_ci_demo_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = (
+        d.groupBy("lang")
+        .count()
+        .select("lang", (F.col("count") / 10 + 1).cast("long").alias("quota"))
+    )
+    unguarded = sp.stratified_sample_by_quota(d, ["lang"], "doc_id", quotas)
+    guarded = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", quotas, max_quota=1000
+    )
+    p_un = unguarded._jdf.queryExecution().executedPlan().toString()
+    p_g = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" not in p_un, (
+        "Spark now infers a group limit from the column-bound filter — "
+        "the max_quota guard is removable"
+    )
+    assert "WindowGroupLimit" in p_g, (
+        "guarded quota sampler lost its map-side WindowGroupLimit:\n" + p_g
+    )
+    # the flagship consumer must carry the guard end-to-end
+    full = _plan(spark, "pipe_budgeted_curation", sf_dir)
+    assert "WindowGroupLimit" in full, (
+        "pipe_budgeted_curation's quota cap plans no WindowGroupLimit"
+    )
