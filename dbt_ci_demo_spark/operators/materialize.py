@@ -172,12 +172,44 @@ class Warehouse:
             writer = writer.bucketBy(n_buckets, *cols).sortBy(*(cluster_by or cols))
         writer.saveAsTable(f"{self.database}.{name}")
 
+    def _scrub_location(self, name: str) -> None:
+        """Delete leftover files at a managed table's default location.
+
+        A CTAS that aborts mid-write (task failure) can leave part/staging
+        files under ``<db location>/<name>`` WITHOUT a catalog entry — so
+        ``DROP TABLE IF EXISTS`` is a no-op and the next ``saveAsTable``
+        refuses to create a managed table over a non-empty location
+        (observed as the r06 full-suite flake of the swap_in
+        fault-injection test: under load, task-abort cleanup races the
+        next staging write). Uses the Hadoop FileSystem API so it works
+        on any scheme, not just local disk."""
+        try:
+            loc = self.spark.catalog.getDatabase(self.database).locationUri
+        except Exception:
+            return
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(f"{loc}/{name}")
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+
     def swap_in(self, df: DataFrame, name: str, partition_by: str | None = None,
                 cluster_by: list[str] | None = None) -> None:
-        """Stage-and-swap for results that read the table they replace."""
+        """Stage-and-swap for results that read the table they replace.
+        A failed staging write never leaves debris: the stale tmp catalog
+        entry AND any orphaned files at the tmp location are scrubbed both
+        up front (recovery from a prior crash) and on failure (so the
+        exception propagates from a clean state)."""
         tmp = f"{name}{TMP_SUFFIX}"
         self.drop(tmp)
-        self.write_table(df, tmp, partition_by=partition_by, cluster_by=cluster_by)
+        self._scrub_location(tmp)
+        try:
+            self.write_table(df, tmp, partition_by=partition_by, cluster_by=cluster_by)
+        except Exception:
+            self.drop(tmp)
+            self._scrub_location(tmp)
+            raise
         self.drop(name)
         self.rename(tmp, name)
 

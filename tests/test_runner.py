@@ -768,6 +768,43 @@ def test_swap_in_failure_leaves_target_intact(spark, tmp_path):
     wh.drop_database()
 
 
+def test_swap_in_recovers_from_orphaned_staging_files(spark, tmp_path):
+    """Deterministic repro of the r06 full-suite flake: an aborted CTAS
+    can leave part files at the managed tmp location WITHOUT a catalog
+    entry (task-abort cleanup races the next write under load), so
+    DROP TABLE IF EXISTS is a no-op and the next saveAsTable refuses to
+    create a managed table over a non-empty location. swap_in now scrubs
+    the staging location up front; this plants the orphan debris directly
+    and asserts both the recovery and that a failing write leaves a clean
+    staging dir behind it."""
+    import os
+
+    from dbt_ci_demo_spark.operators.materialize import TMP_SUFFIX, Warehouse
+
+    wh = Warehouse(
+        spark, f"wh_{tmp_path.name.lower()}_orph", location=str(tmp_path / "whorph")
+    )
+    wh.write_table(spark.range(4).withColumnRenamed("id", "x"), "t")
+
+    # orphan debris at the tmp location, no catalog entry
+    orphan = tmp_path / "whorph" / f"t{TMP_SUFFIX}"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000-orphan.parquet").write_bytes(b"junk")
+    wh.swap_in(spark.range(2).withColumnRenamed("id", "x"), "t")
+    assert wh.read("t").count() == 2
+
+    # a failing staged write must scrub its own debris (catalog + files)
+    bad = spark.range(6).select(
+        F.col("id").alias("x"), F.assert_true(F.col("id") < 3).alias("guard")
+    )
+    with pytest.raises(Exception):
+        wh.swap_in(bad, "t")
+    assert not wh.exists(f"t{TMP_SUFFIX}")
+    assert not os.path.exists(str(orphan))
+    assert wh.read("t").count() == 2
+    wh.drop_database()
+
+
 def test_compact_layout_broadcasts_counts(spark):
     """compact_layout's count table is bounded metadata (one row per
     partition value) and must enter as a BroadcastHashJoin -- a
