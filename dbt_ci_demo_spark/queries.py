@@ -1399,19 +1399,23 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-6 ROTATION (VERDICT r05 task 2): slots 1-30 stay
+# the coverage budget. ROUND-7 ROTATION (VERDICT r06 task 3): slots 1-30 stay
 # the compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
 # representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
-# 31-50 promote the eighteen r05 registrations (Gopher ruleset, budget
-# apportionment, int8 quantization + quantized top-k/IVF serving, sentence
-# chunking, content digest, CCNet buckets, volume anomaly, PageRank, Z-order
-# clustered writes, blocklist + URL-domain text ops, streaming versioned
-# CDC + tombstone compaction, quality-weighted sampling, decontamination,
-# mixture-from-quality) plus TPC-H q2/q15. All 20 passed the local oracle
-# gate and the judge's independent sf0.01 spot-check before promotion.
+# 31-50 promote the six r06 registrations (the sketch pair, SemDeDup
+# clusters, small-files compaction, the real-codec media path, and
+# pipe_budgeted_curation — promoted only after the r07 WindowGroupLimit
+# skew guard) plus fourteen never-driver-checked backlog rows (embedding
+# digest, frame sampling, token/fingerprint/vocab/bigram text ops, the
+# campaign range join, the four rank/lag/ntile window shapes, latest-per-
+# user + exact-survivor dedup, tumbling hourly events). All 20 passed the
+# sf0.01 local oracle gate before promotion.
 # Queries rotated OUT of the window carry driver-green evidence in
-# CORRECTNESS_r01..r05.json and stay in the tail; the never-checked backlog
-# (~24) is ordered for the round-7 rotation — EXCEPT dedup_jaccard_pairs /
+# CORRECTNESS_r01..r06.json and stay in the tail; the remaining
+# never-checked backlog (~13: events_topk_users/sliding/transitions, the
+# TPC-H q4-q17 tail, olap cube/pivot/unpivot/histogram, exact percentiles,
+# moving average, full-outer reconcile, first/last value, set_repeat) is
+# ordered for the round-8 rotation — EXCEPT dedup_jaccard_pairs /
 # sim_topk_bruteforce (VERDICT r05 task 7): they stay registered as the
 # documented all-pairs verifier twins of the LSH/IVF scale paths but are
 # permanently excluded from promotion slates (the whitelist tightness test
@@ -1453,7 +1457,32 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: first-time driver checks (local-green through r05) --
+    # -- slots 31-50: first-time driver checks (ROUND-7 ROTATION, VERDICT
+    #    r06 task 3: the six r06 registrations — pipe_budgeted_curation
+    #    after the WindowGroupLimit skew guard — plus fourteen from the
+    #    never-checked backlog; all sf0.01 local-oracle-green before
+    #    promotion, the six newest also in the judge's r06 spot-check) --
+    "stats_sketch_quantiles",
+    "stats_sketch_distinct_merge",
+    "dedup_semantic_clusters",
+    "wr_compact_small_files",
+    "mm_image_metadata_codec",
+    "pipe_budgeted_curation",
+    "emb_normalize_digest",
+    "mm_frame_sample",
+    "text_token_counts",
+    "text_fingerprint",
+    "events_range_join_campaigns",
+    "text_vocab_topk",
+    "text_bigram_topk",
+    "win_running_total",
+    "win_rank_orders",
+    "win_lead_lag_gaps",
+    "win_ntile_quartiles",
+    "dedup_latest_per_user",
+    "dedup_exact_survivors",
+    "events_tumbling_hourly",
+    # -- tail: driver-green in r01..r06 (rotated out of the window) --
     "text_gopher_rules",
     "samp_budget_allocation",
     "sim_ivf_quantized",
@@ -1474,7 +1503,6 @@ _PRIORITY: list[str] = [
     "pipe_mixture_from_quality",
     "q2_min_cost_supplier",
     "q15_top_supplier",
-    # -- tail: driver-green in r01..r05 (rotated out of the window) --
     "incr_cdc_versioned",
     "dedup_cluster_star",
     "dedup_containment",
@@ -1556,27 +1584,11 @@ _PRIORITY: list[str] = [
     "events_asof_attribution",
     "samp_train_test_split",
     "emb_label_centroids",
-    # -- tail: local-mirror evidence only (newest first — next rotation;
+    # -- tail: local-mirror evidence only (newest first — r08 rotation;
     #    dedup_jaccard_pairs / sim_topk_bruteforce are slate-excluded
     #    verifier twins, see header note) --
-    "pipe_budgeted_curation",
-    "mm_image_metadata_codec",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
-    "emb_normalize_digest",
-    "mm_frame_sample",
-    "text_token_counts",
-    "text_fingerprint",
-    "events_range_join_campaigns",
-    "text_vocab_topk",
-    "text_bigram_topk",
-    "win_running_total",
-    "win_rank_orders",
-    "win_lead_lag_gaps",
-    "win_ntile_quartiles",
-    "dedup_latest_per_user",
-    "dedup_exact_survivors",
-    "events_tumbling_hourly",
     "events_topk_users",
     "events_sliding_windows",
     "events_top_transitions",
@@ -1600,11 +1612,6 @@ _PRIORITY: list[str] = [
     "join_full_outer_reconcile",
     "win_first_last_value",
     "set_repeat_vs_churned",
-    # -- late-r06 registrations (r07 slate candidates) --
-    "dedup_semantic_clusters",
-    "wr_compact_small_files",
-    "stats_sketch_quantiles",
-    "stats_sketch_distinct_merge",
 ]
 
 
