@@ -384,7 +384,12 @@ def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
     double-typed comparison is integer-exact (same invariant as
     _kmeans_idot). Ties break to the LOWEST cluster_id via lexicographic
     struct comparison in ``array_min`` — identical to the
-    ``row_number() OVER (ORDER BY dist, cluster_id)`` it replaces."""
+    ``row_number() OVER (ORDER BY dist, cluster_id)`` it replaces.
+
+    SMALL-k PATH ONLY (r07): the tree has k·d literal leaves, so this
+    expression is the right plan for k ≤ _KM_LITERAL_K_MAX (= 100) and a
+    planner-side blow-up beyond it — go through the :func:`_kmeans_assign`
+    seam, which routes large k to :func:`_kmeans_assign_matrix_expr`."""
     q = F.col("q")
     structs = []
     for cid, sv in seed_items:
@@ -402,6 +407,69 @@ def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
             )
         )
     return F.array_min(F.array(*structs))["cluster_id"]
+
+
+_KM_LITERAL_K_MAX = 100
+"""Routing threshold for the assignment seam (r07, VERDICT r06 #3).
+
+:func:`_kmeans_assign_expr` builds one struct PER CENTROID — k·d literal
+leaves. That is the best plan while k is small (the registered queries
+run k ≤ 8: whole-stage codegen inlines the whole argmin), but the
+expression TREE grows with k: at k = 10⁴, d = 64 it is a ~10⁶-node plan
+whose Catalyst analysis/codegen cost explodes (and codegen falls back
+past the 64KB method limit) — a planner-side bottleneck no cluster
+fixes. Past this threshold :func:`_kmeans_assign` routes to
+:func:`_kmeans_assign_matrix_expr`, whose centroid matrix is a SINGLE
+nested-array literal (O(1) expression nodes in k; the matrix ships to
+executors once inside the serialized task binary — the broadcast-matrix
+design) with a transform-with-index argmin. Equality of the two paths is
+property-tested (tests/test_northstar.py)."""
+
+
+def _kmeans_assign_matrix_expr(seed_items: list[tuple[int, list[int]]]):
+    """Nearest-centroid expression over the centroid MATRIX as one
+    nested-array literal — the large-k half of the assignment seam.
+
+    Same argmin contract as :func:`_kmeans_assign_expr`: scores are
+    ``|s|² − 2·q·s`` (per-row-constant shift of the true squared
+    distance, so argmin and tie structure are preserved), all terms
+    integer-exact in doubles (components ≤ 2^40, sums ≤ 2^53), and ties
+    break to the LOWEST cluster_id — seed_items is sorted by cluster_id,
+    so position order equals id order and the (score, pos) struct-min
+    tie-break is identical. The final ``element_at`` maps the winning
+    position back to its cluster_id (ids need not be contiguous)."""
+    q = F.col("q")
+    matrix = F.lit([sv for _, sv in seed_items]).cast("array<array<bigint>>")
+    cids = F.lit([int(cid) for cid, _ in seed_items]).cast("array<bigint>")
+    scored = F.transform(
+        matrix,
+        lambda s, i: F.struct(
+            (
+                F.aggregate(
+                    s, F.lit(0).cast("double"), lambda acc, x: acc + x * x
+                )
+                - 2
+                * F.aggregate(
+                    F.zip_with(q, s, lambda x, y: x * y),
+                    F.lit(0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+            i.alias("pos"),
+        ),
+    )
+    return F.element_at(cids, F.array_min(scored)["pos"] + 1)
+
+
+def _kmeans_assign(seed_items: list[tuple[int, list[int]]]):
+    """The assignment seam: literal-per-centroid expression for
+    k ≤ _KM_LITERAL_K_MAX (fastest plan, bounded tree), single
+    nested-array-literal matrix above it (O(1) plan nodes in k). Both
+    paths share the exact-integer argmin contract; equality is
+    property-tested at and beyond the threshold."""
+    if len(seed_items) <= _KM_LITERAL_K_MAX:
+        return _kmeans_assign_expr(seed_items)
+    return _kmeans_assign_matrix_expr(seed_items)
 
 
 def _collect_seed_items(seeds_df) -> list[tuple[int, list[int]]]:
@@ -468,7 +536,7 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
         # before resolution); the projections collapse into one stage.
         cent = (
             base.select(
-                _kmeans_assign_expr(seed_items).alias("cluster_id"), "q"
+                _kmeans_assign(seed_items).alias("cluster_id"), "q"
             )
             .select("cluster_id", F.posexplode(F.col("q")).alias("dim", "fx"))
             .select("cluster_id", F.col("dim").cast("bigint").alias("dim"), "fx")
@@ -595,7 +663,7 @@ def sim_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees, so the k×d literal-centroid expression re-evaluates per
     # subtree, while the join resolves it once against `base`.
     assigned = base.select(
-        "vec_id", _kmeans_assign_expr(seed_items).alias("cluster_id")
+        "vec_id", _kmeans_assign(seed_items).alias("cluster_id")
     )
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.join(assigned, "vec_id").select("vec_id", "embedding", "cluster_id")

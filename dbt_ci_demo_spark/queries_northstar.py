@@ -851,19 +851,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly SemDeDup's published design point.
 
     Scale shape: cluster assignment is the r06 Lloyd path — the k seed
-    vectors are driver-held bounded model state embedded as literals
-    (`_kmeans_assign_expr`), so assignment is a pure zero-shuffle
-    projection (no broadcast join, no rank window). The only exchanges
-    are the equi self-join on cluster_id (hash-partitioned; with
-    production k in the 10^4+ range the key space is wide and AQE
-    skew-splits outliers) and the final left-anti-shaped membership
-    join. The assignment projection re-evaluates per join branch — a
+    vectors are driver-held bounded model state, and assignment is a
+    pure zero-shuffle projection (no broadcast join, no rank window)
+    via the routed seam `_kmeans_assign`: one struct per centroid while
+    k ≤ `_KM_LITERAL_K_MAX` (= 100; the registered k = 8 plans the
+    literal path), and a single nested-array
+    matrix literal with a transform-with-index argmin above that — the
+    literal-per-centroid tree is k·d expression LEAVES, which at
+    production k in the 10^4+ range is a planner-side blow-up
+    (Catalyst analysis + 64KB codegen limit), not an executor problem.
+    The only exchanges are the equi self-join on cluster_id
+    (hash-partitioned; with production k in the 10^4+ range the key
+    space is wide and AQE skew-splits outliers) and the final
+    left-anti-shaped membership join. The assignment projection re-evaluates per join branch — a
     scan-shaped recompute; production would persist the assignment as a
     stored artifact (the build_ivf_index pattern)."""
     from dbt_ci_demo_spark.queries_embed import (
         _FX,
         _collect_seed_items,
-        _kmeans_assign_expr,
+        _kmeans_assign,
     )
 
     corpus = _emb_dup(spark, sf_dir)
@@ -880,7 +886,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assigned = base.select(
-        "vec_id", "v", _kmeans_assign_expr(seed_items).alias("cluster_id")
+        "vec_id", "v", _kmeans_assign(seed_items).alias("cluster_id")
     )
     left = assigned.select(
         "cluster_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")

@@ -1027,6 +1027,60 @@ def test_kmeans_assign_expr_matches_bruteforce_argmin(spark):
     assert got == {vid: brute(q) for vid, q in vectors}
 
 
+def test_kmeans_assign_matrix_path_matches_literal_path(spark):
+    """r07 (VERDICT r06 #3): the broadcast-matrix assignment
+    (_kmeans_assign_matrix_expr — one nested-array literal, O(1) plan
+    nodes in k) must agree with the literal-per-centroid path AND the
+    brute-force argmin on every vector, including exact ties and
+    non-contiguous cluster ids; and the _kmeans_assign seam must route
+    by _KM_LITERAL_K_MAX. Randomized property sweep plus the adversarial
+    tie fixtures of the literal-path test."""
+    import random
+
+    from dbt_ci_demo_spark import queries_embed as qe
+
+    rng = random.Random(1707)
+    d = 6
+    # non-contiguous ids exercise the element_at position->id mapping
+    seeds = sorted(
+        (cid, [rng.randint(-1000, 1000) for _ in range(d)])
+        for cid in rng.sample(range(0, 500), 120)  # 120 > _KM_LITERAL_K_MAX
+    )
+    vectors = [(i, [rng.randint(-1500, 1500) for _ in range(d)]) for i in range(200)]
+    # force exact ties: vectors at the midpoint of two seed pairs
+    (ca, sa), (cb, sb) = seeds[0], seeds[1]
+    if all((x + y) % 2 == 0 for x, y in zip(sa, sb)):
+        vectors.append((900, [(x + y) // 2 for x, y in zip(sa, sb)]))
+    vectors.append((901, list(seeds[5][1])))  # sits ON a seed
+
+    def brute(q):
+        return min(
+            (sum((x - s) ** 2 for x, s in zip(q, sv)), cid) for cid, sv in seeds
+        )[1]
+
+    df = spark.createDataFrame(vectors, "vec_id int, q array<bigint>")
+    lit_got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in df.select(
+            "vec_id", qe._kmeans_assign_expr(seeds).alias("cluster_id")
+        ).collect()
+    }
+    mat_got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in df.select(
+            "vec_id", qe._kmeans_assign_matrix_expr(seeds).alias("cluster_id")
+        ).collect()
+    }
+    expect = {vid: brute(q) for vid, q in vectors}
+    assert lit_got == expect
+    assert mat_got == expect
+    # seam routing: small k -> literal tree (k·d leaves, no element_at);
+    # large k -> matrix literal (element_at present)
+    small = seeds[: qe._KM_LITERAL_K_MAX]
+    assert "element_at" not in str(qe._kmeans_assign(small)._jc)
+    assert "element_at" in str(qe._kmeans_assign(seeds)._jc)
+
+
 def test_semdedup_drops_exactly_injected_dups(spark, sf_dir):
     """SemDeDup semantic pin: over the dup-injected corpus, the dropped
     set (is_kept = false) is EXACTLY the injected perturbed copies —
