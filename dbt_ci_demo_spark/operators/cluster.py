@@ -152,8 +152,13 @@ def compact_layout(
         F.broadcast(cnt.withColumnRenamed(partition_col, "__pc")),
         F.col(partition_col).eqNullSafe(F.col("__pc")),
     )
+    # Integral ceil — (n + r − 1) div r — not ceil(n / r): double division
+    # is exact only below 2^53 per-partition rows, and the repo's r06
+    # discipline is integer arithmetic wherever exactness is claimed
+    # (ADVICE r06). `div` is Spark's integral division operator.
     n_files = F.greatest(
-        F.lit(1).cast("long"), F.ceil(F.col("__n") / F.lit(rows_per_file))
+        F.lit(1).cast("long"),
+        F.expr(f"(__n + {rows_per_file - 1}) div {rows_per_file}"),
     )
     salted = j.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), n_files)

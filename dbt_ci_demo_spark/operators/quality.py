@@ -219,21 +219,36 @@ def volume_anomalies_from_daily(
     # already-wrapped long to decimal downstream would launder the wrap.
     # Every square below is decimal(38,0) end-to-end.
     cnt_dec = F.col("cnt").cast("decimal(38,0)")
-    s_dec = s.cast("decimal(38,0)")
-    sq = F.sum(cnt_dec * cnt_dec).over(w)
+    # Overflow discipline (ADVICE r06, reworked r07 for ANSI): under ANSI
+    # mode plain decimal overflow RAISES (killing the whole monitoring
+    # job for one extreme day) and under legacy mode it NULLs (a silent
+    # non-flag once downstream filters on is_anomaly). Every step that
+    # can exceed decimal(38,0) therefore uses try_* arithmetic — NULL on
+    # overflow in BOTH modes — and the final decision coalesces NULL to
+    # an explicit TRUE: overflow means exactly the magnitudes this check
+    # exists to catch, so the day surfaces as anomalous, never as null,
+    # never as a crashed job. cnt² itself always fits (long² < 10^38);
+    # only the window sums and cross products can overflow.
+    s_dec = F.try_sum(cnt_dec).over(w)
+    sq = F.try_sum(cnt_dec * cnt_dec).over(w)
     # var_num = n·Σx² − (Σx)²  (variance numerator; var = var_num/(n(n-1)))
-    var_num = n * sq - s_dec * s_dec
-    dev_num = F.col("cnt") * n - s  # (x − mean)·n: ≤ cnt·n, long-safe
+    var_num = F.try_subtract(F.try_multiply(n, sq), F.try_multiply(s_dec, s_dec))
+    # (x − mean)·n in decimal: cnt·n − Σx, exact and raise-free
+    dev_dec = F.try_subtract(F.try_multiply(cnt_dec, n), s_dec)
     # |x−mean| > pct/100·sqrt(var_num/(n(n−1)))
     # ⇔ dev_num²·10⁴·(n−1) > pct²·var_num·n   (multiply by 10⁴·n²(n−1))
     # decimal keeps the decision exact up to ~10^15 rows/day at the
-    # default window (then nulls via decimal overflow — never wraps).
-    dev_dec = dev_num.cast("decimal(38,0)")
-    var_dec = var_num
+    # default window; past that the try products go NULL and the flag
+    # coalesces to an explicit TRUE below.
+    lhs = F.try_multiply(
+        F.try_multiply(F.try_multiply(dev_dec, dev_dec), F.lit(10000)), n - 1
+    )
+    rhs = F.try_multiply(
+        F.try_multiply(F.lit(threshold_pct * threshold_pct), var_num), n
+    )
     flag = F.when(
         n >= 2,
-        (dev_dec * dev_dec * F.lit(10000) * (n - 1))
-        > (F.lit(threshold_pct * threshold_pct) * var_dec * n),
+        F.coalesce(lhs > rhs, F.lit(True)),
     ).otherwise(F.lit(False))
     return daily.select(
         "d",

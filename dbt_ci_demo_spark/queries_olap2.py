@@ -396,7 +396,7 @@ _SKQ_ACC = 1000  # GK accuracy: rank error <= n/accuracy
     "stats_sketch_quantiles",
     oracle="""
     SELECT CAST(q AS DOUBLE) AS quantile,
-           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(l_extendedprice) FROM lineitem) AS n_rows,
            TRUE AS within_bound
     FROM (VALUES (0.25), (0.50), (0.75), (0.95)) t(q)
     ORDER BY quantile
@@ -416,8 +416,23 @@ def stats_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard scalar-broadcast shape (bounded fan-out of 4, same
     whitelisted pattern as text_unigram_logprob's 1-row totals).
     Estimates themselves are engine-specific, hence the contract-surface
-    oracle (module docstring)."""
-    l = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("price"))
+    oracle (module docstring).
+
+    NULL/empty discipline (ADVICE r06): prices are filtered IS NOT NULL
+    before BOTH the sketch and the verify rescan, so n_rows and the GK
+    rank space cover the same row set (approx_percentile skips nulls but
+    count(*) would not — the rank-bound check would skew asymmetrically;
+    the oracle counts count(l_extendedprice) to match). Documented edge:
+    on an EMPTY (or all-null) input the sketch returns NULL, posexplode
+    emits nothing, and the query returns 0 rows — while this oracle's
+    VALUES spine always emits 4; the fixtures are non-empty, and a
+    monitoring deployment would treat the 0-row output itself as the
+    empty-input signal."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("price"))
+        .filter(F.col("price").isNotNull())
+    )
     eps = 1.0 / _SKQ_ACC
     qarr = F.array(*[F.lit(q) for q in _SKQ_QS])
     qv = (
@@ -479,7 +494,16 @@ def stats_sketch_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rescan; the global row's contract compares that MERGED estimate
     against its own exact count. The single-partition window is bounded
     by the event-type cardinality — the same k-row shape the per-group
-    output already has."""
+    output already has.
+
+    Sentinel assumption (ADVICE r06, same implicit contract as
+    olap_grouping_sets): the rollup-total row is labeled 'ALL', which
+    would collide with a real event_type value 'ALL', and a NULL
+    event_type group would surface as a NULL label alongside it — the
+    fixture domain contains neither. Deployments with such values should
+    project the ``grouping()`` flag into the output schema instead of a
+    string sentinel; parity with the oracle holds either way since both
+    engines see the same domain."""
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events").select("event_type", "user_id")

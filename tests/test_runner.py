@@ -690,6 +690,32 @@ def test_volume_anomaly_decision_exact_at_billions_per_day(spark):
     assert out[base + datetime.timedelta(days=9)].is_anomaly
 
 
+def test_volume_anomaly_overflow_flags_instead_of_null(spark):
+    """r07 (ADVICE r06): past the decimal(38,0) envelope the comparison
+    products overflow to NULL — and a NULL is_anomaly is a silent
+    non-flag once downstream filters on it. The decision must coalesce
+    overflow to an explicit TRUE: is_anomaly is NEVER NULL, and the
+    extreme-scale day surfaces as flagged. Fixture: ~10^16 rows/day with
+    huge jitter so dev² · 10^4 · (n−1) exceeds 10^38."""
+    import datetime
+
+    from dbt_ci_demo_spark.operators import quality as dq
+
+    base = datetime.date(2024, 1, 1)
+    counts = [10_000_000_000_000_000, 90_000_000_000_000_000,
+              10_000_000_000_000_000, 90_000_000_000_000_000,
+              95_000_000_000_000_000]
+    daily = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), c) for i, c in enumerate(counts)],
+        "d date, cnt long",
+    )
+    rows = dq.volume_anomalies_from_daily(daily, window=7).collect()
+    flags = {r.d: r.is_anomaly for r in rows}
+    assert all(v is not None for v in flags.values()), flags
+    # the overflow days (n_trailing >= 2) flag loud, never null
+    assert flags[base + datetime.timedelta(days=4)] is True
+
+
 def test_compact_layout_right_sizes(spark, sf_dir, tmp_path):
     """compact_layout's entire point, verified on the written directories:
     a 32-task fragmented partitionBy write leaves many small files per
