@@ -99,6 +99,13 @@ HEADLINE = [
     "wr_compact_small_files",
     "stats_sketch_quantiles",
     "stats_sketch_distinct_merge",
+    # r07 (VERDICT r06 task 6): the last two registered families without a
+    # ratchet row — the budget→quota curation flagship (now carrying the
+    # WindowGroupLimit skew guard) and the real-codec media decode path
+    # (synthesized PNG/JPEG containers parsed by the real header decoders
+    # over the Arrow seam).
+    "pipe_budgeted_curation",
+    "mm_image_metadata_codec",
 ]
 
 
