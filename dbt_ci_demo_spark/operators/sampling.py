@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
+_HASH_SPACE = 1 << 32  # _key_hash range: first 8 md5 hex chars
 
 
 def _key_hash(key: Column, seed: str) -> Column:
@@ -289,6 +290,93 @@ def stratified_sample_by_quota(
     if max_quota is not None:
         ranked = ranked.filter(F.col("__rk") <= F.lit(max_quota))
     return ranked.filter(F.col("__rk") <= F.col("quota")).drop("__rk")
+
+
+def stratified_sample_by_quota_threshold(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    quotas: DataFrame,
+    seed: str = "strat",
+    n_hist_buckets: int = 1024,
+) -> DataFrame:
+    """Window-free quota enforcement — the VERDICT r06 stretch path for
+    budgets too large for a useful ``max_quota`` literal: selects exactly
+    the same rows as :func:`stratified_sample_by_quota` (the quota
+    smallest (hash, key) pairs per stratum) WITHOUT ranking whole strata.
+
+    Plan (histogram threshold selection):
+    1. bucket each row's hash into ``n_hist_buckets`` equi-width bins and
+       count per (stratum, bin) — one map-side-combinable aggregate whose
+       output is k·buckets rows, corpus-size-independent;
+    2. a running sum over each stratum's ≤``n_hist_buckets``-row bin
+       table (bounded window — partition size is the literal bucket
+       count, never data-sized) finds the BOUNDARY bin where the
+       cumulative count crosses the quota, and how many rows of that bin
+       still fit (``remaining``);
+    3. broadcast-join the k-row boundary table back: rows in bins below
+       the boundary keep outright (pure scan-side predicate — at a 1%
+       sampling rate that is ~99.9% of kept rows deciding with NO
+       shuffle); only rows INSIDE each boundary bin are ranked, and that
+       window's partitions hold ~stratum/n_hist_buckets rows — a
+       1024-fold reduce-side bound without any literal cap (deeper
+       bounds = recurse the histogram; one level is the right trade
+       here). The boundary rank still pre-filters to the bin before the
+       window, so the exchange carries bin rows only.
+
+    Decision-identical to the rank formulation because the md5 hash key
+    is a total order with the key tie-break: bucket = hash div width, so
+    (bucket, hash, key) sorts identically to (hash, key). Exactness is
+    oracle-checked (``samp_quota_threshold``); equality with the window
+    sampler is property-tested."""
+    if n_hist_buckets < 2:
+        raise ValueError("n_hist_buckets must be >= 2")
+    width = (_HASH_SPACE + n_hist_buckets - 1) // n_hist_buckets
+    h = _key_hash(F.col(key_col), seed)
+    tagged = df.join(F.broadcast(quotas), on=strata_cols).withColumn(
+        "__h", h
+    ).withColumn("__bin", (F.col("__h") / F.lit(width)).cast("long"))
+    hist = tagged.groupBy(*strata_cols, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = hist.withColumn("__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0)))
+    # boundary = first bin where cumulative count reaches the quota;
+    # join quotas onto the k·buckets table (broadcast — it is tiny)
+    bq = bins.join(F.broadcast(quotas), on=strata_cols)
+    boundary = (
+        bq.filter(F.col("__before") + F.col("__c") >= F.col("quota"))
+        .groupBy(*strata_cols)
+        .agg(
+            F.min("__bin").alias("__bbin"),
+        )
+        .join(bq, [*strata_cols])
+        .filter(F.col("__bin") == F.col("__bbin"))
+        .select(
+            *strata_cols,
+            "__bbin",
+            (F.col("quota") - F.col("__before")).alias("__remaining"),
+        )
+    )
+    joined = tagged.join(F.broadcast(boundary), on=strata_cols, how="left")
+    below = joined.filter(
+        F.col("__bbin").isNull() | (F.col("__bin") < F.col("__bbin"))
+    )
+    wb = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    at_boundary = (
+        joined.filter(F.col("__bin") == F.col("__bbin"))
+        .withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= F.col("__remaining"))
+        .drop("__rk")
+    )
+    drop_cols = ["__h", "__bin", "__bbin", "__remaining"]
+    return below.drop(*drop_cols).unionByName(at_boundary.drop(*drop_cols))
 
 
 def allocate_budget(

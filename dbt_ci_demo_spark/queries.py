@@ -1589,6 +1589,8 @@ _PRIORITY: list[str] = [
     #    verifier twins, see header note) --
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
+    # r07 registrations (r08 slate candidates)
+    "samp_quota_threshold",
     "events_topk_users",
     "events_sliding_windows",
     "events_top_transitions",

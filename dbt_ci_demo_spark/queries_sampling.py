@@ -569,3 +569,63 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_quota=_CURATION_BUDGET,
     )
     return out.select("doc_id", "lang", "quality_score", "quota")
+
+
+_QTH_BUDGET = 137  # odd on purpose: exercises largest-remainder leftovers
+
+
+def _quota_threshold_oracle() -> str:
+    hash_expr = _DUCK_HASH.format(seed="qth", key="d.doc_id")
+    return f"""
+    WITH counts AS (
+      SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_rows) AS N FROM counts),
+    base AS (
+      SELECT stratum, n_rows,
+             ({_QTH_BUDGET} * n_rows) // (SELECT N FROM tot) AS base,
+             ({_QTH_BUDGET} * n_rows) % (SELECT N FROM tot) AS rem
+      FROM counts
+    ),
+    lo AS (SELECT {_QTH_BUDGET} - SUM(base) AS leftover FROM base),
+    quotas AS (
+      SELECT stratum AS lang,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                               <= (SELECT leftover FROM lo)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM base
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang ORDER BY {hash_expr}, d.doc_id
+             ) AS rk
+      FROM documents d JOIN quotas q USING (lang)
+    )
+    SELECT doc_id, lang, quota FROM ranked WHERE rk <= quota
+    """
+
+
+@query("samp_quota_threshold", oracle=_quota_threshold_oracle)
+def samp_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free budgeted sampling (r07 — the VERDICT r06 task-1
+    stretch): enforce largest-remainder quotas with the HISTOGRAM
+    THRESHOLD plan (`stratified_sample_by_quota_threshold`) instead of a
+    whole-stratum rank window. The kept set is decision-identical to the
+    rank formulation — the oracle ranks by (hash, key) and checks every
+    kept doc_id bit-for-bit — but the plan bounds reduce-side work
+    without ANY plan-time literal: bin counts are a k·1024-row aggregate,
+    ~(1 − 1/1024) of kept rows decide via a scan-side bin predicate, and
+    only boundary-bin rows (~stratum/1024) are ever ranked. This is the
+    quota plan when the budget itself is data-sized (e.g. 'sample 10^9
+    docs'), where `max_quota`'s literal WindowGroupLimit cap stops
+    helping; equality with the window sampler is also property-tested at
+    both paths' seeds (tests/test_sampling.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = sp.allocate_budget(d, "lang", _QTH_BUDGET).select(
+        F.col("stratum").alias("lang"), "quota"
+    )
+    out = sp.stratified_sample_by_quota_threshold(
+        d, ["lang"], "doc_id", quotas, seed="qth"
+    )
+    return out.select("doc_id", "lang", "quota")

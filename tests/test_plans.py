@@ -45,6 +45,7 @@ _CARTESIAN_OK = {
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
+    "samp_quota_threshold",  # same shape: allocate_budget's 1-row broadcasts inside
     "emb_kmeans_step",
     "stats_sketch_quantiles",  # same shape: 4-row GK-quantile broadcast for the rank verify
 }

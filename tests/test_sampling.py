@@ -205,3 +205,35 @@ def test_allocate_budget_exact_past_long_overflow(spark):
             leftover -= 1
     assert got == exact
     assert sum(got.values()) == big
+
+
+def test_quota_threshold_sampler_matches_window_sampler(spark, sf_dir):
+    """r07 (VERDICT r06 task-1 stretch): the histogram-threshold quota
+    enforcement must select EXACTLY the window sampler's rows — same
+    (hash, key) total order, no drift across seeds, bucket counts (down
+    to 2 bins, maximizing boundary-bin traffic), or quota regimes
+    (normal, zero-leftover, quota > |stratum|, missing stratum)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def keys(df):
+        return sorted((r.lang, r.doc_id) for r in df.select("lang", "doc_id").collect())
+
+    for seed, budget, nbins in [("qa", 37, 1024), ("qb", 137, 2), ("qa", 137, 7)]:
+        quotas = sp.allocate_budget(d, "lang", budget).select(
+            F.col("stratum").alias("lang"), "quota"
+        )
+        w = sp.stratified_sample_by_quota(d, ["lang"], "doc_id", quotas, seed=seed)
+        t = sp.stratified_sample_by_quota_threshold(
+            d, ["lang"], "doc_id", quotas, seed=seed, n_hist_buckets=nbins
+        )
+        assert keys(w) == keys(t), (seed, budget, nbins)
+    # quota exceeding every stratum: all rows keep (NULL-boundary path)
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    big = spark.createDataFrame([(l, 10**12) for l in langs], "lang string, quota long")
+    assert sp.stratified_sample_by_quota_threshold(
+        d, ["lang"], "doc_id", big, seed="qc"
+    ).count() == d.count()
+    # missing stratum drops (inner quota join)
+    pruned = big.filter(F.col("lang") != langs[0])
+    out = sp.stratified_sample_by_quota_threshold(d, ["lang"], "doc_id", pruned)
+    assert out.filter(F.col("lang") == langs[0]).count() == 0
