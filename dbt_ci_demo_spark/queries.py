@@ -1591,6 +1591,7 @@ _PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     # r07 registrations (r08 slate candidates)
     "samp_quota_threshold",
+    "emb_assign_matrix",
     "events_topk_users",
     "events_sliding_windows",
     "events_top_transitions",

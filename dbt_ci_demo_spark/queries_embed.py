@@ -862,3 +862,53 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qz = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
     out = sim.cosine_topk_quantized(qz, qz.filter(F.col("vec_id") < 5), k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_ASSIGN_MATRIX_K = 120  # > _KM_LITERAL_K_MAX: forces the matrix path
+
+
+@query(
+    "emb_assign_matrix",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM base WHERE vec_id < {_ASSIGN_MATRIX_K}
+    ),
+    scored AS (
+      SELECT b.vec_id, s.seed_id,
+             list_inner_product(b.q, b.q) - 2 * list_inner_product(b.q, s.sq)
+               + list_inner_product(s.sq, s.sq) AS dist
+      FROM base b CROSS JOIN seeds s
+    )
+    SELECT vec_id, seed_id AS cluster_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, seed_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def emb_assign_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-k cluster assignment through the r07 broadcast-matrix seam
+    (VERDICT r06 #3): k = {_ASSIGN_MATRIX_K} seed centroids exceed
+    `_KM_LITERAL_K_MAX`, so `_kmeans_assign` routes to the nested-array
+    matrix literal + transform-with-index argmin — O(1) expression nodes
+    in k where the literal-per-centroid tree would carry k·d leaves into
+    Catalyst. Still a pure zero-shuffle projection (no join, no window —
+    the oracle's cross-join + rank formulation is the semantics, not the
+    plan), exact integer distances, lowest-id tie-break. This registers
+    the matrix path for a driver correctness row; the two paths'
+    equality is additionally property-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _kmeans_quant_expr().alias("q"))
+    seed_items = _collect_seed_items(
+        base.filter(F.col("vec_id") < _ASSIGN_MATRIX_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("q").alias("sq")
+        )
+    )
+    return base.select(
+        "vec_id", _kmeans_assign(seed_items).alias("cluster_id")
+    )

@@ -233,3 +233,14 @@ def test_quota_sampler_gets_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in full, (
         "pipe_budgeted_curation's quota cap plans no WindowGroupLimit"
     )
+
+
+def test_matrix_assignment_is_zero_shuffle_projection(spark, sf_dir):
+    """emb_assign_matrix (r07): large-k assignment through the matrix
+    seam must stay a pure projection — no Exchange, no Join, no Window
+    in the physical plan (the oracle's cross-join + rank formulation is
+    the semantics, never the plan)."""
+    plan = _plan(spark, "emb_assign_matrix", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
