@@ -333,9 +333,13 @@ def stratified_sample_by_quota_threshold(
         raise ValueError("n_hist_buckets must be >= 2")
     width = (_HASH_SPACE + n_hist_buckets - 1) // n_hist_buckets
     h = _key_hash(F.col(key_col), seed)
-    tagged = df.join(F.broadcast(quotas), on=strata_cols).withColumn(
-        "__h", h
-    ).withColumn("__bin", (F.col("__h") / F.lit(width)).cast("long"))
+    tagged = (
+        df.join(F.broadcast(quotas), on=strata_cols)
+        .withColumn("__h", h)
+        # integral `div`, not double-divide-then-cast: same exactness
+        # discipline as compact_layout's file count (ADVICE r06)
+        .withColumn("__bin", F.expr(f"__h div {width}"))
+    )
     hist = tagged.groupBy(*strata_cols, "__bin").agg(
         F.count(F.lit(1)).alias("__c")
     )
