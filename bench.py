@@ -106,6 +106,9 @@ HEADLINE = [
     # over the Arrow seam).
     "pipe_budgeted_curation",
     "mm_image_metadata_codec",
+    # r07: ORC source/sink round-trip — the format family's first ratchet
+    # row (partitioned write + pruned read; cost is the write).
+    "src_orc_roundtrip",
 ]
 
 

@@ -1592,6 +1592,7 @@ _PRIORITY: list[str] = [
     # r07 registrations (r08 slate candidates)
     "samp_quota_threshold",
     "emb_assign_matrix",
+    "src_orc_roundtrip",
     "events_topk_users",
     "events_sliding_windows",
     "events_top_transitions",

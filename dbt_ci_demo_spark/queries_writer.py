@@ -669,6 +669,53 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0 AND l_quantity >= 25 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (r07 — the remaining Spark-native
+    columnar format after parquet/CSV/JSON, SURVEY §2.B.1 source
+    breadth): a lineitem slice written as ORC partitioned by
+    l_returnflag, read back and filtered on BOTH a partition column
+    (directory pruning — whole partitions never open) and a data column
+    (predicate pushdown into the vectorized ORC reader's stripe/row-group
+    statistics). The oracle proves the format round-trips values exactly
+    (int64/double/string are bit-stable in ORC); the plan-side contract —
+    PartitionFilters on l_returnflag, PushedFilters on l_quantity in the
+    OrcScan — is pinned by tests/test_plans.py::test_orc_roundtrip_pushdown.
+    At 100 TB: ORC splits by stripe and prunes columns/rows like parquet,
+    so it is a drop-in interchange format for warehouses that emit it
+    (Hive/Trino ecosystems); the write stays partition-parallel."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+    )
+    path = os.path.join(_wh_root(), "lineitem_orc")
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    back = spark.read.orc(path)
+    return back.filter(
+        (F.col("l_quantity") >= 25) & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+@query(
     "wr_zorder_cluster",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -118,6 +118,23 @@ def test_scan_pushdown(spark, sf_dir, name, expectations):
         assert fragment in plan, f"{name}: missing {fragment!r}"
 
 
+def test_orc_roundtrip_pushdown(spark, sf_dir):
+    """src_orc_roundtrip's read-back contract: the partition-column filter
+    prunes directories (PartitionFilters) and the data-column predicate is
+    pushed into the vectorized ORC reader (PushedFilters on l_quantity) —
+    the same scan discipline the parquet plans are held to."""
+    plan = _plan(spark, "src_orc_roundtrip", sf_dir)
+    assert "FileScan orc" in plan, plan
+    assert "PartitionFilters: [l_returnflag" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)]" in plan, plan
+    # Column pruning: the data files carry only the four non-partition
+    # columns; none may be read beyond the projection.
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_extendedprice:double>" in plan
+    ), plan
+
+
 def test_hll_merge_is_single_scan(spark, sf_dir):
     """stats_sketch_distinct_merge claims a ONE-scan rollup plan (per-type
     rows + global row from one Expand pass, merge via a k-row window) —
