@@ -214,21 +214,22 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value over the full partition frame (earliest and
-    latest order value per priority) — the boundary-picking window pair;
-    the orderkey tie-break pins which row is 'first'/'last' when dates
-    collide, keeping the result engine-deterministic. DISTINCT collapses
-    the per-row window output to one row per priority."""
-    from pyspark.sql.window import Window
-
+    latest order value per priority), stated as the window idiom in the
+    oracle — but COMPUTED as a ``min_by``/``max_by`` aggregate: an
+    unbounded-frame window whose per-row output is then collapsed with
+    DISTINCT is a per-group aggregate in disguise, and the window plan
+    sorts each whole priority stratum in ONE reduce task (an unbounded
+    frame can never get a ``WindowGroupLimit``; found by the r07
+    second-pass window-skew audit, SCALE.md). ``min_by``/``max_by`` over
+    the (date, key) ordering struct is decision-identical — the orderkey
+    tie-break makes the ordering total, so 'first'/'last' are unique —
+    and partial-aggregates on the map side: the exchange carries one row
+    per (input partition, priority), never a stratum. The plan test pins
+    the absence of any Window operator."""
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordering = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by(F.col("o_totalprice"), ordering).alias("first_price"),
+        F.max_by(F.col("o_totalprice"), ordering).alias("last_price"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    return o.select(
-        "o_orderpriority",
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.last("o_totalprice").over(w).alias("last_price"),
-        F.count(F.lit(1)).over(w).alias("n_orders"),
-    ).distinct()

@@ -1536,35 +1536,217 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nt
     """,
 )
-def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_ccnet_buckets(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """CCNet-style corpus partitioning: per LANGUAGE, documents ranked by
     unigram-LM fluency (text_unigram_logprob's score) and split into
     head/middle/tail thirds — the bucketing public pipelines use to keep
-    head outright, re-filter middle, and drop tail. Ordering uses the
-    rounded score with a doc_id tie-break, so bucket boundaries are
-    bit-identical across engines; ntile follows the SQL-standard uneven
-    split. Plan: the unigram scoring shuffles (tokenize + vocab), then
-    ONE window shuffle on lang — at corpus scale the window carries a
-    6-column table, not text."""
-    from pyspark.sql.window import Window
+    head outright, re-filter middle, and drop tail. The oracle states the
+    semantics as ntile(3) over (score desc, doc_id); the engine COMPUTES
+    the identical buckets by histogram threshold selection (the
+    `samp_quota_threshold` pattern), because an ntile window partitioned
+    by language sorts each whole language stratum in ONE reduce task — a
+    90%-English corpus funnels 90% of its rows into a single window
+    partition that no ``WindowGroupLimit`` can bound (found by the r07
+    second-pass window-skew audit, SCALE.md).
+
+    Plan (see :func:`tercile_buckets` for the full design): after the
+    unigram scoring shuffles, the per-lang (n, min, max) stats and the
+    1024-equi-width-bin histogram are COLLECTED (bounded: one row per
+    language, ≤ langs·1024 histogram rows — the driver-held model-state
+    pattern the Lloyd rewrite established), the SQL-standard tercile
+    boundary ranks and boundary bins resolve in Python, and the corpus
+    pass carries the bin expression and boundary thresholds as literal
+    CASE chains: rows outside the two boundary bins take their bucket
+    scan-side with NO shuffle, and only boundary-bin rows (~stratum/
+    1024) are ranked in a (lang, bin)-partitioned — bounded — window,
+    the in-bin (score desc, doc_id) rank plus the bin's cumulative
+    offset reproducing the global row_number exactly, ties included
+    (equal scores always share a bin, so the doc_id tie-break happens
+    entirely inside the bounded window). Degenerate-distribution
+    caveat: a language whose scores are ALL identical collapses to one
+    bin and its whole stratum ranks in one task (recurse the histogram
+    on doc_id if a real corpus ever looks like that); any score spread
+    at all restores the 1024-fold bound.
+
+    ``materialize=False`` returns the un-checkpointed plan (same
+    contract as ``minhash_near_duplicates``) so plan tests can inspect
+    the bucket plan's window shapes — an eager checkpoint truncates the
+    visible plan to a ``Scan ExistingRDD``. (The two bounded threshold
+    collects still run either way; only the corpus pass stays lazy.)"""
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
 
     scores = text_unigram_logprob(spark, sf_dir)
     langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = scores.join(langs, "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id")
+    if not materialize:
+        return tercile_buckets(scores.join(langs, "doc_id"))
+    ensure_checkpoint_dir(spark)
+    # The scoring pipeline is the expensive subtree and the bucket plan
+    # references it several times (stats, histogram, assignment); without
+    # a cache Spark re-evaluates it wholesale per reference (verified in
+    # the executed plan — no exchange reuse across the differing
+    # branches). Same contract as minhash_near_duplicates
+    # (materialize=True): persist the slim 4-column table, eagerly
+    # checkpoint the result, unpersist before returning — nothing stays
+    # pinned in executor storage.
+    scored = scores.join(langs, "doc_id").persist()
+    try:
+        return tercile_buckets(scored).checkpoint(eager=True)
+    finally:
+        scored.unpersist()
+
+
+def tercile_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact ntile(3)-per-stratum bucket assignment ('head'/'middle'/
+    'tail') WITHOUT a stratum-sized window — the bounded plan behind
+    :func:`text_ccnet_buckets`, factored out so tests pin the production
+    code. Decision-identical to
+    ``ntile(3) OVER (PARTITION BY strata ORDER BY score DESC, id)``
+    (property-tested across tie regimes, tiny strata, and bin counts).
+
+    Plan — driver-held thresholds, the Lloyd literal-centroid precedent
+    (queries_embed._lloyd_rounds): strata counts are bounded by
+    construction (language codes here), so the per-stratum model state
+    lives on the driver and the corpus pass carries ZERO joins and zero
+    broadcast builds:
+
+    1. k-row (n, min, max) aggregate COLLECTED (the sanctioned bounded
+       read — one row per stratum); SQL-standard tercile boundary ranks
+       (tile sizes q+1 for the first n mod 3 tiles, q for the rest) in
+       Python integers.
+    2. per-(stratum, score-bin) histogram over ``n_bins`` equi-width
+       bins COLLECTED (≤ k·n_bins rows; descending bins — highest
+       scores in bin 0 — so bin order IS rank order); the cumulative
+       count locates each boundary bin + its offset in Python.
+    3. ONE corpus pass: the bin expression and the per-stratum boundary
+       struct are literal CASE chains (k branches), so non-boundary
+       rows take their bucket scan-side with no shuffle at all; only
+       boundary-bin rows (~stratum/n_bins) are ranked in a window
+       partitioned by (stratum, bin) — bounded — the in-bin
+       (score desc, id) rank plus the bin's cumulative offset
+       reproducing the global row_number exactly, ties included (equal
+       scores always share a bin).
+
+    The two collects re-read the caller-persisted ``scored`` cache, so
+    the scoring subtree runs once end-to-end."""
+    from pyspark.sql.window import Window
+
+    strata = list(strata_cols) if strata_cols is not None else ["lang"]
+    out_cols = [c for c in scored.columns] + ["bucket"]
+    s = F.col(score_col)
+
+    stats = {
+        tuple(r[c] for c in strata): (r["__n"], r["__mn"], r["__mx"])
+        for r in scored.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(score_col).alias("__mn"),
+            F.max(score_col).alias("__mx"),
+        )
+        .collect()
+    }
+    if not stats:
+        return scored.withColumn("bucket", F.lit(None).cast("string"))
+
+    def _match(key):
+        cond = None
+        for c, v in zip(strata, key):
+            eq = F.col(c).eqNullSafe(F.lit(v))
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    def _bin_expr():
+        e = None
+        for key, (_, mn, mx) in stats.items():
+            if mx == mn:
+                b = F.lit(0)
+            else:
+                width = (mx - mn) / float(n_bins)
+                b = (
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(n_bins - 1),
+                            F.floor((F.lit(mx) - s) / F.lit(width)),
+                        ),
+                    )
+                ).cast("int")
+            e = F.when(_match(key), b) if e is None else e.when(_match(key), b)
+        return e
+
+    hist = (
+        scored.select(*strata, _bin_expr().alias("__bin"))
+        .groupBy(*strata, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
     )
-    b = F.ntile(3).over(w)
-    return scored.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "avg_logprob",
-        F.when(b == 1, F.lit("head"))
-        .when(b == 2, F.lit("middle"))
+    per_stratum: dict[tuple, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_stratum.setdefault(tuple(r[c] for c in strata), []).append(
+            (r["__bin"], r["__c"])
+        )
+    bounds = {}
+    for key, bin_counts in per_stratum.items():
+        n = stats[key][0]
+        q, rem = divmod(n, 3)
+        b1 = q + (1 if rem >= 1 else 0)
+        b2 = 2 * q + (1 if rem >= 1 else 0) + (1 if rem >= 2 else 0)
+        cum = 0
+        bb1 = bef1 = bb2 = bef2 = None
+        for bn, c in sorted(bin_counts):
+            if bb1 is None and cum + c >= b1:
+                bb1, bef1 = bn, cum
+            if bb2 is None and cum + c >= b2:
+                bb2, bef2 = bn, cum
+            cum += c
+        bounds[key] = (bb1, bef1, b1, bb2, bef2, b2)
+
+    _META = ("bb1", "bef1", "b1", "bb2", "bef2", "b2")
+
+    def _meta_expr():
+        e = None
+        for key, vals in bounds.items():
+            st = F.struct(
+                *[F.lit(v).alias(nm) for v, nm in zip(vals, _META)]
+            )
+            e = F.when(_match(key), st) if e is None else e.when(_match(key), st)
+        return e
+
+    df = scored.withColumn("__bin", _bin_expr()).withColumn("__m", _meta_expr())
+    bb1, bb2 = F.col("__m.bb1"), F.col("__m.bb2")
+    plain = df.filter((F.col("__bin") != bb1) & (F.col("__bin") != bb2)).select(
+        *out_cols[:-1],
+        F.when(F.col("__bin") < bb1, F.lit("head"))
+        .when(F.col("__bin") < bb2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    wb = Window.partitionBy(*strata, "__bin").orderBy(s.desc(), F.col(id_col))
+    g = (
+        F.when(F.col("__bin") == bb1, F.col("__m.bef1")).otherwise(
+            F.col("__m.bef2")
+        )
+        + F.col("__rk")
+    )
+    edge = (
+        df.filter((F.col("__bin") == bb1) | (F.col("__bin") == bb2))
+        .withColumn("__rk", F.row_number().over(wb))
+        .select(
+            *out_cols[:-1],
+            F.when(g <= F.col("__m.b1"), F.lit("head"))
+            .when(g <= F.col("__m.b2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return plain.unionByName(edge)
 
 
 _SENT_PAT = r"((?:\S+ ){5}\S+) "

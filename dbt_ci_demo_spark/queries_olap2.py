@@ -232,28 +232,138 @@ def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentiles (p50/p90/p99 of order value per
-    priority) via row_number + ceil(p·n) — engine-portable where built-in
-    PERCENTILE/QUANTILE aggregates differ in interpolation. One window
-    sort per priority partition; the pick-out is a conditional aggregate,
-    so nothing but the partition sort moves data. The order-key tie-break
-    makes rank assignment total, so the picked value is unique even with
-    duplicate prices."""
+    priority) — engine-portable where built-in PERCENTILE/QUANTILE
+    aggregates differ in interpolation. The oracle states the semantics
+    as row_number + ceil(p·n); the engine COMPUTES it by histogram
+    threshold selection (the `samp_quota_threshold` pattern), because the
+    rank-window formulation sorts each whole priority stratum in ONE
+    reduce task — an interior-rank pick can never get a
+    ``WindowGroupLimit``, so at 100 TB a 5-priority orders table funnels
+    ~20% of the corpus per reduce task (found by the r07 second-pass
+    window-skew audit, SCALE.md).
+
+    Plan (three bounded passes, no data-sized window partition):
+    1. per-stratum (n, min, max) aggregate — k rows, broadcast; the three
+       target ranks ceil(p·n) are derived here with the same double
+       arithmetic the oracle uses, so rank choice is bit-identical;
+    2. per-(stratum, value-bin) counts over 1024 equi-width price bins
+       (binning is internal — any deterministic monotone bucketing works,
+       so the double cast is safe even for decimal prices) + a running
+       sum over each stratum's ≤1024-row bin table → the BOUNDARY bin
+       where the cumulative count crosses each target rank;
+    3. boundary-bin rows only, collapsed to DISTINCT prices with counts
+       (map-side combinable — and the adversarial all-one-price stratum
+       collapses to ONE row, so ties make this CHEAPER, not degenerate);
+       a running sum over those ≤bin-sized distinct-price partitions
+       picks the first price whose cumulative count reaches the target.
+       The percentile is a VALUE pick, so no row-level tie-break is ever
+       needed: equal prices share a bin and the answer is their common
+       value, bit-identical to the rank formulation.
+
+    Window partitions are bounded by the literal bin count (pass 2) and
+    by ~stratum/1024 distinct prices (pass 3; recurse the histogram for
+    deeper bounds if ever needed). Everything else is scan-shaped
+    aggregation."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return exact_percentiles(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        [("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
+    )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    strata_cols: list[str],
+    value_col: str,
+    targets: list[tuple[str, float]],
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact nearest-rank percentile VALUES per stratum without a
+    stratum-sized window — the bounded plan behind
+    :func:`stats_exact_percentiles`, factored out so tests pin the
+    production code. Returns one row per stratum with one column per
+    target tag, each holding the value at rank ``ceil(frac·n)`` under
+    (value, any-total-order) — value-identical to the row_number
+    formulation because equal values share a bin and the answer is their
+    common value (property-tested across tie regimes and bin counts)."""
     from pyspark.sql.window import Window
 
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    stats = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
     )
-    pick = lambda p: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.col("o_totalprice"))
+    # (stratum, tag, need): target ranks with the oracle's double math
+    tgt = stats.select(
+        *strata_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("tag"),
+                        F.ceil(F.lit(p) * F.col("__n")).cast("bigint").alias("need"),
+                    )
+                    for tag, p in targets
+                ]
+            )
+        ).alias("t"),
+    ).select(*strata_cols, "t.tag", "t.need")
+    mnd, mxd = F.col("__mn").cast("double"), F.col("__mx").cast("double")
+    vd = F.col(value_col).cast("double")
+    width = (mxd - mnd) / F.lit(float(n_bins))
+    binned = df.join(F.broadcast(stats), strata_cols).withColumn(
+        "__bin",
+        F.when(mxd == mnd, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0), F.least(F.lit(n_bins - 1), F.floor((vd - mnd) / width))
+            )
+        )
+        .cast("int"),
     )
-    return ranked.groupBy("o_orderpriority").agg(
-        pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99")
+    hist = binned.groupBy(*strata_cols, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = hist.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0))
+    )
+    boundary = (
+        tgt.join(bins, strata_cols)
+        .filter(F.col("__before") + F.col("__c") >= F.col("need"))
+        .groupBy(*strata_cols, "tag", "need")
+        .agg(
+            F.min("__bin").alias("__bbin"),
+            F.min_by("__before", "__bin").alias("__before_b"),
+        )
+    )
+    # pass 3: boundary-bin rows → distinct-value counts → threshold pick
+    bin_vals = (
+        binned.join(F.broadcast(boundary), strata_cols)
+        .filter(F.col("__bin") == F.col("__bbin"))
+        .groupBy(*strata_cols, "tag", "need", "__before_b", value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wval = (
+        Window.partitionBy(*strata_cols, "tag")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        bin_vals.withColumn("__cum", F.sum("__cnt").over(wval))
+        .filter(F.col("__before_b") + F.col("__cum") >= F.col("need"))
+        .groupBy(*strata_cols, "tag")
+        .agg(F.min(value_col).alias("__val"))
+    )
+    pick = lambda t: F.max(F.when(F.col("tag") == t, F.col("__val")))  # noqa: E731
+    return picked.groupBy(*strata_cols).agg(
+        *[pick(tag).alias(tag) for tag, _ in targets]
     )
 
 

@@ -57,7 +57,16 @@ _SLOW_SETUP = {name for name in q.registry_queries() if name.startswith("wr_")}
 
 
 def _plan(spark, name, sf_dir) -> str:
-    df = q.registry_queries()[name](spark, sf_dir)
+    import inspect
+
+    fn = q.registry_queries()[name]
+    kwargs = {}
+    # Queries that eagerly materialize (persist + checkpoint) expose only
+    # a Scan ExistingRDD; their lazy twin (materialize=False) shows the
+    # real plan — and skips executing the query during plan tests.
+    if "materialize" in inspect.signature(fn).parameters:
+        kwargs["materialize"] = False
+    df = fn(spark, sf_dir, **kwargs)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -133,6 +142,30 @@ def test_orc_roundtrip_pushdown(spark, sf_dir):
         "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
         "l_quantity:double,l_extendedprice:double>" in plan
     ), plan
+
+
+def test_window_audit_bounded_plans(spark, sf_dir):
+    """r07 second-pass window-skew audit: the three queries that carried
+    data-sized window partitions must keep their bounded rewrites —
+    win_first_last_value is a pure min_by/max_by aggregate (NO window
+    operator), stats_exact_percentiles has no row_number rank sort (its
+    only windows are the two histogram running sums over aggregated
+    bin/distinct-price tables), and text_ccnet_buckets has no ntile (its
+    windows are the bin cumsum and the boundary-bin rank, both bounded)."""
+    p = _plan(spark, "win_first_last_value", sf_dir)
+    assert "Window" not in p, p
+    p = _plan(spark, "stats_exact_percentiles", sf_dir)
+    assert "row_number" not in p, p
+    assert p.count("Window [") == 2, p
+    p = _plan(spark, "text_ccnet_buckets", sf_dir)
+    assert "ntile" not in p, p
+    # Exactly ONE window in the whole bucket plan: the boundary-bin edge
+    # rank, partitioned by (lang, __bin) — bounded by ~stratum/n_bins.
+    # The thresholds are driver-held literals (Lloyd precedent), so the
+    # corpus pass has no cumsum window and no broadcast threshold join.
+    wlines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wlines) == 1, p
+    assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
 
 
 def test_hll_merge_is_single_scan(spark, sf_dir):

@@ -1,0 +1,220 @@
+"""Second-pass window-skew audit (r07): three registered queries carried
+data-sized window partitions that no ``WindowGroupLimit`` can bound —
+``stats_exact_percentiles`` (interior-rank pick per priority),
+``win_first_last_value`` (unbounded frame per priority + DISTINCT), and
+``text_ccnet_buckets`` (ntile per language). Each was rewritten onto a
+bounded plan (min_by/max_by aggregate; histogram threshold selection).
+These tests pin DECISION EQUALITY between the bounded rewrites and the
+original window formulations on adversarial distributions — ties, tiny
+strata, identical-value strata — so the rewrites can never drift from
+the window semantics the oracles still state."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# ntile(3) per stratum vs the histogram-threshold bucket assignment
+# ---------------------------------------------------------------------------
+
+
+def _ntile_buckets_reference(df):
+    """The original formulation: ntile(3) over (score desc, id)."""
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("id"))
+    b = F.ntile(3).over(w)
+    return df.select(
+        "id",
+        "lang",
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _tercile_buckets_histogram(df, n_bins=8):
+    """Drive the PRODUCTION operator (queries_northstar.tercile_buckets)
+    with a SMALL bin count so tests exercise multi-row bins and shared
+    boundary bins (the registered query uses 1024 bins; the algorithm
+    must be bin-count-invariant)."""
+    from dbt_ci_demo_spark.queries_northstar import tercile_buckets
+
+    return tercile_buckets(
+        df, score_col="score", id_col="id", strata_cols=["lang"], n_bins=n_bins
+    )
+
+
+def _random_scored_frame(spark, seed, n_langs, max_rows, tie_prob):
+    rng = random.Random(seed)
+    rows = []
+    rid = 0
+    for li in range(n_langs):
+        lang = f"l{li}"
+        n = rng.randint(1, max_rows)
+        last = None
+        for _ in range(n):
+            if last is not None and rng.random() < tie_prob:
+                score = last  # force exact ties
+            else:
+                score = round(rng.uniform(-10, 0), 2)
+            last = score
+            rows.append((rid, lang, score))
+            rid += 1
+    return spark.createDataFrame(rows, "id bigint, lang string, score double")
+
+
+def test_tercile_histogram_equals_ntile_randomized(spark):
+    for seed in range(6):
+        df = _random_scored_frame(
+            spark, seed, n_langs=4, max_rows=40, tie_prob=0.3 + 0.1 * (seed % 3)
+        )
+        for n_bins in (2, 8, 64):
+            got = _collect_sorted(
+                _tercile_buckets_histogram(df, n_bins), ["id", "lang", "bucket"]
+            )
+            want = _collect_sorted(
+                _ntile_buckets_reference(df), ["id", "lang", "bucket"]
+            )
+            assert got == want, (seed, n_bins)
+
+
+def test_tercile_histogram_tiny_and_degenerate_strata(spark):
+    rows = (
+        # n = 1 and n = 2 strata (ntile leaves later tiles empty)
+        [(0, "one", -1.0), (1, "two", -1.0), (2, "two", -2.0)]
+        # n = 3 exact split
+        + [(3, "three", -1.0), (4, "three", -2.0), (5, "three", -3.0)]
+        # identical-score stratum: histogram collapses to one bin; the
+        # doc-id tie-break must still reproduce ntile's row order
+        + [(10 + i, "flat", -5.0) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, lang string, score double")
+    got = _collect_sorted(
+        _tercile_buckets_histogram(df, 8), ["id", "lang", "bucket"]
+    )
+    want = _collect_sorted(_ntile_buckets_reference(df), ["id", "lang", "bucket"])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact nearest-rank percentiles vs the rank-window formulation
+# ---------------------------------------------------------------------------
+
+
+def _percentiles_reference(df):
+    w = Window.partitionBy("g").orderBy("v", "id")
+    wn = Window.partitionBy("g")
+    ranked = df.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("v"),
+        )
+    )
+    return ranked.groupBy("g").agg(
+        pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+def _percentiles_histogram(df, n_bins=8):
+    """Drive the PRODUCTION operator (queries_olap2.exact_percentiles)."""
+    from dbt_ci_demo_spark.queries_olap2 import exact_percentiles
+
+    return exact_percentiles(
+        df.select("g", "v"),
+        ["g"],
+        "v",
+        [("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
+        n_bins=n_bins,
+    )
+
+
+def test_percentile_histogram_equals_rank_window_randomized(spark):
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        rows = []
+        rid = 0
+        for gi in range(4):
+            n = rng.randint(1, 60)
+            for _ in range(n):
+                # heavy tie mass: values drawn from a small lattice
+                v = round(rng.choice([1.0, 2.5, 2.5, 7.0, 7.0, 9.9, 100.0]), 2)
+                rows.append((rid, f"g{gi}", v))
+                rid += 1
+        df = spark.createDataFrame(rows, "id bigint, g string, v double")
+        for n_bins in (2, 8, 64):
+            got = _collect_sorted(
+                _percentiles_histogram(df, n_bins), ["g", "p50", "p90", "p99"]
+            )
+            want = _collect_sorted(
+                _percentiles_reference(df), ["g", "p50", "p90", "p99"]
+            )
+            assert got == want, (seed, n_bins)
+
+
+def test_percentile_histogram_degenerate_groups(spark):
+    rows = (
+        [(0, "single", 42.0)]
+        + [(1 + i, "flat", 7.0) for i in range(9)]  # all values identical
+        + [(20, "two", 1.0), (21, "two", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    got = _collect_sorted(_percentiles_histogram(df, 4), ["g", "p50", "p90", "p99"])
+    want = _collect_sorted(_percentiles_reference(df), ["g", "p50", "p90", "p99"])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# first/last over an unbounded frame vs min_by/max_by
+# ---------------------------------------------------------------------------
+
+
+def test_min_by_struct_equals_first_last_window(spark):
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            f"g{rng.randint(0, 3)}",
+            rng.randint(0, 5),  # heavy date collisions → tie-break matters
+            round(rng.uniform(1, 100), 2),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, d int, v double")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("d", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    want = _collect_sorted(
+        df.select(
+            "g",
+            F.first("v").over(w).alias("first_v"),
+            F.last("v").over(w).alias("last_v"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        ).distinct(),
+        ["g", "first_v", "last_v", "n"],
+    )
+    ordering = F.struct(F.col("d"), F.col("id"))
+    got = _collect_sorted(
+        df.groupBy("g").agg(
+            F.min_by("v", ordering).alias("first_v"),
+            F.max_by("v", ordering).alias("last_v"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        ["g", "first_v", "last_v", "n"],
+    )
+    assert got == want
