@@ -434,3 +434,203 @@ def allocate_budget(
             ),
         )
     )
+
+
+def ntile_histogram(
+    df: DataFrame,
+    n_tiles: int,
+    score_col: str,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+    n_bins: int = 1024,
+    ascending: bool = True,
+    tile_col: str = "__tile",
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (PARTITION BY strata ORDER BY score
+    [ASC|DESC], id)`` WITHOUT a stratum-sized (or, unpartitioned, a
+    table-sized single-task) window — the r07 second-pass window-skew
+    audit's replacement for ntile over raw facts. Returns ``df`` plus an
+    integer ``tile_col`` in [1, n_tiles], decision-identical to ntile
+    (property-tested across tie regimes, tiny/degenerate strata, bin
+    counts, and both orderings).
+
+    Design — driver-held thresholds (the Lloyd literal-centroid
+    precedent): stratum cardinality is bounded by construction for every
+    caller (language codes; or ONE global stratum), so the per-stratum
+    model state lives on the driver and the corpus pass carries zero
+    joins and zero broadcast builds:
+
+    1. k-row (n, min, max) stats COLLECTED (bounded read); SQL-standard
+       tile boundary RANKS ``b_i = i·q + min(i, n mod n_tiles)`` (tile
+       sizes q+1 for the first n mod n_tiles tiles, q after) in Python
+       integers.
+    2. per-(stratum, score-bin) histogram over ``n_bins`` equi-width
+       bins COLLECTED (≤ k·n_bins rows; bins numbered in rank order —
+       ascending scores or descending per ``ascending``); cumulative
+       counts locate each boundary bin ``bb_i`` and its offset
+       ``bef_i`` in Python.
+    3. ONE pass over ``df``: the bin expression and the per-stratum
+       boundary struct are literal CASE chains (k branches), so rows
+       outside boundary bins take their tile from a scan-side bin
+       comparison with NO shuffle; only boundary-bin rows
+       (~stratum/n_bins) are ranked in a (stratum, bin)-partitioned —
+       bounded — window, the in-bin (score, id) rank plus the bin's
+       cumulative offset reproducing the global row_number exactly,
+       ties included (equal scores always share a bin, so the id
+       tie-break happens entirely inside the bounded window).
+
+    Degenerate-distribution caveat: a stratum whose scores are ALL
+    identical collapses to one bin and ranks in one task (recurse the
+    histogram on the id if a real corpus ever looks like that); any
+    spread restores the n_bins-fold bound. Callers should persist
+    ``df`` when its lineage is expensive — the two collects and the
+    final pass each read it."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    strata = list(strata_cols) if strata_cols else []
+    s = F.col(score_col)
+
+    grouped = df.groupBy(*strata) if strata else df.groupBy()
+    # min/max coerced to Python float: the bin width math must divide by
+    # a float bin count (Decimal/float raises in Python), and the SAME
+    # literal feeds both the histogram job and the final pass, so any
+    # monotone precision loss is consistent — equal scores still share a
+    # bin, which is all correctness needs.
+    stats = {
+        tuple(r[c] for c in strata): (
+            r["__n"],
+            None if r["__mn"] is None else float(r["__mn"]),
+            None if r["__mx"] is None else float(r["__mx"]),
+        )
+        for r in grouped.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(score_col).alias("__mn"),
+            F.max(score_col).alias("__mx"),
+        ).collect()
+        if r["__n"] > 0
+    }
+    if not stats:
+        return df.withColumn(tile_col, F.lit(None).cast("int"))
+
+    def _match(key):
+        cond = None
+        for c, v in zip(strata, key):
+            eq = F.col(c).eqNullSafe(F.lit(v))
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    def _chain(items):
+        # items: [(key, Column)]; a single global stratum needs no CASE
+        if len(items) == 1 and items[0][0] == ():
+            return items[0][1]
+        e = None
+        for key, col in items:
+            e = F.when(_match(key), col) if e is None else e.when(_match(key), col)
+        return e
+
+    def _bin_for(key):
+        _, mn, mx = stats[key]
+        if mx == mn:
+            return F.lit(0)
+        width = (mx - mn) / float(n_bins)
+        pos = (s - F.lit(mn)) if ascending else (F.lit(mx) - s)
+        return (
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(n_bins - 1), F.floor(pos / F.lit(width))),
+            )
+        ).cast("int")
+
+    bin_expr = _chain([(key, _bin_for(key)) for key in stats])
+
+    hist = (
+        df.select(*strata, bin_expr.alias("__bin"))
+        .groupBy(*strata, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    per_stratum: dict[tuple, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_stratum.setdefault(tuple(r[c] for c in strata), []).append(
+            (r["__bin"], r["__c"])
+        )
+    bounds: dict[tuple, list[tuple[int, int, int]]] = {}
+    for key, bin_counts in per_stratum.items():
+        n = stats[key][0]
+        q, rem = divmod(n, n_tiles)
+        targets = [i * q + min(i, rem) for i in range(1, n_tiles)]
+        cum = 0
+        found: list[tuple[int, int, int] | None] = [None] * len(targets)
+        for bn, c in sorted(bin_counts):
+            for i, b in enumerate(targets):
+                if found[i] is None and cum + c >= b:
+                    found[i] = (bn, cum, b)
+            cum += c
+        # b_i can exceed later bins only if b_i > n (impossible); every
+        # target <= n is reached because the cumulative total is n
+        bounds[key] = [f for f in found if f is not None]
+
+    n_b = n_tiles - 1
+
+    def _meta_for(key):
+        vals = bounds[key]
+        fields = []
+        for i in range(n_b):
+            bb, bef, b = vals[i] if i < len(vals) else (-1, 0, 0)
+            fields += [
+                F.lit(bb).alias(f"bb{i}"),
+                F.lit(bef).alias(f"bef{i}"),
+                F.lit(b).alias(f"b{i}"),
+            ]
+        return F.struct(*fields)
+
+    if n_b == 0:
+        return df.withColumn(tile_col, F.lit(1).cast("int"))
+    meta_expr = _chain([(key, _meta_for(key)) for key in bounds])
+    tagged = df.withColumn("__bin", bin_expr).withColumn("__m", meta_expr)
+
+    def m(name):
+        return F.col(f"__m.{name}")
+
+    is_boundary = None
+    for i in range(n_b):
+        eq = F.col("__bin") == m(f"bb{i}")
+        is_boundary = eq if is_boundary is None else is_boundary | eq
+
+    def _tile_case(value_for):
+        e = None
+        for i in range(n_b):
+            e = (
+                F.when(value_for(i), F.lit(i + 1))
+                if e is None
+                else e.when(value_for(i), F.lit(i + 1))
+            )
+        return e.otherwise(F.lit(n_tiles))
+
+    plain = tagged.filter(~is_boundary).select(
+        *df.columns,
+        _tile_case(lambda i: F.col("__bin") < m(f"bb{i}"))
+        .cast("int")
+        .alias(tile_col),
+    )
+    order = s.asc() if ascending else s.desc()
+    wb = Window.partitionBy(*strata, "__bin").orderBy(order, F.col(id_col).asc())
+    bef = None
+    for i in range(n_b):
+        bef = (
+            F.when(F.col("__bin") == m(f"bb{i}"), m(f"bef{i}"))
+            if bef is None
+            else bef.when(F.col("__bin") == m(f"bb{i}"), m(f"bef{i}"))
+        )
+    g = bef + F.col("__rk")
+    edge = (
+        tagged.filter(is_boundary)
+        .withColumn("__rk", F.row_number().over(wb))
+        .select(
+            *df.columns,
+            _tile_case(lambda i, _g=g: _g <= m(f"b{i}")).cast("int").alias(tile_col),
+        )
+    )
+    return plain.unionByName(edge)

@@ -1125,17 +1125,31 @@ def win_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile(4) over a deterministic total order. A single
-    unpartitioned window is the one window shape that does NOT scale (all
-    rows through one task) — acceptable for ranked-bucket reports over
-    aggregated outputs; for raw-fact bucketing use range_bucket
-    (functions/bq_compat) or approx percentile boundaries instead."""
+    """Global ntile(4) over a deterministic total order. The oracle
+    states the semantics as an unpartitioned ntile window — the one
+    window shape that can NEVER scale (the whole fact table sorts in ONE
+    task; found by the r07 second-pass window-skew audit, SCALE.md). The
+    engine COMPUTES the identical quartiles with
+    :func:`operators.sampling.ntile_histogram` (driver-held histogram
+    thresholds, one global stratum): rows outside the three boundary
+    bins take their quartile from a scan-side literal bin comparison —
+    no shuffle — and only boundary-bin rows (~n/1024) are ranked in a
+    bin-partitioned bounded window, ties included (equal prices share a
+    bin, so the orderkey tie-break resolves inside the bounded
+    window)."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    t = ntile_histogram(
+        o.select("o_orderkey", "o_totalprice"),
+        4,
+        "o_totalprice",
         "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
+        [],
+        ascending=True,
+        tile_col="price_quartile",
     )
+    return t.select("o_orderkey", F.col("price_quartile").cast("int").alias("price_quartile"))
 
 
 @query(

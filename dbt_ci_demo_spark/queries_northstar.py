@@ -1611,142 +1611,34 @@ def tercile_buckets(
     ``ntile(3) OVER (PARTITION BY strata ORDER BY score DESC, id)``
     (property-tested across tie regimes, tiny strata, and bin counts).
 
-    Plan — driver-held thresholds, the Lloyd literal-centroid precedent
-    (queries_embed._lloyd_rounds): strata counts are bounded by
-    construction (language codes here), so the per-stratum model state
-    lives on the driver and the corpus pass carries ZERO joins and zero
-    broadcast builds:
-
-    1. k-row (n, min, max) aggregate COLLECTED (the sanctioned bounded
-       read — one row per stratum); SQL-standard tercile boundary ranks
-       (tile sizes q+1 for the first n mod 3 tiles, q for the rest) in
-       Python integers.
-    2. per-(stratum, score-bin) histogram over ``n_bins`` equi-width
-       bins COLLECTED (≤ k·n_bins rows; descending bins — highest
-       scores in bin 0 — so bin order IS rank order); the cumulative
-       count locates each boundary bin + its offset in Python.
-    3. ONE corpus pass: the bin expression and the per-stratum boundary
-       struct are literal CASE chains (k branches), so non-boundary
-       rows take their bucket scan-side with no shuffle at all; only
-       boundary-bin rows (~stratum/n_bins) are ranked in a window
-       partitioned by (stratum, bin) — bounded — the in-bin
-       (score desc, id) rank plus the bin's cumulative offset
-       reproducing the global row_number exactly, ties included (equal
-       scores always share a bin).
-
-    The two collects re-read the caller-persisted ``scored`` cache, so
-    the scoring subtree runs once end-to-end."""
-    from pyspark.sql.window import Window
+    A thin labeling wrapper over the generic driver-held-threshold
+    engine :func:`dbt_ci_demo_spark.operators.sampling.ntile_histogram`
+    (see there for the full plan design: k-row stats + ≤k·n_bins
+    histogram collected, literal CASE-chain thresholds, one bounded
+    (stratum, bin)-partitioned edge window, ~stratum/n_bins ranked
+    rows). Descending score order — the highest-fluency third is
+    'head'."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
 
     strata = list(strata_cols) if strata_cols is not None else ["lang"]
-    out_cols = [c for c in scored.columns] + ["bucket"]
-    s = F.col(score_col)
-
-    stats = {
-        tuple(r[c] for c in strata): (r["__n"], r["__mn"], r["__mx"])
-        for r in scored.groupBy(*strata)
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(score_col).alias("__mn"),
-            F.max(score_col).alias("__mx"),
-        )
-        .collect()
-    }
-    if not stats:
-        return scored.withColumn("bucket", F.lit(None).cast("string"))
-
-    def _match(key):
-        cond = None
-        for c, v in zip(strata, key):
-            eq = F.col(c).eqNullSafe(F.lit(v))
-            cond = eq if cond is None else cond & eq
-        return cond
-
-    def _bin_expr():
-        e = None
-        for key, (_, mn, mx) in stats.items():
-            if mx == mn:
-                b = F.lit(0)
-            else:
-                width = (mx - mn) / float(n_bins)
-                b = (
-                    F.greatest(
-                        F.lit(0),
-                        F.least(
-                            F.lit(n_bins - 1),
-                            F.floor((F.lit(mx) - s) / F.lit(width)),
-                        ),
-                    )
-                ).cast("int")
-            e = F.when(_match(key), b) if e is None else e.when(_match(key), b)
-        return e
-
-    hist = (
-        scored.select(*strata, _bin_expr().alias("__bin"))
-        .groupBy(*strata, "__bin")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
+    t = ntile_histogram(
+        scored,
+        3,
+        score_col,
+        id_col,
+        strata,
+        n_bins=n_bins,
+        ascending=False,
+        tile_col="__tile",
     )
-    per_stratum: dict[tuple, list[tuple[int, int]]] = {}
-    for r in hist:
-        per_stratum.setdefault(tuple(r[c] for c in strata), []).append(
-            (r["__bin"], r["__c"])
-        )
-    bounds = {}
-    for key, bin_counts in per_stratum.items():
-        n = stats[key][0]
-        q, rem = divmod(n, 3)
-        b1 = q + (1 if rem >= 1 else 0)
-        b2 = 2 * q + (1 if rem >= 1 else 0) + (1 if rem >= 2 else 0)
-        cum = 0
-        bb1 = bef1 = bb2 = bef2 = None
-        for bn, c in sorted(bin_counts):
-            if bb1 is None and cum + c >= b1:
-                bb1, bef1 = bn, cum
-            if bb2 is None and cum + c >= b2:
-                bb2, bef2 = bn, cum
-            cum += c
-        bounds[key] = (bb1, bef1, b1, bb2, bef2, b2)
-
-    _META = ("bb1", "bef1", "b1", "bb2", "bef2", "b2")
-
-    def _meta_expr():
-        e = None
-        for key, vals in bounds.items():
-            st = F.struct(
-                *[F.lit(v).alias(nm) for v, nm in zip(vals, _META)]
-            )
-            e = F.when(_match(key), st) if e is None else e.when(_match(key), st)
-        return e
-
-    df = scored.withColumn("__bin", _bin_expr()).withColumn("__m", _meta_expr())
-    bb1, bb2 = F.col("__m.bb1"), F.col("__m.bb2")
-    plain = df.filter((F.col("__bin") != bb1) & (F.col("__bin") != bb2)).select(
-        *out_cols[:-1],
-        F.when(F.col("__bin") < bb1, F.lit("head"))
-        .when(F.col("__bin") < bb2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
+    return t.select(
+        *scored.columns,
+        F.when(F.col("__tile") == 1, F.lit("head"))
+        .when(F.col("__tile") == 2, F.lit("middle"))
+        .when(F.col("__tile") == 3, F.lit("tail"))
+        .otherwise(F.lit(None).cast("string"))
         .alias("bucket"),
     )
-    wb = Window.partitionBy(*strata, "__bin").orderBy(s.desc(), F.col(id_col))
-    g = (
-        F.when(F.col("__bin") == bb1, F.col("__m.bef1")).otherwise(
-            F.col("__m.bef2")
-        )
-        + F.col("__rk")
-    )
-    edge = (
-        df.filter((F.col("__bin") == bb1) | (F.col("__bin") == bb2))
-        .withColumn("__rk", F.row_number().over(wb))
-        .select(
-            *out_cols[:-1],
-            F.when(g <= F.col("__m.b1"), F.lit("head"))
-            .when(g <= F.col("__m.b2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
-    )
-    return plain.unionByName(edge)
 
 
 _SENT_PAT = r"((?:\S+ ){5}\S+) "

@@ -218,3 +218,66 @@ def test_min_by_struct_equals_first_last_window(spark):
         ["g", "first_v", "last_v", "n"],
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# generic ntile_histogram vs ntile — tiles/order/ties/decimal sweep
+# ---------------------------------------------------------------------------
+
+
+def _ntile_ref(df, n_tiles, ascending, strata):
+    order = [F.col("v").asc() if ascending else F.col("v").desc(), F.col("id")]
+    w = (
+        Window.partitionBy(*strata).orderBy(*order)
+        if strata
+        else Window.orderBy(*order)
+    )
+    return df.select("id", F.ntile(n_tiles).over(w).alias("t"))
+
+
+def test_ntile_histogram_equals_ntile_sweep(spark):
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
+
+    rng = random.Random(42)
+    rows, rid = [], 0
+    for gi in range(3):
+        for _ in range(rng.randint(1, 70)):
+            # lattice values force heavy exact ties
+            rows.append((rid, f"g{gi}", rng.choice([1.0, 2.5, 2.5, 7.0, 9.9])))
+            rid += 1
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    for n_tiles in (1, 3, 4, 5):
+        for ascending in (True, False):
+            for strata in ([], ["g"]):
+                want = _collect_sorted(
+                    _ntile_ref(df, n_tiles, ascending, strata), ["id", "t"]
+                )
+                got = _collect_sorted(
+                    ntile_histogram(
+                        df, n_tiles, "v", "id", strata,
+                        n_bins=4, ascending=ascending, tile_col="t",
+                    ).select("id", "t"),
+                    ["id", "t"],
+                )
+                assert got == want, (n_tiles, ascending, strata)
+
+
+def test_ntile_histogram_decimal_and_degenerate(spark):
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
+
+    rows = (
+        [(0, "one", 42.0)]                              # n=1 < n_tiles
+        + [(1 + i, "flat", 7.0) for i in range(9)]      # all-identical stratum
+        + [(20 + i, "big", float(i % 13)) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, g string, v double").withColumn(
+        "v", F.col("v").cast("decimal(15,2)")           # decimal score path
+    )
+    want = _collect_sorted(_ntile_ref(df, 4, True, ["g"]), ["id", "t"])
+    got = _collect_sorted(
+        ntile_histogram(
+            df, 4, "v", "id", ["g"], n_bins=8, ascending=True, tile_col="t"
+        ).select("id", "t"),
+        ["id", "t"],
+    )
+    assert got == want
