@@ -54,6 +54,11 @@ def test_sampling_family_empty(spark):
     assert sp.allocate_budget(e, "lang", 100).count() == 0
     toks = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
     assert sp.pack_token_windows(toks, "doc_id", "n_tokens").count() == 0
+    # ntile_histogram: empty input → empty output with a NULL-typed tile
+    # column (never raises from its two driver-held threshold collects);
+    # per-stratum and global strata both covered
+    assert sp.ntile_histogram(e, 3, "quality", "doc_id", ["lang"]).count() == 0
+    assert sp.ntile_histogram(e, 4, "quality", "doc_id", []).count() == 0
 
 
 def test_layout_family_empty(spark):
