@@ -167,12 +167,16 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     assert len(wlines) == 1, p
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
     # Global ntile(4) over raw orders — the unpartitioned-window case of
-    # the same audit: one bin-partitioned rank window, no ntile.
+    # the same audit: one bin-partitioned rank window, no ntile, and the
+    # driver-held thresholds mean ZERO joins and exactly ONE exchange
+    # (the boundary-bin edge window) in the whole corpus pass.
     p = _plan(spark, "win_ntile_quartiles", sf_dir)
     assert "ntile" not in p, p
     wlines = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wlines) == 1, p
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
 
 
 def test_hll_merge_is_single_scan(spark, sf_dir):
