@@ -498,17 +498,30 @@ def ntile_histogram(
     # literal feeds both the histogram job and the final pass, so any
     # monotone precision loss is consistent — equal scores still share a
     # bin, which is all correctness needs.
+    stat_rows = grouped.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col(score_col).isNull(), F.lit(1))).alias("__nnull"),
+        F.min(score_col).alias("__mn"),
+        F.max(score_col).alias("__mx"),
+    ).collect()
+    # NULL scores would sort NULLS-FIRST in Spark's ntile but NULLS-LAST
+    # in other engines, and they have no bin — fail loudly rather than
+    # pick an engine-specific order silently (same discipline as the
+    # sketch NULL filter, ADVICE r06).
+    bad = [r for r in stat_rows if r["__nnull"] > 0]
+    if bad:
+        raise ValueError(
+            f"ntile_histogram: {score_col} contains NULLs in "
+            f"{len(bad)} strata — NULL rank order is engine-specific; "
+            "filter or impute before tiling"
+        )
     stats = {
         tuple(r[c] for c in strata): (
             r["__n"],
             None if r["__mn"] is None else float(r["__mn"]),
             None if r["__mx"] is None else float(r["__mx"]),
         )
-        for r in grouped.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(score_col).alias("__mn"),
-            F.max(score_col).alias("__mx"),
-        ).collect()
+        for r in stat_rows
         if r["__n"] > 0
     }
     if not stats:

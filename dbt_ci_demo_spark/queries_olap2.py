@@ -290,10 +290,30 @@ def exact_percentiles(
     common value (property-tested across tie regimes and bin counts)."""
     from pyspark.sql.window import Window
 
-    stats = df.groupBy(*strata_cols).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(value_col).alias("__mn"),
-        F.max(value_col).alias("__mx"),
+    # NULL values have no bin and would silently shift the cumulative
+    # rank space (Spark sorts NULLS FIRST, other engines LAST) — raise
+    # in-plan from the k-row stats aggregate instead (zero corpus cost;
+    # same discipline as the sketch NULL filter, ADVICE r06). assert_true
+    # returns NULL on success, so __n stays the plain count.
+    guard = F.assert_true(
+        F.col("__nnull") == 0,
+        F.lit(
+            f"exact_percentiles: {value_col} contains NULLs — NULL rank "
+            "order is engine-specific; filter or impute first"
+        ),
+    )
+    stats = (
+        df.groupBy(*strata_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.count(F.when(F.col(value_col).isNull(), F.lit(1))).alias(
+                "__nnull"
+            ),
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+        )
+        .withColumn("__n", F.when(guard.isNull(), F.col("__cnt")))
+        .drop("__cnt", "__nnull")
     )
     # (stratum, tag, need): target ranks with the oracle's double math
     tgt = stats.select(

@@ -281,3 +281,22 @@ def test_ntile_histogram_decimal_and_degenerate(spark):
         ["id", "t"],
     )
     assert got == want
+
+
+def test_null_scores_raise_not_misrank(spark):
+    """NULL scores have no bin and their rank order is engine-specific
+    (Spark NULLS FIRST, DuckDB NULLS LAST) — both histogram operators
+    must fail loudly instead of silently picking an order (ADVICE-r06
+    NULL-discipline class)."""
+    import pytest
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
+    from dbt_ci_demo_spark.queries_olap2 import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "b", 2.0)],
+        "id bigint, g string, v double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ntile_histogram(df, 3, "v", "id", ["g"])
+    with pytest.raises(Exception, match="NULL"):
+        exact_percentiles(df, ["g"], "v", [("p50", 0.5)]).collect()
