@@ -483,8 +483,9 @@ def ntile_histogram(
     identical collapses to one bin and ranks in one task (recurse the
     histogram on the id if a real corpus ever looks like that); any
     spread restores the n_bins-fold bound. Callers should persist
-    ``df`` when its lineage is expensive — the two collects and the
-    final pass each read it."""
+    ``df`` when its lineage is expensive — it is read FOUR times: the
+    two threshold collects, plus the plain and edge branches of the
+    final union each scan it once."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     if n_bins < 2:
@@ -524,6 +525,23 @@ def ntile_histogram(
         for r in stat_rows
         if r["__n"] > 0
     }
+    # NaN guard (same reasoning as NULL, silent instead of loud): one NaN
+    # makes max() NaN, which makes the bin width NaN and every row's bin
+    # clamp to n_bins-1 — collapsing the whole stratum into ONE window
+    # task, exactly the skew this operator exists to remove. float('nan')
+    # != itself, so any-NaN always surfaces in the collected mx (or mn
+    # when all values are NaN).
+    nan_keys = [
+        k
+        for k, (_, mn, mx) in stats.items()
+        if (mn is not None and mn != mn) or (mx is not None and mx != mx)
+    ]
+    if nan_keys:
+        raise ValueError(
+            f"ntile_histogram: {score_col} contains NaNs in "
+            f"{len(nan_keys)} strata — NaN defeats equi-width binning "
+            "(the stratum collapses to one bin); filter or impute first"
+        )
     if not stats:
         return df.withColumn(tile_col, F.lit(None).cast("int"))
 
@@ -555,6 +573,10 @@ def ntile_histogram(
                 F.least(F.lit(n_bins - 1), F.floor(pos / F.lit(width))),
             )
         ).cast("int")
+
+    if n_tiles == 1:
+        # every row is tile 1 — skip the histogram job entirely
+        return df.withColumn(tile_col, F.lit(1).cast("int"))
 
     bin_expr = _chain([(key, _bin_for(key)) for key in stats])
 
@@ -599,8 +621,6 @@ def ntile_histogram(
             ]
         return F.struct(*fields)
 
-    if n_b == 0:
-        return df.withColumn(tile_col, F.lit(1).cast("int"))
     meta_expr = _chain([(key, _meta_for(key)) for key in bounds])
     tagged = df.withColumn("__bin", bin_expr).withColumn("__m", meta_expr)
 

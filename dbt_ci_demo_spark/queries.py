@@ -1149,7 +1149,7 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=True,
         tile_col="price_quartile",
     )
-    return t.select("o_orderkey", F.col("price_quartile").cast("int").alias("price_quartile"))
+    return t.select("o_orderkey", "price_quartile")
 
 
 @query(

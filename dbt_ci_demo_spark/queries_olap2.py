@@ -283,37 +283,52 @@ def exact_percentiles(
     """Exact nearest-rank percentile VALUES per stratum without a
     stratum-sized window — the bounded plan behind
     :func:`stats_exact_percentiles`, factored out so tests pin the
-    production code. Returns one row per stratum with one column per
+    production code. Returns one row per stratum (``strata_cols=[]`` =
+    one global row) with one column per
     target tag, each holding the value at rank ``ceil(frac·n)`` under
     (value, any-total-order) — value-identical to the row_number
     formulation because equal values share a bin and the answer is their
     common value (property-tested across tie regimes and bin counts)."""
     from pyspark.sql.window import Window
 
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _j(left, right, broadcast_right=True):
+        # strata join that also supports the GLOBAL (no-strata) case —
+        # PySpark's join(on=[]) raises IndexError, so the single global
+        # group joins as a 1-row cross (bounded by construction)
+        r = F.broadcast(right) if broadcast_right else right
+        return left.join(r, strata_cols) if strata_cols else left.crossJoin(r)
+
     # NULL values have no bin and would silently shift the cumulative
-    # rank space (Spark sorts NULLS FIRST, other engines LAST) — raise
-    # in-plan from the k-row stats aggregate instead (zero corpus cost;
-    # same discipline as the sketch NULL filter, ADVICE r06). assert_true
+    # rank space (Spark sorts NULLS FIRST, other engines LAST); a NaN
+    # makes max() NaN → bin width NaN → every row clamps into one bin,
+    # silently re-creating the single-task stratum sort. Raise in-plan
+    # from the k-row stats aggregate for both (zero corpus cost; same
+    # discipline as the sketch NULL filter, ADVICE r06). assert_true
     # returns NULL on success, so __n stays the plain count.
+    is_float = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
+    bad_val = F.col(value_col).isNull()
+    if is_float:
+        bad_val = bad_val | F.isnan(F.col(value_col))
     guard = F.assert_true(
-        F.col("__nnull") == 0,
+        F.col("__nbad") == 0,
         F.lit(
-            f"exact_percentiles: {value_col} contains NULLs — NULL rank "
-            "order is engine-specific; filter or impute first"
+            f"exact_percentiles: {value_col} contains NULLs or NaNs — "
+            "their rank order is engine-specific and NaN defeats "
+            "equi-width binning; filter or impute first"
         ),
     )
     stats = (
         df.groupBy(*strata_cols)
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.count(F.when(F.col(value_col).isNull(), F.lit(1))).alias(
-                "__nnull"
-            ),
+            F.count(F.when(bad_val, F.lit(1))).alias("__nbad"),
             F.min(value_col).alias("__mn"),
             F.max(value_col).alias("__mx"),
         )
         .withColumn("__n", F.when(guard.isNull(), F.col("__cnt")))
-        .drop("__cnt", "__nnull")
+        .drop("__cnt", "__nbad")
     )
     # (stratum, tag, need): target ranks with the oracle's double math
     tgt = stats.select(
@@ -333,7 +348,7 @@ def exact_percentiles(
     mnd, mxd = F.col("__mn").cast("double"), F.col("__mx").cast("double")
     vd = F.col(value_col).cast("double")
     width = (mxd - mnd) / F.lit(float(n_bins))
-    binned = df.join(F.broadcast(stats), strata_cols).withColumn(
+    binned = _j(df, stats).withColumn(
         "__bin",
         F.when(mxd == mnd, F.lit(0))
         .otherwise(
@@ -355,7 +370,7 @@ def exact_percentiles(
         "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0))
     )
     boundary = (
-        tgt.join(bins, strata_cols)
+        _j(tgt, bins, broadcast_right=False)
         .filter(F.col("__before") + F.col("__c") >= F.col("need"))
         .groupBy(*strata_cols, "tag", "need")
         .agg(
@@ -365,7 +380,7 @@ def exact_percentiles(
     )
     # pass 3: boundary-bin rows → distinct-value counts → threshold pick
     bin_vals = (
-        binned.join(F.broadcast(boundary), strata_cols)
+        _j(binned, boundary)
         .filter(F.col("__bin") == F.col("__bbin"))
         .groupBy(*strata_cols, "tag", "need", "__before_b", value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -63,7 +63,8 @@ def _plan(spark, name, sf_dir) -> str:
     kwargs = {}
     # Queries that eagerly materialize (persist + checkpoint) expose only
     # a Scan ExistingRDD; their lazy twin (materialize=False) shows the
-    # real plan — and skips executing the query during plan tests.
+    # real plan. (The twin skips the checkpoint, not all execution —
+    # ntile_histogram's two bounded threshold collects still run.)
     if "materialize" in inspect.signature(fn).parameters:
         kwargs["materialize"] = False
     df = fn(spark, sf_dir, **kwargs)

@@ -300,3 +300,36 @@ def test_null_scores_raise_not_misrank(spark):
         ntile_histogram(df, 3, "v", "id", ["g"])
     with pytest.raises(Exception, match="NULL"):
         exact_percentiles(df, ["g"], "v", [("p50", 0.5)]).collect()
+    # NaN: makes max() NaN -> bin width NaN -> the whole stratum clamps
+    # into ONE bin (a silent single-task sort) — must raise too
+    nan_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", float("nan")), (3, "b", 2.0)],
+        "id bigint, g string, v double",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        ntile_histogram(nan_df, 3, "v", "id", ["g"])
+    with pytest.raises(Exception, match="NaN"):
+        exact_percentiles(nan_df, ["g"], "v", [("p50", 0.5)]).collect()
+
+
+def test_percentiles_global_strata(spark):
+    """strata_cols=[] = ONE global stratum (PySpark join(on=[]) raises
+    IndexError, so the operator routes the k-row tables through a
+    bounded cross join) — the percentile analogue of the global ntile."""
+    from dbt_ci_demo_spark.queries_olap2 import exact_percentiles
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 10])]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy("v", "id")
+    wn = Window.partitionBy()
+    ranked = df.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.col("v"))
+    )
+    want = ranked.agg(pick(0.5).alias("p50"), pick(0.9).alias("p90")).collect()
+    got = exact_percentiles(df, [], "v", [("p50", 0.5), ("p90", 0.9)]).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
