@@ -542,6 +542,19 @@ def ntile_histogram(
             f"{len(nan_keys)} strata — NaN defeats equi-width binning "
             "(the stratum collapses to one bin); filter or impute first"
         )
+    # The literal CASE chains are linear in stratum count — the same
+    # planner-side ceiling as the Lloyd literal-centroid path (routed at
+    # k=100 there). Fail loudly instead of letting Catalyst analysis
+    # blow up on a high-cardinality strata column; a distributed
+    # formulation (the exact_percentiles shape, broadcast thresholds
+    # instead of literals) is the right tool past this point.
+    if len(stats) > 1024:
+        raise ValueError(
+            f"ntile_histogram: {len(stats)} strata — the driver-held "
+            "literal-CASE design is for bounded stratum counts (≤1024); "
+            "use a distributed broadcast-threshold formulation for "
+            "high-cardinality strata"
+        )
     if not stats:
         return df.withColumn(tile_col, F.lit(None).cast("int"))
 

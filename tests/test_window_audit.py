@@ -312,6 +312,21 @@ def test_null_scores_raise_not_misrank(spark):
         exact_percentiles(nan_df, ["g"], "v", [("p50", 0.5)]).collect()
 
 
+def test_ntile_histogram_strata_cardinality_guard(spark):
+    """>1024 strata must raise (the literal-CASE planner ceiling — the
+    Lloyd literal-centroid routing precedent), not hang Catalyst."""
+    import pytest
+    from dbt_ci_demo_spark.operators.sampling import ntile_histogram
+
+    df = spark.range(2100).select(
+        F.col("id"),
+        (F.col("id") % 1100).cast("string").alias("g"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="strata"):
+        ntile_histogram(df, 3, "v", "id", ["g"])
+
+
 def test_percentiles_global_strata(spark):
     """strata_cols=[] = ONE global stratum (PySpark join(on=[]) raises
     IndexError, so the operator routes the k-row tables through a
