@@ -109,6 +109,13 @@ HEADLINE = [
     # r07: ORC source/sink round-trip — the format family's first ratchet
     # row (partitioned write + pruned read; cost is the write).
     "src_orc_roundtrip",
+    # r07 second-pass window-skew audit: the two rank rewrites whose plan
+    # shape changed entirely (global ntile → driver-held histogram
+    # thresholds; rank-window percentiles → distributed histogram
+    # selection) get their own ratchet rows — first probes 0.87 s /
+    # 1.32 s at sf0.1.
+    "win_ntile_quartiles",
+    "stats_exact_percentiles",
 ]
 
 
