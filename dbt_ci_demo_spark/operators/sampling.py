@@ -531,16 +531,18 @@ def ntile_histogram(
     # task, exactly the skew this operator exists to remove. float('nan')
     # != itself, so any-NaN always surfaces in the collected mx (or mn
     # when all values are NaN).
-    nan_keys = [
-        k
-        for k, (_, mn, mx) in stats.items()
-        if (mn is not None and mn != mn) or (mx is not None and mx != mx)
+    def _nonfinite(x):
+        return x is not None and (x != x or x in (float("inf"), float("-inf")))
+
+    bad_keys = [
+        k for k, (_, mn, mx) in stats.items() if _nonfinite(mn) or _nonfinite(mx)
     ]
-    if nan_keys:
+    if bad_keys:
         raise ValueError(
-            f"ntile_histogram: {score_col} contains NaNs in "
-            f"{len(nan_keys)} strata — NaN defeats equi-width binning "
-            "(the stratum collapses to one bin); filter or impute first"
+            f"ntile_histogram: {score_col} contains NaN/Inf in "
+            f"{len(bad_keys)} strata — non-finite scores defeat equi-width "
+            "binning (NaN/Inf widths mis-bin the stratum); filter or "
+            "impute first"
         )
     # The literal CASE chains are linear in stratum count — the same
     # planner-side ceiling as the Lloyd literal-centroid path (routed at

@@ -310,13 +310,17 @@ def exact_percentiles(
     is_float = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
     bad_val = F.col(value_col).isNull()
     if is_float:
-        bad_val = bad_val | F.isnan(F.col(value_col))
+        bad_val = (
+            bad_val
+            | F.isnan(F.col(value_col))
+            | (F.abs(F.col(value_col)) == F.lit(float("inf")))
+        )
     guard = F.assert_true(
         F.col("__nbad") == 0,
         F.lit(
-            f"exact_percentiles: {value_col} contains NULLs or NaNs — "
-            "their rank order is engine-specific and NaN defeats "
-            "equi-width binning; filter or impute first"
+            f"exact_percentiles: {value_col} contains NULL/NaN/Inf — "
+            "NULL rank order is engine-specific and non-finite values "
+            "defeat equi-width binning; filter or impute first"
         ),
     )
     stats = (

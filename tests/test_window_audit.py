@@ -310,6 +310,15 @@ def test_null_scores_raise_not_misrank(spark):
         ntile_histogram(nan_df, 3, "v", "id", ["g"])
     with pytest.raises(Exception, match="NaN"):
         exact_percentiles(nan_df, ["g"], "v", [("p50", 0.5)]).collect()
+    # Inf: inf - s = inf -> floor(inf/inf) = NaN -> mis-binned rows
+    inf_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", float("inf")), (3, "b", 2.0)],
+        "id bigint, g string, v double",
+    )
+    with pytest.raises(ValueError, match="Inf"):
+        ntile_histogram(inf_df, 3, "v", "id", ["g"])
+    with pytest.raises(Exception, match="Inf"):
+        exact_percentiles(inf_df, ["g"], "v", [("p50", 0.5)]).collect()
 
 
 def test_ntile_histogram_strata_cardinality_guard(spark):
