@@ -37,7 +37,12 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase matched to the most recent
     at-or-before view by the same user — a backward as-of join, verified
     against DuckDB's native ASOF JOIN. Spark side is the union-window
-    formulation: one shuffle, no join."""
+    formulation: NO join operator and exactly TWO exchanges — the as-of
+    itself is one user-keyed shuffle (union + shared carry-forward
+    window), preceded by the same-instant view dedup's (user, ts)-keyed
+    rank window (rn = 1 literal, so it gets a map-side WindowGroupLimit).
+    Both window partitions are per-key bounded. Plan-pinned in
+    tests/test_plans.py::test_asof_is_join_free_two_exchanges."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

@@ -180,6 +180,19 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     assert p.count("Exchange") == 1, p
 
 
+def test_asof_is_join_free_two_exchanges(spark, sf_dir):
+    """The as-of attribution claim (SCALE.md As-of section): no Join
+    operator at all; exactly two exchanges — the union + shared
+    carry-forward window's user-keyed shuffle plus the upstream
+    same-instant view-dedup rank window on (user, ts), whose rn = 1
+    literal must plan a map-side WindowGroupLimit."""
+    p = _plan(spark, "events_asof_attribution", sf_dir)
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 2, p
+    assert p.count("Window [") == 2, p
+    assert "WindowGroupLimit" in p, p
+
+
 def test_hll_merge_is_single_scan(spark, sf_dir):
     """stats_sketch_distinct_merge claims a ONE-scan rollup plan (per-type
     rows + global row from one Expand pass, merge via a k-row window) —
