@@ -349,6 +349,10 @@ def exact_percentiles(
             )
         ).alias("t"),
     ).select(*strata_cols, "t.tag", "t.need")
+    # p = 0.0 → need = 0: the rank formulation has no rn == 0 row and
+    # yields NULL — drop the target so the pick aggregate agrees (max
+    # over no rows is NULL) instead of returning the min value
+    tgt = tgt.filter(F.col("need") >= 1)
     mnd, mxd = F.col("__mn").cast("double"), F.col("__mx").cast("double")
     vd = F.col(value_col).cast("double")
     width = (mxd - mnd) / F.lit(float(n_bins))

@@ -142,6 +142,21 @@ def _percentiles_histogram(df, n_bins=8):
     )
 
 
+def test_percentile_p_zero_is_null_like_rank_window(spark):
+    """p = 0.0 -> need = 0: the rank formulation has no rn == 0 row and
+    yields NULL; the histogram path must agree, not return the min."""
+    from dbt_ci_demo_spark.queries_olap2 import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(1, "a", 3.0), (2, "a", 1.0), (3, "a", 2.0)],
+        "id bigint, g string, v double",
+    )
+    rows = exact_percentiles(
+        df, ["g"], "v", [("p0", 0.0), ("p50", 0.5)]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["p0"] is None and rows[0]["p50"] == 2.0
+
+
 def test_percentile_histogram_equals_rank_window_randomized(spark):
     for seed in range(6):
         rng = random.Random(100 + seed)
