@@ -219,16 +219,25 @@ def volume_anomalies_from_daily(
     # already-wrapped long to decimal downstream would launder the wrap.
     # Every square below is decimal(38,0) end-to-end.
     cnt_dec = F.col("cnt").cast("decimal(38,0)")
-    # Overflow discipline (ADVICE r06, reworked r07 for ANSI): under ANSI
-    # mode plain decimal overflow RAISES (killing the whole monitoring
-    # job for one extreme day) and under legacy mode it NULLs (a silent
-    # non-flag once downstream filters on is_anomaly). Every step that
-    # can exceed decimal(38,0) therefore uses try_* arithmetic — NULL on
-    # overflow in BOTH modes — and the final decision coalesces NULL to
-    # an explicit TRUE: overflow means exactly the magnitudes this check
-    # exists to catch, so the day surfaces as anomalous, never as null,
-    # never as a crashed job. cnt² itself always fits (long² < 10^38);
-    # only the window sums and cross products can overflow.
+    # Overflow discipline (ADVICE r06, reworked r07 for ANSI, refined r08
+    # per ADVICE r07): under ANSI mode plain decimal overflow RAISES
+    # (killing the whole monitoring job for one extreme day) and under
+    # legacy mode it NULLs (a silent non-flag once downstream filters on
+    # is_anomaly). Every step that can exceed decimal(38,0) therefore
+    # uses try_* arithmetic — NULL on overflow in BOTH modes. The r07
+    # decision coalesced any overflow straight to TRUE, which
+    # blanket-flagged every day of an extreme-scale window (the rhs
+    # product pct²·var_num·n overflows from window-WIDE variance, not the
+    # flagged day's own deviation). r08: when the exact comparison
+    # overflows, the decision falls back to the SAME inequality in
+    # doubles, computed from the decimal window sums — dev (≤ n·long) and
+    # Σx (≤ n·long) never overflow decimal(38,0), and Σx² only does past
+    # ~3.9·10^18 rows/day, so the fallback inputs are exact to 1 ulp and
+    # the double decision is correct unless the day sits within ~10⁻¹⁵
+    # relative of the threshold. Only if even the fallback is NULL
+    # (Σx² itself overflowed — beyond long-count realism) does the flag
+    # coalesce to a conservative TRUE. is_anomaly is NEVER NULL and never
+    # a crashed job. cnt² itself always fits (long² < 10^38).
     s_dec = F.try_sum(cnt_dec).over(w)
     sq = F.try_sum(cnt_dec * cnt_dec).over(w)
     # var_num = n·Σx² − (Σx)²  (variance numerator; var = var_num/(n(n-1)))
@@ -246,9 +255,18 @@ def volume_anomalies_from_daily(
     rhs = F.try_multiply(
         F.try_multiply(F.lit(threshold_pct * threshold_pct), var_num), n
     )
+    # double fallback (ADVICE r07): same inequality from the exact decimal
+    # window sums cast to double — engaged only when the exact decimal
+    # products overflowed (~10^15+ rows/day at the default window)
+    dev_d = dev_dec.cast("double")
+    sq_d = sq.cast("double")
+    s_d = s_dec.cast("double")
+    var_num_d = n * sq_d - s_d * s_d
+    lhs_d = dev_d * dev_d * F.lit(10000.0) * (n - 1)
+    rhs_d = F.lit(float(threshold_pct * threshold_pct)) * var_num_d * n
     flag = F.when(
         n >= 2,
-        F.coalesce(lhs > rhs, F.lit(True)),
+        F.coalesce(lhs > rhs, lhs_d > rhs_d, F.lit(True)),
     ).otherwise(F.lit(False))
     return daily.select(
         "d",

@@ -284,6 +284,26 @@ def stratified_sample_by_quota(
         raise ValueError("max_quota must be >= 1 when given")
     order = [_key_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()]
     w = Window.partitionBy(*strata_cols).orderBy(*order)
+    if max_quota is not None:
+        # In-plan guard (ADVICE r07): the literal cap is only sound if it
+        # bounds EVERY quota — a too-small bound would silently truncate
+        # strata below their quota. assert_true on the tiny quota table
+        # (returns NULL on success) makes a wrong bound fail loudly at
+        # near-zero cost instead of under-sampling.
+        guard = F.assert_true(
+            F.col("quota") <= F.lit(max_quota),
+            F.concat(
+                F.lit("stratified_sample_by_quota: quota "),
+                F.col("quota").cast("string"),
+                F.lit(
+                    f" exceeds max_quota={max_quota} — the skew-cap literal"
+                    " must upper-bound every stratum quota"
+                ),
+            ),
+        )
+        quotas = quotas.withColumn(
+            "quota", F.when(guard.isNull(), F.col("quota"))
+        )
     ranked = df.join(F.broadcast(quotas), on=strata_cols).withColumn(
         "__rk", F.row_number().over(w)
     )
@@ -445,6 +465,7 @@ def ntile_histogram(
     n_bins: int = 1024,
     ascending: bool = True,
     tile_col: str = "__tile",
+    heavy_bin_rows: int = 1 << 21,
 ) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (PARTITION BY strata ORDER BY score
     [ASC|DESC], id)`` WITHOUT a stratum-sized (or, unpartitioned, a
@@ -479,13 +500,34 @@ def ntile_histogram(
        ties included (equal scores always share a bin, so the id
        tie-break happens entirely inside the bounded window).
 
-    Degenerate-distribution caveat: a stratum whose scores are ALL
-    identical collapses to one bin and ranks in one task (recurse the
-    histogram on the id if a real corpus ever looks like that); any
-    spread restores the n_bins-fold bound. Callers should persist
-    ``df`` when its lineage is expensive — it is read FOUR times: the
-    two threshold collects, plus the plain and edge branches of the
-    final union each scan it once."""
+    Degenerate-distribution remedy (r08, VERDICT r07 #3): a stratum whose
+    scores are ALL identical collapses to one bin — and more generally a
+    boundary bin can hold an outsized score mode (a constant-score
+    language after an upstream scoring bug) — silently re-creating the
+    single-task sort this operator exists to remove. Any boundary bin the
+    collected histogram shows holding ≥ ``heavy_bin_rows`` rows is
+    therefore routed around the window entirely, through an EXACT
+    distributed rank: range-repartition the heavy rows on the full
+    ordering key (group, score, id) — unique ids split even an all-tied
+    score run across tasks — then in-partition consecutive ids
+    (``monotonically_increasing_id`` after ``sortWithinPartitions``) plus
+    a driver-computed per-(partition, group) offset table, broadcast back,
+    reproduce the global row_number bit-for-bit (property-tested against
+    ntile). The heavy branch eagerly ``localCheckpoint``s its (small,
+    boundary-bin-only) input so the offset collect and the final pass see
+    the same partitioning even for non-deterministic upstream lineage.
+    Healthy distributions never trigger it and keep the exact prior plan.
+
+    Robustness contract (ADVICE r07): the scan-time bin CASE raises
+    (``raise_error``) on a stratum absent from the collected stats, and
+    the two collects cross-check their key sets — a non-deterministic
+    input (changing sample/source between jobs) fails LOUDLY instead of
+    silently dropping rows from both union branches. Driver memory: the
+    histogram collect is ≤ strata·n_bins rows (≤ ~1M tuples at the
+    1024×1024 ceilings — tens of MB; lower ``n_bins`` if the driver is
+    smaller). Callers should persist ``df`` when its lineage is
+    expensive — it is read FOUR times: the two threshold collects, plus
+    the plain and edge branches of the final union each scan it once."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     if n_bins < 2:
@@ -554,8 +596,8 @@ def ntile_histogram(
         raise ValueError(
             f"ntile_histogram: {len(stats)} strata — the driver-held "
             "literal-CASE design is for bounded stratum counts (≤1024); "
-            "use a distributed broadcast-threshold formulation for "
-            "high-cardinality strata"
+            "use ntile_threshold (the distributed broadcast-threshold "
+            "twin) for high-cardinality strata"
         )
     if not stats:
         return df.withColumn(tile_col, F.lit(None).cast("int"))
@@ -567,14 +609,14 @@ def ntile_histogram(
             cond = eq if cond is None else cond & eq
         return cond
 
-    def _chain(items):
+    def _chain(items, otherwise=None):
         # items: [(key, Column)]; a single global stratum needs no CASE
         if len(items) == 1 and items[0][0] == ():
             return items[0][1]
         e = None
         for key, col in items:
             e = F.when(_match(key), col) if e is None else e.when(_match(key), col)
-        return e
+        return e if otherwise is None else e.otherwise(otherwise)
 
     def _bin_for(key):
         _, mn, mx = stats[key]
@@ -593,7 +635,20 @@ def ntile_histogram(
         # every row is tile 1 — skip the histogram job entirely
         return df.withColumn(tile_col, F.lit(1).cast("int"))
 
-    bin_expr = _chain([(key, _bin_for(key)) for key in stats])
+    # Scan-time loud guard (ADVICE r07): a row whose stratum was absent
+    # from the collected stats means the input changed between jobs — it
+    # would otherwise get a NULL bin/meta and vanish from BOTH union
+    # branches. raise_error costs one never-taken CASE branch per row.
+    bin_expr = _chain(
+        [(key, _bin_for(key)) for key in stats],
+        otherwise=F.raise_error(
+            F.lit(
+                "ntile_histogram: row stratum not in the collected stats — "
+                "the input is non-deterministic across jobs; persist its "
+                "lineage before tiling"
+            )
+        ).cast("int"),
+    )
 
     hist = (
         df.select(*strata, bin_expr.alias("__bin"))
@@ -605,6 +660,15 @@ def ntile_histogram(
     for r in hist:
         per_stratum.setdefault(tuple(r[c] for c in strata), []).append(
             (r["__bin"], r["__c"])
+        )
+    # Cross-check the two collects' key sets: drift here is the same
+    # non-deterministic-input failure, caught driver-side for free.
+    if set(per_stratum) != set(stats):
+        drift = set(per_stratum) ^ set(stats)
+        raise ValueError(
+            "ntile_histogram: stratum key sets differ between the stats "
+            f"and histogram collects ({len(drift)} drifted) — the input "
+            "is non-deterministic across jobs; persist it before tiling"
         )
     bounds: dict[tuple, list[tuple[int, int, int]]] = {}
     for key, bin_counts in per_stratum.items():
@@ -663,6 +727,34 @@ def ntile_histogram(
         .cast("int")
         .alias(tile_col),
     )
+
+    # Heavy boundary bins (VERDICT r07 #3): the histogram counts are
+    # exact, so the routing decision is driver-side. A boundary bin at or
+    # above ``heavy_bin_rows`` (an all-tied stratum collapses to one bin;
+    # a score mode can dominate any bin) would make the bounded window
+    # below a single data-sized task — those (stratum, bin) groups go
+    # through the exact distributed rank instead.
+    cnt = {(key, bn): c for key, bcs in per_stratum.items() for bn, c in bcs}
+    heavy_groups: list[tuple[tuple, int]] = sorted(
+        {
+            (key, bb)
+            for key, vals in bounds.items()
+            for (bb, _bef, _b) in vals
+            if cnt.get((key, bb), 0) >= heavy_bin_rows
+        },
+        key=repr,
+    )
+
+    def _heavy_cond(key, bb):
+        c = F.col("__bin") == F.lit(bb)
+        mk = _match(key)
+        return c if mk is None else mk & c
+
+    is_heavy = None
+    for key, bb in heavy_groups:
+        c = _heavy_cond(key, bb)
+        is_heavy = c if is_heavy is None else is_heavy | c
+
     order = s.asc() if ascending else s.desc()
     wb = Window.partitionBy(*strata, "__bin").orderBy(order, F.col(id_col).asc())
     bef = None
@@ -673,12 +765,262 @@ def ntile_histogram(
             else bef.when(F.col("__bin") == m(f"bb{i}"), m(f"bef{i}"))
         )
     g = bef + F.col("__rk")
+    edge_filter = is_boundary if is_heavy is None else (is_boundary & ~is_heavy)
     edge = (
-        tagged.filter(is_boundary)
+        tagged.filter(edge_filter)
         .withColumn("__rk", F.row_number().over(wb))
         .select(
             *df.columns,
             _tile_case(lambda i, _g=g: _g <= m(f"b{i}")).cast("int").alias(tile_col),
+        )
+    )
+    result = plain.unionByName(edge)
+    if heavy_groups:
+        # Exact distributed rank over the heavy groups, preserving the
+        # (score, id) tie-break bit-for-bit: range-repartition on the
+        # full ordering key (gid, score, id) — unique ids split even an
+        # all-tied score run across tasks — then consecutive in-partition
+        # ids + a driver-computed per-(partition, group) offset table
+        # reproduce the global row_number. The eager localCheckpoint pins
+        # one partitioning for both the offset collect and the final
+        # pass (and truncates any non-deterministic upstream lineage).
+        gid_expr = None
+        for gid, (key, bb) in enumerate(heavy_groups):
+            c = _heavy_cond(key, bb)
+            gid_expr = (
+                F.when(c, F.lit(gid)) if gid_expr is None else gid_expr.when(c, F.lit(gid))
+            )
+        spark = df.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        hv = tagged.filter(is_boundary & is_heavy).withColumn(
+            "__gid", gid_expr.cast("int")
+        )
+        okey = [F.col("__gid").asc(), order, F.col(id_col).asc()]
+        ranked0 = (
+            hv.repartitionByRange(n_part, *okey)
+            .sortWithinPartitions(*okey)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        pstats = (
+            ranked0.groupBy(F.shiftright("__mid", 33).alias("__pid"), "__gid")
+            .agg(F.count(F.lit(1)).alias("__c"), F.min("__mid").alias("__mn"))
+            .collect()
+        )
+        by_gid: dict[int, list[tuple[int, int, int]]] = {}
+        for r in pstats:
+            by_gid.setdefault(r["__gid"], []).append((r["__pid"], r["__c"], r["__mn"]))
+        lk_rows = []
+        for gid, parts in by_gid.items():
+            group_before = 0
+            for pid, c, mn in sorted(parts):
+                # in-group rank of a row = group_before + (mid − mn) + 1;
+                # mids are consecutive per (partition, group) because the
+                # sort made each group contiguous within its partition
+                lk_rows.append((pid, gid, group_before - mn + 1))
+                group_before += c
+        lk = spark.createDataFrame(lk_rows, "__pid bigint, __gid int, __base bigint")
+        heavy_edge = (
+            ranked0.withColumn("__pid", F.shiftright("__mid", 33))
+            .join(F.broadcast(lk), ["__pid", "__gid"])
+            .withColumn("__rk", F.col("__mid") + F.col("__base"))
+            .select(
+                *df.columns,
+                _tile_case(lambda i, _g=g: _g <= m(f"b{i}"))
+                .cast("int")
+                .alias(tile_col),
+            )
+        )
+        result = result.unionByName(heavy_edge)
+    return result
+
+
+def ntile_threshold(
+    df: DataFrame,
+    n_tiles: int,
+    score_col: str,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+    n_bins: int = 1024,
+    ascending: bool = True,
+    tile_col: str = "__tile",
+    heavy_bin_rows: int = 1 << 21,
+) -> DataFrame:
+    """Exact ntile WITHOUT stratum-sized windows for UNBOUNDED strata
+    cardinality — the distributed broadcast-threshold twin of
+    :func:`ntile_histogram` (which holds per-stratum thresholds on the
+    driver as literal CASE chains and is therefore capped at 1024
+    strata; its ceiling guard names this operator as the tool past that
+    point). Same contract: ``df`` plus an integer ``tile_col`` in
+    [1, n_tiles], decision-identical to
+    ``ntile(n_tiles) OVER (PARTITION BY strata ORDER BY score, id)``
+    (property-tested across tie regimes, >1024-cardinality strata, tiny
+    strata, and both orderings).
+
+    Design — the exact_percentiles shape (broadcast thresholds instead
+    of driver literals; ZERO driver collects, fully declarative):
+    1. per-stratum (n, min, max) aggregate — strata-count rows,
+       broadcast back; NULL/NaN/Inf scores raise IN-PLAN from this k-row
+       table (assert_true — zero corpus cost), because NULL rank order
+       is engine-specific and non-finite values defeat equi-width
+       binning. Strata keys join null-safely via one struct column
+       (NULL = NULL, like GROUP BY).
+    2. per-(stratum, score-bin) histogram over ``n_bins`` equi-width
+       bins; a running sum over each stratum's ≤n_bins-row bin table
+       (window bounded by the literal bin count) locates the BOUNDARY
+       bin of every SQL-standard tile rank ``b_i = i·(n div t) +
+       min(i, n mod t)``, derived in-plan from the same aggregate.
+    3. boundary structs collect to one array per stratum (n_tiles−1
+       entries) and broadcast-join back: rows outside boundary bins
+       compute ``tile = 1 + |{i: bb_i < bin}|`` from the array — a pure
+       scan-side expression — and only boundary-bin rows
+       (~stratum/n_bins) are ranked in a (stratum, bin)-partitioned
+       bounded window, where ``tile = 1 + |{i: b_i < g}|`` with the
+       global rank ``g = bef + in-bin row_number`` reproduces ntile
+       exactly, ties included (equal scores share a bin).
+
+    Degenerate-distribution posture: a boundary bin holding ≥
+    ``heavy_bin_rows`` rows (an all-tied stratum collapses to one bin)
+    raises LOUDLY in-plan from the boundary table — this operator's
+    declarative no-collect design cannot driver-route such bins; use
+    :func:`ntile_histogram` (whose collected histogram routes heavy bins
+    through an exact distributed rank) when a score mode can dominate.
+    The two operators are each other's fallback, and the guards on both
+    sides name the other."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from pyspark.sql.types import DoubleType, FloatType
+
+    strata = list(strata_cols) if strata_cols else []
+    s = F.col(score_col)
+    sk = F.struct(*[F.col(c) for c in strata]) if strata else F.lit(0)
+    base = df.withColumn("__sk", sk)
+    if n_tiles == 1:
+        return df.withColumn(tile_col, F.lit(1).cast("int"))
+
+    is_float = isinstance(df.schema[score_col].dataType, (DoubleType, FloatType))
+    bad = s.isNull()
+    if is_float:
+        bad = bad | F.isnan(s) | (F.abs(s) == F.lit(float("inf")))
+    guard = F.assert_true(
+        F.col("__nbad") == 0,
+        F.lit(
+            f"ntile_threshold: {score_col} contains NULL/NaN/Inf — NULL "
+            "rank order is engine-specific and non-finite values defeat "
+            "equi-width binning; filter or impute first"
+        ),
+    )
+    stats = (
+        base.groupBy("__sk")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.count(F.when(bad, F.lit(1))).alias("__nbad"),
+            F.min(s).cast("double").alias("__mn"),
+            F.max(s).cast("double").alias("__mx"),
+        )
+        .withColumn("__n", F.when(guard.isNull(), F.col("__cnt")))
+        .select("__sk", "__n", "__mn", "__mx")
+    )
+    # bin in rank order (ascending scores, or descending per the flag);
+    # the SAME expression feeds the histogram and the final pass — both
+    # read it from this joined plan, so binning is consistent by
+    # construction
+    pos = (s.cast("double") - F.col("__mn")) if ascending else (
+        F.col("__mx") - s.cast("double")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    bin_c = (
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), F.floor(pos / width)))
+        )
+        .cast("int")
+    )
+    binned = base.join(F.broadcast(stats), "__sk").withColumn("__bin", bin_c)
+
+    hist = binned.groupBy("__sk", "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy("__sk")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = hist.withColumn("__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0)))
+
+    # SQL-standard tile boundary ranks, derived in-plan from n
+    tgt = (
+        stats.select(
+            "__sk",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(n_tiles - 1))).alias("__i"),
+        )
+        .withColumn(
+            "__b",
+            F.col("__i") * F.expr(f"__n div {n_tiles}")
+            + F.least(F.col("__i"), F.col("__n") % n_tiles),
+        )
+        .select("__sk", "__i", "__b")
+    )
+    bq = bins.join(F.broadcast(tgt), "__sk")
+    # heavy-bin guard: the declarative design has no driver histogram to
+    # route around an outsized boundary bin — raise in-plan from this
+    # k·(n_tiles−1)-row table instead of silently single-tasking it
+    hguard = F.assert_true(
+        F.col("__bc") < F.lit(heavy_bin_rows),
+        F.lit(
+            f"ntile_threshold: a boundary bin holds >= {heavy_bin_rows} "
+            "rows (all-tied or heavily-moded scores) — this would rank a "
+            "data-sized window partition; use ntile_histogram, whose "
+            "collected histogram routes heavy bins through an exact "
+            "distributed rank"
+        ),
+    )
+    bsel = (
+        bq.filter(F.col("__before") + F.col("__c") >= F.col("__b"))
+        .groupBy("__sk", "__i", "__b")
+        .agg(
+            F.min("__bin").alias("__bb"),
+            F.min_by("__before", "__bin").alias("__bef"),
+            F.min_by("__c", "__bin").alias("__bc"),
+        )
+        .withColumn("__bb", F.when(hguard.isNull(), F.col("__bb")))
+    )
+    bounds = bsel.groupBy("__sk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__i").alias("i"),
+                    F.col("__bb").alias("bb"),
+                    F.col("__bef").alias("bef"),
+                    F.col("__b").alias("b"),
+                )
+            )
+        ).alias("__bnds")
+    )
+
+    t = binned.join(F.broadcast(bounds), "__sk")
+    isb = F.exists("__bnds", lambda x: x["bb"] == F.col("__bin"))
+    plain = t.filter(~isb).select(
+        *df.columns,
+        (
+            F.lit(1) + F.size(F.filter("__bnds", lambda x: x["bb"] < F.col("__bin")))
+        )
+        .cast("int")
+        .alias(tile_col),
+    )
+    order = s.asc() if ascending else s.desc()
+    wb = Window.partitionBy("__sk", "__bin").orderBy(order, F.col(id_col).asc())
+    bef = F.filter("__bnds", lambda x: x["bb"] == F.col("__bin"))[0]["bef"]
+    edge = (
+        t.filter(isb)
+        .withColumn("__rk", F.row_number().over(wb))
+        .withColumn("__g", bef + F.col("__rk"))
+        .select(
+            *df.columns,
+            (F.lit(1) + F.size(F.filter("__bnds", lambda x: x["b"] < F.col("__g"))))
+            .cast("int")
+            .alias(tile_col),
         )
     )
     return plain.unionByName(edge)

@@ -1153,6 +1153,46 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_ntile_highcard",
+    oracle="""
+    SELECT o_orderkey, o_orderkey % 1300 AS bucket_key,
+           ntile(4) OVER (PARTITION BY o_orderkey % 1300
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def win_ntile_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum ntile(4) over a HIGH-CARDINALITY stratum domain (1300
+    hash-bucket strata — deliberately past ntile_histogram's 1024-strata
+    literal-CASE ceiling, whose guard names this path). The engine
+    computes it with :func:`operators.sampling.ntile_threshold` — the
+    fully-declarative broadcast-threshold formulation (r08, VERDICT r07
+    task 5a): per-stratum stats and tile-boundary structs stay
+    DataFrames broadcast back onto the corpus (zero driver collects, no
+    literal chains), rows outside boundary bins tile via a scan-side
+    array expression, and only boundary-bin rows (~stratum/1024) rank in
+    a (stratum, bin)-bounded window. At 100 TB this is the ntile path
+    for per-domain / per-url-host strata where the stratum count is
+    data-sized."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_threshold
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket_key", F.col("o_orderkey") % 1300)
+    )
+    t = ntile_threshold(
+        o,
+        4,
+        "o_totalprice",
+        "o_orderkey",
+        ["bucket_key"],
+        tile_col="price_quartile",
+    )
+    return t.select("o_orderkey", "bucket_key", "price_quartile")
+
+
+@query(
     "dedup_latest_per_user",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM (
@@ -1628,6 +1668,8 @@ _PRIORITY: list[str] = [
     "incr_merge_append",
     "events_asof_tolerance",
     "q5_local_supplier_volume",
+    # -- r08 registrations (head of the r09 slate; never driver-checked) --
+    "win_ntile_highcard",
 ]
 
 

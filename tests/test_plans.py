@@ -159,7 +159,9 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     assert "row_number" not in p, p
     assert p.count("Window [") == 2, p
     p = _plan(spark, "text_ccnet_buckets", sf_dir)
-    assert "ntile" not in p, p
+    # "ntile(" = the window function call; the bare word appears in the
+    # operator's own raise_error guard message (r08)
+    assert "ntile(" not in p, p
     # Exactly ONE window in the whole bucket plan: the boundary-bin edge
     # rank, partitioned by (lang, __bin) — bounded by ~stratum/n_bins.
     # The thresholds are driver-held literals (Lloyd precedent), so the
@@ -172,7 +174,9 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     # driver-held thresholds mean ZERO joins and exactly ONE exchange
     # (the boundary-bin edge window) in the whole corpus pass.
     p = _plan(spark, "win_ntile_quartiles", sf_dir)
-    assert "ntile" not in p, p
+    # "ntile(" = the window function call; the bare word appears in the
+    # operator's own raise_error guard message (r08)
+    assert "ntile(" not in p, p
     wlines = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wlines) == 1, p
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p

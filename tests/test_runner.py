@@ -690,30 +690,55 @@ def test_volume_anomaly_decision_exact_at_billions_per_day(spark):
     assert out[base + datetime.timedelta(days=9)].is_anomaly
 
 
-def test_volume_anomaly_overflow_flags_instead_of_null(spark):
-    """r07 (ADVICE r06): past the decimal(38,0) envelope the comparison
-    products overflow to NULL — and a NULL is_anomaly is a silent
-    non-flag once downstream filters on it. The decision must coalesce
-    overflow to an explicit TRUE: is_anomaly is NEVER NULL, and the
-    extreme-scale day surfaces as flagged. Fixture: ~10^16 rows/day with
-    huge jitter so dev² · 10^4 · (n−1) exceeds 10^38."""
+def test_volume_anomaly_overflow_decides_not_blankets(spark):
+    """r08 (ADVICE r07): past the decimal(38,0) envelope the exact
+    comparison products overflow to NULL. r07 coalesced that straight to
+    TRUE — which blanket-flagged every day of an extreme-scale window,
+    because the rhs product overflows from window-WIDE variance, not the
+    flagged day's own deviation. The refined decision falls back to the
+    same inequality in doubles (from the exact decimal window sums):
+    is_anomaly is still NEVER NULL, but an overflow-scale day now gets
+    the CORRECT decision, matching exact Python-int arithmetic."""
     import datetime
 
     from dbt_ci_demo_spark.operators import quality as dq
 
     base = datetime.date(2024, 1, 1)
+    # window A: ~10^16 with huge jitter — the r07 false positive: day 4
+    # deviates 4.5e16 against a 4.6e16 trailing std (NOT anomalous), but
+    # its lhs product overflows decimal(38,0)
     counts = [10_000_000_000_000_000, 90_000_000_000_000_000,
               10_000_000_000_000_000, 90_000_000_000_000_000,
-              95_000_000_000_000_000]
+              95_000_000_000_000_000,
+              # window B: tight ~5e16 run then a genuine 8x spike — the
+              # overflow-scale true positive
+              50_000_000_000_000_000, 50_000_001_000_000_000,
+              49_999_999_000_000_000, 400_000_000_000_000_000]
     daily = spark.createDataFrame(
         [(base + datetime.timedelta(days=i), c) for i, c in enumerate(counts)],
         "d date, cnt long",
     )
-    rows = dq.volume_anomalies_from_daily(daily, window=7).collect()
+    rows = dq.volume_anomalies_from_daily(daily, window=4).collect()
     flags = {r.d: r.is_anomaly for r in rows}
     assert all(v is not None for v in flags.values()), flags
-    # the overflow days (n_trailing >= 2) flag loud, never null
-    assert flags[base + datetime.timedelta(days=4)] is True
+
+    def exact_flag(i, window=4, pct=200):
+        trail = counts[max(0, i - window):i]
+        n = len(trail)
+        if n < 2:
+            return False
+        s, sq = sum(trail), sum(c * c for c in trail)
+        var_num = n * sq - s * s
+        dev = counts[i] * n - s
+        return dev * dev * 10_000 * (n - 1) > pct * pct * var_num * n
+
+    for i in range(len(counts)):
+        day = base + datetime.timedelta(days=i)
+        assert bool(flags[day]) == exact_flag(i), (i, flags[day])
+    # and the two headline decisions, stated explicitly: the r07
+    # blanket-TRUE day is now correctly quiet, the genuine spike flags
+    assert not flags[base + datetime.timedelta(days=4)]
+    assert flags[base + datetime.timedelta(days=8)]
 
 
 def test_compact_layout_right_sizes(spark, sf_dir, tmp_path):
