@@ -41,6 +41,24 @@ def _key_hash(key: Column, seed: str) -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
 
 
+def _pin_small(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL stratum-level table once (lazy local
+    checkpoint) so every downstream reference reads the same computed
+    RDD instead of re-deriving the table's corpus lineage. Without this,
+    an operator that references a corpus-derived k-row table (quotas,
+    boundary bins, per-stratum stats) from several union branches
+    re-expands the whole derivation per reference — the r08 audit of the
+    quota-threshold sampler found the un-pinned level-2 plan held 244
+    parquet scans of a 60k-row corpus (exchange reuse recovered only a
+    fraction), i.e. exponential corpus passes in recursion depth. The
+    checkpoint is LAZY: no extra driver-blocking job; the k rows
+    materialize inside the first action and are reused by the rest.
+    Local checkpoints live in executor storage — the standard
+    caveat (executor loss forces recompute) is irrelevant for k-row
+    tables, which recompute in milliseconds."""
+    return df.localCheckpoint(eager=False)
+
+
 def hash_bucket(key: Column, seed: str = "", buckets: int = BUCKETS) -> Column:
     """Deterministic uniform bucket in [0, buckets) for a stable key."""
     return _key_hash(key, seed) % buckets
@@ -319,6 +337,7 @@ def stratified_sample_by_quota_threshold(
     quotas: DataFrame,
     seed: str = "strat",
     n_hist_buckets: int = 1024,
+    n_levels: int = 1,
 ) -> DataFrame:
     """Window-free quota enforcement — the VERDICT r06 stretch path for
     budgets too large for a useful ``max_quota`` literal: selects exactly
@@ -339,68 +358,119 @@ def stratified_sample_by_quota_threshold(
        sampling rate that is ~99.9% of kept rows deciding with NO
        shuffle); only rows INSIDE each boundary bin are ranked, and that
        window's partitions hold ~stratum/n_hist_buckets rows — a
-       1024-fold reduce-side bound without any literal cap (deeper
-       bounds = recurse the histogram; one level is the right trade
-       here). The boundary rank still pre-filters to the bin before the
-       window, so the exchange carries bin rows only.
+       1024-fold reduce-side bound without any literal cap. The boundary
+       rank still pre-filters to the bin before the window, so the
+       exchange carries bin rows only.
+
+    ``n_levels`` RECURSES the histogram (r08, VERDICT r07 task 5b —
+    exercising the same one-more-histogram-level machinery as the
+    heavy-bin routing in :func:`ntile_histogram`): each extra level
+    re-bins ONLY the boundary-bin slice (~stratum/buckets rows) on the
+    hash range inside that bin and repeats the threshold selection with
+    the level's ``remaining`` as its quota, multiplying the reduce-side
+    bound by another factor of ``n_hist_buckets`` — two levels bound the
+    final rank window by ~stratum/1024² (a 10¹²-row stratum ranks ≤ ~10⁶
+    rows per partition). Each level's histogram re-SCANS the corpus to
+    isolate its slice (the bin filter is compute-cheap but the I/O is
+    real), so persist the input when using multiple levels at scale;
+    level 1 is the right default until single-bin slices outgrow a
+    reduce task (~10⁹-row strata).
 
     Decision-identical to the rank formulation because the md5 hash key
     is a total order with the key tie-break: bucket = hash div width, so
-    (bucket, hash, key) sorts identically to (hash, key). Exactness is
-    oracle-checked (``samp_quota_threshold``); equality with the window
-    sampler is property-tested."""
+    (bucket, hash, key) sorts identically to (hash, key) — and the
+    level-ℓ local hash is the (exact, integral) remainder of the level
+    ℓ−1 bin, preserving the order inside each slice. Exactness is
+    oracle-checked (``samp_quota_threshold``, level 1;
+    ``samp_quota_threshold2``, level 2); equality with the window
+    sampler is property-tested at both depths."""
     if n_hist_buckets < 2:
         raise ValueError("n_hist_buckets must be >= 2")
-    width = (_HASH_SPACE + n_hist_buckets - 1) // n_hist_buckets
+    if n_levels < 1:
+        raise ValueError("n_levels must be >= 1")
     h = _key_hash(F.col(key_col), seed)
-    tagged = (
+    # pin the k-row quota table: it is referenced by the corpus join AND
+    # by every level's bin-table join — un-pinned, each reference
+    # re-derives its (often corpus-sized) lineage (see _pin_small)
+    quotas = _pin_small(quotas)
+    # __lh = the level-local hash: the full hash at level 1, then the
+    # remainder within the chosen boundary bin at each deeper level
+    work = (
         df.join(F.broadcast(quotas), on=strata_cols)
         .withColumn("__h", h)
+        .withColumn("__lh", F.col("__h"))
+    )
+    q_tbl = quotas
+    space = _HASH_SPACE
+    kept: list[DataFrame] = []
+    drop_cols = ["__h", "__lh", "__bin", "__bbin", "__remaining"]
+    for level in range(n_levels):
         # integral `div`, not double-divide-then-cast: same exactness
         # discipline as compact_layout's file count (ADVICE r06)
-        .withColumn("__bin", F.expr(f"__h div {width}"))
-    )
-    hist = tagged.groupBy(*strata_cols, "__bin").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    wcum = (
-        Window.partitionBy(*strata_cols)
-        .orderBy("__bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bins = hist.withColumn("__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0)))
-    # boundary = first bin where cumulative count reaches the quota;
-    # join quotas onto the k·buckets table (broadcast — it is tiny)
-    bq = bins.join(F.broadcast(quotas), on=strata_cols)
-    boundary = (
-        bq.filter(F.col("__before") + F.col("__c") >= F.col("quota"))
-        .groupBy(*strata_cols)
-        .agg(
-            F.min("__bin").alias("__bbin"),
+        width = (space + n_hist_buckets - 1) // n_hist_buckets
+        w_df = work.withColumn("__bin", F.expr(f"__lh div {width}"))
+        hist = w_df.groupBy(*strata_cols, "__bin").agg(
+            F.count(F.lit(1)).alias("__c")
         )
-        .join(bq, [*strata_cols])
-        .filter(F.col("__bin") == F.col("__bbin"))
-        .select(
-            *strata_cols,
-            "__bbin",
-            (F.col("quota") - F.col("__before")).alias("__remaining"),
+        wcum = (
+            Window.partitionBy(*strata_cols)
+            .orderBy("__bin")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-    )
-    joined = tagged.join(F.broadcast(boundary), on=strata_cols, how="left")
-    below = joined.filter(
-        F.col("__bbin").isNull() | (F.col("__bin") < F.col("__bbin"))
-    )
-    wb = Window.partitionBy(*strata_cols).orderBy(
-        F.col("__h").asc(), F.col(key_col).asc()
-    )
-    at_boundary = (
-        joined.filter(F.col("__bin") == F.col("__bbin"))
-        .withColumn("__rk", F.row_number().over(wb))
-        .filter(F.col("__rk") <= F.col("__remaining"))
-        .drop("__rk")
-    )
-    drop_cols = ["__h", "__bin", "__bbin", "__remaining"]
-    return below.drop(*drop_cols).unionByName(at_boundary.drop(*drop_cols))
+        bins = hist.withColumn(
+            "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0))
+        )
+        # boundary = first bin where cumulative count reaches the quota;
+        # join quotas onto the k·buckets table (broadcast — it is tiny)
+        bq = bins.join(F.broadcast(q_tbl), on=strata_cols)
+        # boundary is k rows but its lineage holds a corpus aggregate —
+        # pin it, or the below/slice branches (and every deeper level)
+        # re-expand that aggregate per reference
+        boundary = _pin_small(
+            bq.filter(F.col("__before") + F.col("__c") >= F.col("quota"))
+            .groupBy(*strata_cols)
+            .agg(
+                F.min("__bin").alias("__bbin"),
+            )
+            .join(bq, [*strata_cols])
+            .filter(F.col("__bin") == F.col("__bbin"))
+            .select(
+                *strata_cols,
+                "__bbin",
+                (F.col("quota") - F.col("__before")).alias("__remaining"),
+            )
+        )
+        joined = w_df.join(F.broadcast(boundary), on=strata_cols, how="left")
+        kept.append(
+            joined.filter(
+                F.col("__bbin").isNull() | (F.col("__bin") < F.col("__bbin"))
+            ).drop(*drop_cols)
+        )
+        slice_df = joined.filter(F.col("__bin") == F.col("__bbin"))
+        if level < n_levels - 1:
+            work = (
+                slice_df.withColumn(
+                    "__lh", F.col("__lh") - F.col("__bbin") * F.lit(width)
+                )
+                .drop("__bin", "__bbin", "__remaining")
+            )
+            q_tbl = boundary.select(
+                *strata_cols, F.col("__remaining").alias("quota")
+            )
+            space = width
+        else:
+            wb = Window.partitionBy(*strata_cols).orderBy(
+                F.col("__h").asc(), F.col(key_col).asc()
+            )
+            kept.append(
+                slice_df.withColumn("__rk", F.row_number().over(wb))
+                .filter(F.col("__rk") <= F.col("__remaining"))
+                .drop("__rk", *drop_cols)
+            )
+    out = kept[0]
+    for part in kept[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def allocate_budget(
@@ -912,7 +982,11 @@ def ntile_threshold(
             "equi-width binning; filter or impute first"
         ),
     )
-    stats = (
+    # pinned (lazy checkpoint, see _pin_small): stats feeds the binned
+    # corpus join, the tile-target derivation, AND — through bounds —
+    # both union branches; un-pinned each reference re-runs the corpus
+    # aggregate
+    stats = _pin_small(
         base.groupBy("__sk")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
@@ -986,17 +1060,21 @@ def ntile_threshold(
         )
         .withColumn("__bb", F.when(hguard.isNull(), F.col("__bb")))
     )
-    bounds = bsel.groupBy("__sk").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("__i").alias("i"),
-                    F.col("__bb").alias("bb"),
-                    F.col("__bef").alias("bef"),
-                    F.col("__b").alias("b"),
+    # pinned: bounds is read by both union branches, and its lineage
+    # holds the corpus histogram — one computation, two readers
+    bounds = _pin_small(
+        bsel.groupBy("__sk").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__i").alias("i"),
+                        F.col("__bb").alias("bb"),
+                        F.col("__bef").alias("bef"),
+                        F.col("__b").alias("b"),
+                    )
                 )
-            )
-        ).alias("__bnds")
+            ).alias("__bnds")
+        )
     )
 
     t = binned.join(F.broadcast(bounds), "__sk")

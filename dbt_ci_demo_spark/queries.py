@@ -1670,6 +1670,7 @@ _PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     # -- r08 registrations (head of the r09 slate; never driver-checked) --
     "win_ntile_highcard",
+    "samp_quota_threshold2",
 ]
 
 

@@ -572,10 +572,12 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QTH_BUDGET = 137  # odd on purpose: exercises largest-remainder leftovers
+_QTH_BUDGET_DEFAULT = _QTH_BUDGET
 
 
-def _quota_threshold_oracle() -> str:
-    hash_expr = _DUCK_HASH.format(seed="qth", key="d.doc_id")
+def _quota_threshold_oracle(seed: str = "qth", budget: int | None = None) -> str:
+    hash_expr = _DUCK_HASH.format(seed=seed, key="d.doc_id")
+    _QTH_BUDGET = _QTH_BUDGET_DEFAULT if budget is None else budget
     return f"""
     WITH counts AS (
       SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang
@@ -627,5 +629,32 @@ def samp_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sp.stratified_sample_by_quota_threshold(
         d, ["lang"], "doc_id", quotas, seed="qth"
+    )
+    return out.select("doc_id", "lang", "quota")
+
+
+def _quota_threshold2_oracle() -> str:
+    return _quota_threshold_oracle(seed="qth2")
+
+
+@query("samp_quota_threshold2", oracle=_quota_threshold2_oracle)
+def samp_quota_threshold2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-level recursive histogram quota enforcement (r08, VERDICT r07
+    task 5b): same largest-remainder quotas and the same kept set as
+    `samp_quota_threshold` (oracle checks every kept doc_id bit-for-bit
+    under its own seed), but the boundary-bin slice is re-binned on its
+    interior hash range and threshold-selected AGAIN before any ranking —
+    bounding the final rank window by ~stratum/1024² instead of
+    ~stratum/1024. A tiny n_hist_buckets (8) makes the recursion do real
+    work at fixture scale: level 1's boundary bin holds ~1/8 of a
+    stratum, so level 2's selection is exercised on hundreds of rows,
+    not an empty shell. Equality with the window sampler at both depths
+    is property-tested (tests/test_sampling.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = sp.allocate_budget(d, "lang", _QTH_BUDGET).select(
+        F.col("stratum").alias("lang"), "quota"
+    )
+    out = sp.stratified_sample_by_quota_threshold(
+        d, ["lang"], "doc_id", quotas, seed="qth2", n_hist_buckets=8, n_levels=2
     )
     return out.select("doc_id", "lang", "quota")

@@ -45,7 +45,10 @@ _CARTESIAN_OK = {
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
-    "samp_quota_threshold",  # same shape: allocate_budget's 1-row broadcasts inside
+    # samp_quota_threshold / samp_quota_threshold2 no longer need the
+    # exemption: r08 pins their quota table (lazy localCheckpoint), so
+    # allocate_budget's 1-row cross joins live inside the pinned k-row
+    # lineage, not the corpus plan
     "emb_kmeans_step",
     "stats_sketch_quantiles",  # same shape: 4-row GK-quantile broadcast for the rank verify
 }
@@ -182,6 +185,46 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
     assert "Join" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_ntile_threshold_bounded_plan(spark, sf_dir):
+    """win_ntile_highcard (r08): the distributed broadcast-threshold
+    ntile must keep every join a broadcast (stats, targets, bounds — all
+    k-row PINNED tables, visible as Scan ExistingRDD; the corpus side
+    never sort-merges), exactly ONE corpus-visible Window — the
+    boundary-bin edge rank on (__sk, __bin) — and no ntile window
+    function anywhere. The bin-table cumsum windows live inside the
+    pinned bounds table's own (k·n_bins-row) lineage, not the corpus
+    pass. Pinning (lazy localCheckpoint, sampling._pin_small) is itself
+    load-bearing: un-pinned, the union branches re-expanded the k-row
+    derivations into 15 corpus scans (r08 audit)."""
+    p = _plan(spark, "win_ntile_highcard", sf_dir)
+    assert "ntile(" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Scan ExistingRDD" in p, p
+    wlines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(wlines) == 1, p
+    assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
+    # both union branches read the corpus; no further re-expansion
+    assert p.count("Scan parquet") == 2, p
+
+
+def test_quota_threshold_recursion_bounded_plan(spark, sf_dir):
+    """samp_quota_threshold2 (r08): two histogram levels — quotas and
+    per-level boundaries are k-row PINNED tables (lazy localCheckpoint),
+    every corpus-side join broadcasts, and the only corpus-visible
+    row_number window is the final residual rank (ordered by the __h
+    hash) whose partitions the two levels bounded by ~stratum/buckets².
+    Un-pinned, the recursion re-expanded lineage exponentially — 244
+    parquet scans at level 2 (r08 audit); pinned, the corpus is read
+    once per union branch (3 = below₁ ∪ below₂ ∪ residual)."""
+    p = _plan(spark, "samp_quota_threshold2", sf_dir)
+    assert "SortMergeJoin" not in p, p
+    assert "Scan ExistingRDD" in p, p
+    rn = [ln for ln in p.splitlines() if "Window [" in ln and "row_number()" in ln]
+    assert len(rn) == 1 and "__h" in rn[0], p
+    assert p.count("Scan parquet") == 3, p
 
 
 def test_asof_is_join_free_two_exchanges(spark, sf_dir):

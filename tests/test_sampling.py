@@ -237,3 +237,36 @@ def test_quota_threshold_sampler_matches_window_sampler(spark, sf_dir):
     pruned = big.filter(F.col("lang") != langs[0])
     out = sp.stratified_sample_by_quota_threshold(d, ["lang"], "doc_id", pruned)
     assert out.filter(F.col("lang") == langs[0]).count() == 0
+
+
+def test_quota_threshold_recursion_matches_window_sampler(spark, sf_dir):
+    """r08 (VERDICT r07 task 5b): the RECURSIVE histogram levels must not
+    change the kept set — n_levels=2 and 3 select exactly the window
+    sampler's rows across seeds, bucket counts (tiny buckets maximize
+    each level's boundary traffic), and the degenerate regimes (quota >
+    |stratum| → every level passes through the NULL-boundary keep)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def keys(df):
+        return sorted((r.lang, r.doc_id) for r in df.select("lang", "doc_id").collect())
+
+    for seed, budget, nbins, levels in [
+        ("ra", 137, 8, 2),
+        ("rb", 37, 2, 3),   # 2 bins: every level is nearly all boundary
+        ("ra", 137, 1024, 2),
+    ]:
+        quotas = sp.allocate_budget(d, "lang", budget).select(
+            F.col("stratum").alias("lang"), "quota"
+        )
+        w = sp.stratified_sample_by_quota(d, ["lang"], "doc_id", quotas, seed=seed)
+        t = sp.stratified_sample_by_quota_threshold(
+            d, ["lang"], "doc_id", quotas,
+            seed=seed, n_hist_buckets=nbins, n_levels=levels,
+        )
+        assert keys(w) == keys(t), (seed, budget, nbins, levels)
+    # quota exceeding every stratum at depth 2: all rows keep
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    big = spark.createDataFrame([(l, 10**12) for l in langs], "lang string, quota long")
+    assert sp.stratified_sample_by_quota_threshold(
+        d, ["lang"], "doc_id", big, seed="rc", n_levels=2
+    ).count() == d.count()

@@ -457,3 +457,73 @@ def test_ntile_histogram_heavy_bin_is_multi_partition(spark):
         .count()
     )
     assert n_parts > 1
+
+
+# ---------------------------------------------------------------------------
+# ntile_threshold (distributed broadcast-threshold twin) vs ntile
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_threshold_equals_ntile_highcard(spark):
+    """The >1024-strata path ntile_histogram's ceiling guard points to:
+    fully-declarative thresholds must equal ntile bit-for-bit across tie
+    regimes, 1500-cardinality strata (past the literal-CASE ceiling),
+    tiny strata, and both orderings."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_threshold
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(1500):
+        for i in range(rng.randint(1, 6)):
+            rows.append((g * 100 + i, f"s{g}", rng.choice([1.0, 2.0, 2.0, 5.5])))
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    for n_tiles, ascending in [(2, True), (4, False)]:
+        want = _collect_sorted(_ntile_ref(df, n_tiles, ascending, ["g"]), ["id", "t"])
+        got = _collect_sorted(
+            ntile_threshold(
+                df, n_tiles, "v", "id", ["g"], n_bins=8,
+                ascending=ascending, tile_col="t",
+            ).select("id", "t"),
+            ["id", "t"],
+        )
+        assert got == want, (n_tiles, ascending)
+
+
+def test_ntile_threshold_global_null_strata_and_guards(spark):
+    """Global (no-strata) mode; NULL strata keys tile via the null-safe
+    struct join (GROUP BY semantics — rows must NOT silently drop); the
+    heavy-boundary-bin and NULL-score in-plan asserts raise loudly."""
+    import pytest
+    from dbt_ci_demo_spark.operators.sampling import ntile_threshold
+
+    rng = random.Random(3)
+    dfg = spark.createDataFrame(
+        [(i, float(rng.randint(0, 40))) for i in range(800)], "id bigint, v double"
+    )
+    want = _collect_sorted(_ntile_ref(dfg, 5, False, []), ["id", "t"])
+    got = _collect_sorted(
+        ntile_threshold(dfg, 5, "v", "id", None, n_bins=16,
+                        ascending=False, tile_col="t").select("id", "t"),
+        ["id", "t"],
+    )
+    assert got == want
+    dfn = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0), (4, None, 0.5), (5, "a", 9.0)],
+        "id bigint, g string, v double",
+    )
+    want = _collect_sorted(_ntile_ref(dfn, 2, True, ["g"]), ["id", "t"])
+    got = _collect_sorted(
+        ntile_threshold(dfn, 2, "v", "id", ["g"], n_bins=4, tile_col="t")
+        .select("id", "t"),
+        ["id", "t"],
+    )
+    assert got == want and len(got) == 5
+    big = spark.createDataFrame([(i, 1.0) for i in range(500)], "id bigint, v double")
+    with pytest.raises(Exception, match="ntile_histogram"):
+        ntile_threshold(big, 3, "v", "id", None, n_bins=8,
+                        heavy_bin_rows=100).collect()
+    dfnull = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "id bigint, g string, v double"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        ntile_threshold(dfnull, 2, "v", "id", ["g"]).collect()
