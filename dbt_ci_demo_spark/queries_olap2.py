@@ -296,9 +296,26 @@ def exact_percentiles(
     def _j(left, right, broadcast_right=True):
         # strata join that also supports the GLOBAL (no-strata) case —
         # PySpark's join(on=[]) raises IndexError, so the single global
-        # group joins as a 1-row cross (bounded by construction)
-        r = F.broadcast(right) if broadcast_right else right
-        return left.join(r, strata_cols) if strata_cols else left.crossJoin(r)
+        # group joins as a 1-row cross (bounded by construction).
+        # NULL-SAFE on the strata keys (r08): groupBy keeps NULL-keyed
+        # strata, so the join back must match them too (plain equi-join
+        # silently dropped a NULL stratum's rows — GROUP BY semantics,
+        # like ntile_threshold's struct key)
+        if not strata_cols:
+            r = F.broadcast(right) if broadcast_right else right
+            return left.crossJoin(r)
+        # rename-then-join: dropping a same-named column through a
+        # broadcast wrapper is unreliable (expr-id mismatch → ambiguous
+        # reference downstream), renamed keys are unambiguous
+        rr = right
+        for c in strata_cols:
+            rr = rr.withColumnRenamed(c, f"__r_{c}")
+        rr = F.broadcast(rr) if broadcast_right else rr
+        cond = None
+        for c in strata_cols:
+            e = left[c].eqNullSafe(F.col(f"__r_{c}"))
+            cond = e if cond is None else cond & e
+        return left.join(rr, cond).drop(*[f"__r_{c}" for c in strata_cols])
 
     # NULL values have no bin and would silently shift the cumulative
     # rank space (Spark sorts NULLS FIRST, other engines LAST); a NaN

@@ -7,6 +7,8 @@ reference lacks.
 
 from __future__ import annotations
 
+import pytest
+
 import bisect
 
 from hypothesis import given, settings
@@ -107,6 +109,7 @@ def _cdc_model(rows):
     ),
     st.randoms(use_true_random=False),
 )
+@pytest.mark.slow  # 90s randomized sweep: round-close tier
 def test_cdc_versioned_random_batches_order_invariant(spark, rows, rnd):
     """Property layer for cdc_apply_versioned: for RANDOM change rows
     split into random batches, (1) every application order yields the

@@ -14,6 +14,7 @@ def _names():
     return sorted(q.registry_queries())
 
 
+@pytest.mark.slow  # oracle-gate mirror tier: run with --runslow (round close)
 @pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     r = check_query(spark, duck, name, sf_dir)

@@ -12,6 +12,9 @@ from dbt_ci_demo_spark.plans.runner import EnvConfig, Runner
 from dbt_ci_demo_spark.plans.state import StateManifest
 from dbt_ci_demo_spark.sources.catalog import SourceCatalog
 
+# writer/DDL round-trip tier (SCALE.md suite-split plan): round-close only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def env(tmp_path):

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -71,6 +73,7 @@ def _random_scored_frame(spark, seed, n_langs, max_rows, tie_prob):
     return spark.createDataFrame(rows, "id bigint, lang string, score double")
 
 
+@pytest.mark.slow  # ~1 min randomized sweep: round-close tier
 def test_tercile_histogram_equals_ntile_randomized(spark):
     for seed in range(6):
         df = _random_scored_frame(
@@ -157,6 +160,7 @@ def test_percentile_p_zero_is_null_like_rank_window(spark):
     assert len(rows) == 1 and rows[0]["p0"] is None and rows[0]["p50"] == 2.0
 
 
+@pytest.mark.slow  # ~1 min randomized sweep: round-close tier
 def test_percentile_histogram_equals_rank_window_randomized(spark):
     for seed in range(6):
         rng = random.Random(100 + seed)
@@ -527,3 +531,47 @@ def test_ntile_threshold_global_null_strata_and_guards(spark):
     )
     with pytest.raises(Exception, match="NULL"):
         ntile_threshold(dfnull, 2, "v", "id", ["g"]).collect()
+
+
+def test_percentiles_null_strata_keys_kept(spark):
+    """GROUP BY keeps NULL-keyed strata, so exact_percentiles' joins
+    back onto the strata must match them too (r08: the plain equi-join
+    silently dropped the NULL stratum's rows — null-safe rename-join
+    now mirrors groupBy semantics). Checked against the rank
+    formulation including the NULL group, for 1- and 2-column strata."""
+    from dbt_ci_demo_spark.queries_olap2 import exact_percentiles
+
+    rng = random.Random(5)
+    rows = [(i, rng.choice(["a", "b", None]), float(rng.randint(1, 100)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    got = exact_percentiles(df, ["g"], "v", [("p50", 0.5), ("p90", 0.9)])
+    w = Window.partitionBy("g").orderBy("v", "id")
+    wn = Window.partitionBy("g")
+    r = df.select(
+        "g", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.col("v"))
+    )
+    want = r.groupBy("g").agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"))
+    g = sorted([tuple(x) for x in got.collect()], key=str)
+    wv = sorted([tuple(x) for x in want.collect()], key=str)
+    assert g == wv and len(g) == 3
+    rows2 = [(i, rng.choice(["x", None]), rng.choice([1, None]),
+              float(rng.randint(1, 50))) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "id bigint, a string, b int, v double")
+    got2 = exact_percentiles(df2, ["a", "b"], "v", [("p50", 0.5)])
+    w2 = Window.partitionBy("a", "b").orderBy("v", "id")
+    wn2 = Window.partitionBy("a", "b")
+    r2 = df2.select(
+        "a", "b", "v",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn2).alias("n"),
+    )
+    want2 = r2.groupBy("a", "b").agg(pick(0.5).alias("p50"))
+    g2 = sorted([tuple(x) for x in got2.collect()], key=str)
+    wv2 = sorted([tuple(x) for x in want2.collect()], key=str)
+    assert g2 == wv2 and len(g2) == 4
