@@ -126,6 +126,12 @@ HEADLINE = [
     # 1.32 s at sf0.1.
     "win_ntile_quartiles",
     "stats_exact_percentiles",
+    # r08 (VERDICT r07 task 5): the two gap-closer registrations get their
+    # own ratchet rows — the broadcast-threshold ntile past the 1024-strata
+    # literal-CASE ceiling (zero driver collects) and the level-2 recursive
+    # quota-threshold sampler (boundary-bin re-binning, pinned k-row tables).
+    "win_ntile_highcard",
+    "samp_quota_threshold2",
 ]
 
 

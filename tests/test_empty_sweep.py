@@ -6,12 +6,16 @@ EMPTY result — never raise — on an empty input."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from dbt_ci_demo_spark.operators import cluster as cl
 from dbt_ci_demo_spark.operators import dedup as dd
 from dbt_ci_demo_spark.operators import sampling as sp
 from dbt_ci_demo_spark.operators import similarity as sim
 from dbt_ci_demo_spark.operators import text as tx
+
+# edge-case regression sweep: round-close tier (SCALE.md suite-split plan)
+pytestmark = pytest.mark.slow
 
 
 def _docs(spark, rows=()):

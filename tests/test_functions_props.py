@@ -25,6 +25,8 @@ def _bq_range_bucket_model(x: int, start: int, end: int, interval: int) -> int:
 
 
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow  # ~14s hypothesis sweep: round-close tier (range_bucket
+# stays oracle-checked each round via the fx_scalar_idioms gate row)
 @given(
     st.lists(st.integers(min_value=-100, max_value=200), min_size=1, max_size=50),
     st.integers(min_value=0, max_value=10),

@@ -51,6 +51,7 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+@pytest.mark.slow  # ~25s randomized graph sweep: round-close tier
 def test_star_components_match_minlabel_and_beat_diameter(spark):
     """connected_components_star (large-star/small-star alternation) must
     produce the same (node, component-min) labeling as min-label
@@ -85,6 +86,7 @@ def test_star_components_match_minlabel_and_beat_diameter(spark):
     assert {tuple(r) for r in dd.connected_components_star(single).collect()} == {(9, 9)}
 
 
+@pytest.mark.slow  # ~10s measured round-count sweep: round-close tier
 def test_star_round_count_logarithmic_vs_minlabel_linear(spark):
     """VERDICT r04 task 5: MEASURE the round counts, don't assert them
     from the paper. On a 16-node chain (diameter 15), min-label needs
@@ -396,6 +398,8 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     assert banded == brute
 
 
+@pytest.mark.slow  # ~28s full Lloyd loop: round-close tier (the assign-path
+# equality tests below stay default)
 def test_kmeans_loop_fixpoint_consistency(spark, sf_dir):
     """Once the Lloyd loop converges (assignment repeats), extra
     iterations must not change the centroids — the property that makes
@@ -879,6 +883,7 @@ def test_streaming_session_windows(spark, sf_dir):
         q.stop()
 
 
+@pytest.mark.slow  # ~15s randomized multi-batch sweep: round-close tier
 def test_streaming_cdc_runs_multiple_batches_any_order(spark, tmp_path):
     """The foreachBatch CDC sink must actually process MULTIPLE
     micro-batches (one per feed file) and converge to latest-per-key

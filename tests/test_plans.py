@@ -74,6 +74,8 @@ def _plan(spark, name, sf_dir) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow  # ~3 min 160-param sweep: round-close tier (the targeted
+# plan pins below keep the fast signal; whitelist tightness stays default)
 @pytest.mark.parametrize("name", sorted(set(q.registry_queries()) - _SLOW_SETUP))
 def test_no_cartesian_product(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
