@@ -227,6 +227,50 @@ def cdc_apply_versioned(
     return untouched.unionByName(latest)
 
 
+def cdc_apply_versioned_chain(
+    state: DataFrame,
+    batches,
+    unique_key: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a SEQUENCE of change batches with :func:`cdc_apply_versioned`,
+    pinning the state between applies (lazy ``localCheckpoint`` — the
+    star-CC / Lloyd per-round precedent).
+
+    Why this exists: each single apply references ``state`` twice (the
+    anti-join/semi-join split) and ``changes`` twice (key set + merge), so
+    a LAZILY CHAINED sequence re-expands the whole prior derivation per
+    reference — plan leaf-relations grow ~2^batches (the r08 engine-wide
+    lineage audit measured 26 leaf scans after 2 chained applies and 59
+    after 3, on a feed built from 1-scan slices; the same defect class as
+    the threshold-sampler re-expansion, but on CORPUS-sized state, where
+    the re-derivation is a full CDC merge per extra reference, not a k-row
+    aggregate). The per-apply pin truncates lineage, making every apply's
+    plan read one materialized state plus its own feed — leaf count linear
+    in batch count, asserted exactly by `tests/test_plans.py`.
+
+    Cost model: the pin materializes one state copy per apply into
+    executor storage — bounded and batch-proportional, versus exponential
+    recompute without it. A production replication pipeline does the same
+    thing structurally: the streaming foreachBatch sink persists state to
+    a table between micro-batches (`stream_cdc_versioned`), which is the
+    durable form of this pin. Single-shot callers should keep calling
+    :func:`cdc_apply_versioned` directly — one apply's double state
+    reference is a constant-factor scan, and pinning there would trade a
+    cheap columnar re-scan for a full state copy in executor storage.
+    Semantics are untouched: this is a fold over the same operator, and
+    batch-order invariance (max-seq merge, tombstone retention) holds
+    exactly as for manual chaining — equality is property-tested.
+    """
+    for changes in batches:
+        state = cdc_apply_versioned(
+            state, changes, unique_key, seq_col, op_col=op_col, delete_op=delete_op
+        ).localCheckpoint(eager=False)
+    return state
+
+
 def cdc_live(state: DataFrame, op_col: str = "op", delete_op: str = "D") -> DataFrame:
     """Consumer view of a versioned CDC state: rows minus tombstones."""
     return state.filter(F.col(op_col) != delete_op)

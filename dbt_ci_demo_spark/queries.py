@@ -635,8 +635,9 @@ def incr_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     b1, b2 = _cdc_change_batches(o)
     state = o.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
-    state = incr.cdc_apply_versioned(state, b2, "o_orderkey", "seq", "op")
-    state = incr.cdc_apply_versioned(state, b1, "o_orderkey", "seq", "op")
+    # chain helper (r08 lineage audit): pinning between applies keeps the
+    # plan's leaf count linear in batches (26 leaf scans unpinned here).
+    state = incr.cdc_apply_versioned_chain(state, (b2, b1), "o_orderkey", "seq", "op")
     return incr.cdc_live(state).select(*o.columns)
 
 
@@ -695,8 +696,9 @@ def incr_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("D"))
     )
     state = o.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
-    for batch in (b2, b1, b3):
-        state = incr.cdc_apply_versioned(state, batch, "o_orderkey", "seq", "op")
+    # chain helper (r08 lineage audit): 3 lazily-chained applies held 59
+    # leaf scans (~2^batches); the per-apply pin makes leaf count linear.
+    state = incr.cdc_apply_versioned_chain(state, (b2, b1, b3), "o_orderkey", "seq", "op")
     return incr.cdc_compact(state, 3, "seq").select(*o.columns, "seq", "op")
 
 

@@ -229,6 +229,59 @@ def test_quota_threshold_recursion_bounded_plan(spark, sf_dir):
     assert p.count("Scan parquet") == 3, p
 
 
+def test_cdc_chain_pins_state_lineage(spark, sf_dir):
+    """cdc_apply_versioned_chain (r08 engine-wide lineage audit): one
+    versioned apply reads its state twice (the anti-join/semi-join
+    split) and its feed twice (key set + merge), so a lazily CHAINED
+    sequence re-expands the prior state's WHOLE derivation per
+    reference — leaf relations grow ~2^batches (the registered 2-apply
+    query planned 26 leaf scans, the 3-apply compact query 59). The
+    chain helper pins state between applies (lazy localCheckpoint, the
+    star-CC/Lloyd per-round precedent): each intermediate state
+    materializes ONCE and the final plan reads pinned RDDs only.
+    Asserts the unpinned counter-case (super-linear growth), the pinned
+    shape, and bit-equality of the two results."""
+    from dbt_ci_demo_spark.operators import incremental as incr
+    from dbt_ci_demo_spark.queries import _cdc_change_batches, _t
+
+    import pyspark.sql.functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    b1, b2 = _cdc_change_batches(o)
+    b3 = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("seq", F.lit(4))
+        .withColumn("op", F.lit("D"))
+    )
+    state0 = o.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
+
+    def leaves(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Relation [")
+
+    # counter-case: lazily chained applies re-expand exponentially
+    un = state0
+    counts = []
+    for b in (b2, b1, b3):
+        un = incr.cdc_apply_versioned(un, b, "o_orderkey", "seq", "op")
+        counts.append(leaves(un))
+    assert counts[2] >= 40, counts  # measured 59; proves the defect shape
+    assert counts[2] > counts[1] > counts[0] >= 6, counts  # super-linear
+
+    # pinned chain: final plan reads materialized state, zero re-derivation
+    pinned = incr.cdc_apply_versioned_chain(
+        state0, (b2, b1, b3), "o_orderkey", "seq", "op"
+    )
+    assert leaves(pinned) == 0, pinned._jdf.queryExecution().optimizedPlan().toString()
+    phys = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in phys, phys
+
+    # decision equality: the pin changes plans, never rows
+    cols = state0.columns
+    left = sorted(map(tuple, un.select(*cols).collect()))
+    right = sorted(map(tuple, pinned.select(*cols).collect()))
+    assert left == right
+
+
 def test_asof_is_join_free_two_exchanges(spark, sf_dir):
     """The as-of attribution claim (SCALE.md As-of section): no Join
     operator at all; exactly two exchanges — the union + shared
