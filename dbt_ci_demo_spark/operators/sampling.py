@@ -536,6 +536,7 @@ def ntile_histogram(
     ascending: bool = True,
     tile_col: str = "__tile",
     heavy_bin_rows: int = 1 << 21,
+    pin_input: bool = True,
 ) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (PARTITION BY strata ORDER BY score
     [ASC|DESC], id)`` WITHOUT a stratum-sized (or, unpartitioned, a
@@ -595,13 +596,25 @@ def ntile_histogram(
     silently dropping rows from both union branches. Driver memory: the
     histogram collect is ≤ strata·n_bins rows (≤ ~1M tuples at the
     1024×1024 ceilings — tens of MB; lower ``n_bins`` if the driver is
-    smaller). Callers should persist ``df`` when its lineage is
-    expensive — it is read FOUR times: the two threshold collects, plus
-    the plain and edge branches of the final union each scan it once."""
+    smaller).
+
+    ``pin_input`` (r09, VERDICT r08 #4): ``df`` is read FOUR times —
+    the two threshold collects, plus the plain and edge branches of the
+    final union. By default the operator pins it itself (lazy
+    ``localCheckpoint``, the :func:`_pin_small` mechanism scaled up to
+    the corpus: no extra driver job; the input materializes inside the
+    stats collect and every later read hits the stored blocks), so
+    callers can't forget and a non-deterministic input is structurally
+    impossible. Pass ``pin_input=False`` when the input is a bare
+    column-pruned scan — re-reading parquet three more times is cheaper
+    than storing a corpus copy in executor storage — and the loud
+    determinism guards below then carry the correctness load."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    if pin_input:
+        df = _pin_small(df)
     strata = list(strata_cols) if strata_cols else []
     s = F.col(score_col)
 
@@ -869,11 +882,16 @@ def ntile_histogram(
         ranked0 = (
             hv.repartitionByRange(n_part, *okey)
             .sortWithinPartitions(*okey)
+            # __pid is captured explicitly (ADVICE r08): decoding it from
+            # monotonically_increasing_id's internal bit layout would
+            # couple correctness to that layout. __mid is still relied on
+            # only for its documented per-partition-consecutive counter.
+            .withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
             .localCheckpoint(eager=True)
         )
         pstats = (
-            ranked0.groupBy(F.shiftright("__mid", 33).alias("__pid"), "__gid")
+            ranked0.groupBy("__pid", "__gid")
             .agg(F.count(F.lit(1)).alias("__c"), F.min("__mid").alias("__mn"))
             .collect()
         )
@@ -889,10 +907,9 @@ def ntile_histogram(
                 # sort made each group contiguous within its partition
                 lk_rows.append((pid, gid, group_before - mn + 1))
                 group_before += c
-        lk = spark.createDataFrame(lk_rows, "__pid bigint, __gid int, __base bigint")
+        lk = spark.createDataFrame(lk_rows, "__pid int, __gid int, __base bigint")
         heavy_edge = (
-            ranked0.withColumn("__pid", F.shiftright("__mid", 33))
-            .join(F.broadcast(lk), ["__pid", "__gid"])
+            ranked0.join(F.broadcast(lk), ["__pid", "__gid"])
             .withColumn("__rk", F.col("__mid") + F.col("__base"))
             .select(
                 *df.columns,

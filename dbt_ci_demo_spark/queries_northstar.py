@@ -1583,18 +1583,16 @@ def text_ccnet_buckets(
         return tercile_buckets(scores.join(langs, "doc_id"))
     ensure_checkpoint_dir(spark)
     # The scoring pipeline is the expensive subtree and the bucket plan
-    # references it several times (stats, histogram, assignment); without
-    # a cache Spark re-evaluates it wholesale per reference (verified in
-    # the executed plan — no exchange reuse across the differing
-    # branches). Same contract as minhash_near_duplicates
-    # (materialize=True): persist the slim 4-column table, eagerly
-    # checkpoint the result, unpersist before returning — nothing stays
-    # pinned in executor storage.
-    scored = scores.join(langs, "doc_id").persist()
-    try:
-        return tercile_buckets(scored).checkpoint(eager=True)
-    finally:
-        scored.unpersist()
+    # references it several times (stats, histogram, assignment).
+    # ntile_histogram pins its input itself (pin_input=True default,
+    # r09): the slim 4-column table materializes once — inside the
+    # stats collect — and the histogram job plus both union branches
+    # read the stored blocks, so the caller-side persist/unpersist
+    # this wrapper used to carry is gone. The pinned blocks are freed
+    # by the ContextCleaner once the eager checkpoint severs the last
+    # reference to them.
+    scored = scores.join(langs, "doc_id")
+    return tercile_buckets(scored).checkpoint(eager=True)
 
 
 def tercile_buckets(

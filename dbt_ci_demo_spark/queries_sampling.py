@@ -572,12 +572,10 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QTH_BUDGET = 137  # odd on purpose: exercises largest-remainder leftovers
-_QTH_BUDGET_DEFAULT = _QTH_BUDGET
 
 
-def _quota_threshold_oracle(seed: str = "qth", budget: int | None = None) -> str:
+def _quota_threshold_oracle(seed: str = "qth") -> str:
     hash_expr = _DUCK_HASH.format(seed=seed, key="d.doc_id")
-    _QTH_BUDGET = _QTH_BUDGET_DEFAULT if budget is None else budget
     return f"""
     WITH counts AS (
       SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang

@@ -41,7 +41,9 @@ _CARTESIAN_OK = {
     "q11_important_parts",
     "text_tfidf_topterms",
     "text_unigram_logprob",  # same shape: 1-row (N, V) totals broadcast
-    "text_ccnet_buckets",  # same shape: built on the unigram totals broadcast
+    # text_ccnet_buckets no longer needs the exemption: r09's
+    # ntile_histogram pin_input puts the unigram totals broadcast inside
+    # the pinned scoring lineage, not the corpus plan
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
@@ -174,6 +176,13 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     wlines = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wlines) == 1, p
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
+    # pin_input (r09, VERDICT r08 #4): the expensive scoring lineage is
+    # pinned INSIDE the operator — the corpus pass reads the pinned RDD
+    # exactly twice (plain + edge union branches) and re-scans parquet
+    # ZERO times; un-pinned, each branch re-derived the whole scoring
+    # pipeline (the four-read foot-gun this closed).
+    assert p.count("Scan parquet") == 0, p
+    assert p.count("Scan ExistingRDD") == 2, p
     # Global ntile(4) over raw orders — the unpartitioned-window case of
     # the same audit: one bin-partitioned rank window, no ntile, and the
     # driver-held thresholds mean ZERO joins and exactly ONE exchange
@@ -187,6 +196,10 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
     assert "Join" not in p, p
     assert p.count("Exchange") == 1, p
+    # the documented pin_input opt-out: a bare column-pruned parquet
+    # scan re-reads (2 visible branches) instead of storing a corpus copy
+    assert p.count("Scan parquet") == 2, p
+    assert "Scan ExistingRDD" not in p, p
 
 
 def test_ntile_threshold_bounded_plan(spark, sf_dir):

@@ -186,6 +186,29 @@ def test_budget_quota_cap_composition(spark, sf_dir):
     assert out3.count() == d.count()
 
 
+def test_quota_cap_too_small_raises_loudly(spark, sf_dir):
+    """ADVICE r08: the in-plan assert_true guard is the whole point of
+    max_quota safety — a bound smaller than some stratum's quota must
+    RAISE with the 'exceeds max_quota' message, never silently truncate
+    that stratum to the bound."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = sp.allocate_budget(d, "lang", 37).select(
+        F.col("stratum").alias("lang"), "quota"
+    )
+    max_q = max(r.quota for r in quotas.collect())
+    assert max_q >= 2, "fixture needs a stratum quota above the bad bound"
+    bad = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", quotas, max_quota=max_q - 1
+    )
+    with pytest.raises(Exception, match="exceeds max_quota"):
+        bad.collect()
+    # and the exact bound (== the largest quota) still passes clean
+    ok = sp.stratified_sample_by_quota(
+        d, ["lang"], "doc_id", quotas, max_quota=max_q
+    )
+    assert ok.count() > 0
+
+
 def test_allocate_budget_exact_past_long_overflow(spark):
     """budget·n_rows must not wrap at 2^63 (r06: same silent-wrap class
     as the volume-anomaly decision): a 4e18 budget over a 3-row corpus
