@@ -132,6 +132,13 @@ HEADLINE = [
     # quota-threshold sampler (boundary-bin re-binning, pinned k-row tables).
     "win_ntile_highcard",
     "samp_quota_threshold2",
+    # r09 (VERDICT r08 task 5): the two gap-closer registrations —
+    # check_cols='all' snapshot introspection (a full SCD2 cycle with a
+    # mid-cycle widened source) and streaming late-data accounting (the
+    # three-micro-batch watermark-drop fixture; cost is dominated by the
+    # feed write + three micro-batches).
+    "snap_check_all",
+    "stream_late_data_accounting",
 ]
 
 

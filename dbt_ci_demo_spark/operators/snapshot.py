@@ -96,6 +96,29 @@ def check_strategy(check_cols: list[str]):
     return changed
 
 
+def check_cols_all(
+    source: DataFrame, snapshot: DataFrame | None
+) -> tuple[bool, list[str]]:
+    """``check_cols='all'`` introspection
+    (snapshot_check_all_get_existing_columns, manifest.json:1@121224):
+    tracked columns = the source query's columns that already exist in
+    the snapshot, in source order — the dbt_* metadata columns are
+    excluded explicitly (they are merge bookkeeping, never tracked
+    data). Returns ``(column_added, tracked)`` where ``column_added``
+    is True iff the source carries a column the snapshot lacks; the
+    check strategy maps that to ``row_changed = TRUE`` (@122973's
+    column_added branch): existing open rows cannot be compared on a
+    column they don't have, so every matched key versions forward once.
+    With no snapshot yet, every source column is tracked (first build —
+    the reference's ``not target_exists`` branch)."""
+    query_cols = list(source.columns)
+    if snapshot is None:
+        return False, query_cols
+    existing = set(snapshot.columns) - set(META_COLS)
+    tracked = [c for c in query_cols if c in existing]
+    return any(c not in existing for c in query_cols), tracked
+
+
 def snapshot_changeset(
     source: DataFrame,
     snapshot: DataFrame,
@@ -220,19 +243,42 @@ def snapshot_cycle(
     unique_key: str,
     updated_at: str,
     strategy: str = "timestamp",
-    check_cols: list[str] | None = None,
+    check_cols: list[str] | str | None = None,
     invalidate_hard_deletes: bool = False,
 ) -> DataFrame:
     """One full snapshot run (materialization_snapshot_default @108699):
     first run builds the table; later runs stage a changeset and merge it.
-    """
+
+    ``check_cols='all'`` (strategy_dispatch @112892 routing to
+    :func:`check_cols_all`): tracked columns are introspected against the
+    PRE-evolution snapshot — the reference probes the existing table —
+    and when the source added a column, every matched open row is
+    considered changed AND the history gains the new columns as typed
+    NULLs (B13 ``append_new_columns`` semantics) so the changeset and
+    merge unions line up. A column the source *dropped* is simply not
+    tracked (the reference's intersection), but the merge itself still
+    requires the history's columns to be produceable — evolve the source
+    first via ``incremental.apply_schema_change_policy`` if that case
+    arises."""
     if snapshot is None:
         return add_scd_metadata(source, unique_key, updated_at)
-    row_changed = (
-        timestamp_strategy(updated_at)
-        if strategy == "timestamp"
-        else check_strategy(check_cols or [c for c in source.columns if c != unique_key])
-    )
+    if strategy == "timestamp":
+        row_changed = timestamp_strategy(updated_at)
+    elif check_cols == "all":
+        column_added, tracked = check_cols_all(source, snapshot)
+        if column_added:
+            def row_changed(src, snap):  # noqa: ARG001 — fixed contract
+                return F.lit(True)
+
+            for f in source.schema.fields:
+                if f.name not in snapshot.columns:
+                    snapshot = snapshot.withColumn(f.name, F.lit(None).cast(f.dataType))
+        else:
+            row_changed = check_strategy(tracked)
+    else:
+        row_changed = check_strategy(
+            check_cols or [c for c in source.columns if c != unique_key]
+        )
     cs = snapshot_changeset(
         source, snapshot, unique_key, updated_at, row_changed, invalidate_hard_deletes
     )

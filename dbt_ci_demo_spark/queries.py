@@ -907,6 +907,87 @@ def snap_check_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("src.c_custkey").alias("c_custkey"), changed.alias("row_changed"))
 
 
+def _snap_v3_widened(spark, sf_dir):
+    """v3 source for check_cols='all': the query WIDENS mid-cycle — it now
+    derives c_phone, which the v1 snapshot never had — and stamps the run
+    time (check snapshots stamp now(); a literal here for determinism)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.concat(F.lit("P-"), (F.col("c_custkey") % 1000).cast("string")).alias(
+            "c_phone"
+        ),
+        F.lit("2024-03-01 00:00:00").cast("timestamp_ntz").alias("updated_at"),
+    )
+
+
+@query(
+    "snap_check_all",
+    oracle=f"""
+    WITH snapshot AS (
+      SELECT *, CAST(NULL AS VARCHAR) AS c_phone FROM ({_SNAP_T1}) t
+    ),
+    src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             concat('P-', CAST(c_custkey % 1000 AS VARCHAR)) AS c_phone,
+             TIMESTAMP '2024-03-01 00:00:00' AS updated_at
+      FROM customer WHERE c_custkey % 11 != 0
+    ),
+    open_rows AS (SELECT * FROM snapshot WHERE dbt_valid_to IS NULL),
+    -- column_added => row_changed = TRUE: every matched open row closes …
+    closes AS (
+      SELECT o.dbt_scd_id AS close_id, s.updated_at AS close_to
+      FROM src s JOIN open_rows o ON s.c_custkey = o.c_custkey
+    ),
+    closed AS (
+      SELECT sn.c_custkey, sn.c_name, sn.c_nationkey, sn.c_acctbal,
+             sn.c_mktsegment, sn.updated_at, sn.dbt_scd_id, sn.dbt_updated_at,
+             sn.dbt_valid_from,
+             CASE WHEN c.close_id IS NOT NULL AND sn.dbt_valid_to IS NULL
+                  THEN c.close_to ELSE sn.dbt_valid_to END AS dbt_valid_to,
+             sn.c_phone
+      FROM snapshot sn LEFT JOIN closes c ON sn.dbt_scd_id = c.close_id
+    ),
+    -- … and every source row re-inserts as the new open version
+    inserts AS (
+      SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+             s.updated_at,
+             md5(concat_ws('|', coalesce(CAST(s.c_custkey AS VARCHAR), ''),
+                 coalesce(CAST(epoch_us(s.updated_at) AS VARCHAR), ''))) AS dbt_scd_id,
+             s.updated_at AS dbt_updated_at, s.updated_at AS dbt_valid_from,
+             CAST(NULL AS TIMESTAMP) AS dbt_valid_to, s.c_phone
+      FROM src s
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM inserts
+    """,
+)
+def snap_check_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_cols='all' auto-introspection (B18 completion, VERDICT r08
+    #3; snapshot_check_all_get_existing_columns manifest.json:1@121224):
+    the source query widens mid-cycle (it now selects c_phone), so the
+    strategy detects column_added against the PRE-evolution snapshot,
+    marks every matched open row changed (the reference's TRUE branch —
+    old rows can't be compared on a column they don't have), and the
+    history gains c_phone as a typed NULL (B13 append_new_columns
+    composition) before the SCD2 merge. Result: all v1 open rows whose
+    key survives close at the run stamp, every v3 row opens a new
+    version carrying c_phone, and v1 keys gone from v3 stay open (no
+    hard-delete invalidation here)."""
+    v1 = snap.add_scd_metadata(_snap_v1(spark, sf_dir), "c_custkey", "updated_at")
+    return snap.snapshot_cycle(
+        _snap_v3_widened(spark, sf_dir),
+        v1,
+        "c_custkey",
+        "updated_at",
+        strategy="check",
+        check_cols="all",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytical queries (bench headliners). The reference's runtime executes
 # arbitrary BigQuery SQL; these TPC-H-shaped queries prove the engine's
@@ -1460,22 +1541,20 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-8 ROTATION (VERDICT r07 task 1): slots 1-30 stay
-# the compact SURVEY-2-covering prefix (every B-operator keeps a driver-green
+# the coverage budget. ROUND-9 ROTATION (VERDICT r08 task 1; the SURVEY §7.7
+# AGE-BASED RE-VERIFICATION policy now in force): slots 1-30 stay the compact
+# SURVEY-2-covering prefix (every B-operator keeps a driver-green
 # representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
-# 31-50 promote the EXACT remaining never-driver-checked backlog — the 20
-# names of SURVEY §7.7's r08 slate (the three r07 registrations plus the
-# q4-q17 TPC-H tail, olap cube/pivot/unpivot/histogram, exact percentiles,
-# moving average, first/last value, full-outer reconcile, repeat-vs-churned,
-# events sliding/transitions) — taking the backlog to ZERO: after this round
-# every registered, non-exempt query has a driver-green row from some round.
-# All 20 were sf0.01-oracle-verified before promotion (both locally and by
-# the r07 judge's independent 20/20 check).
+# 31-50 = the two r09 registrations (snap_check_all — B18's check_cols='all'
+# completion — and stream_late_data_accounting; never-driver-checked, so
+# they jump the queue per policy), the two r08 registrations (their first
+# driver rows), then the computed age queue: the 6 r01 greens and the 10
+# oldest r02 greens. events_json_props / mm_features (r02) slip to the r10
+# queue head to make room for the registrations.
 # Queries rotated OUT of the window carry driver-green evidence in
-# CORRECTNESS_r01..r07.json and stay in the tail. From r09 onward the
-# rotation policy switches to AGE-BASED RE-VERIFICATION (SURVEY §7.7):
-# slots 31-50 re-verify previously-green rows oldest-driver-check-first, so
-# no row's green evidence goes stale by more than ~6 rounds. EXEMPT:
+# CORRECTNESS_r01..r08.json and stay in the tail; slots 31-50 re-verify
+# previously-green rows oldest-driver-check-first, so no row's green
+# evidence goes stale by more than ~6 rounds. EXEMPT:
 # dedup_jaccard_pairs / sim_topk_bruteforce (VERDICT r05 task 7) stay
 # registered as the documented all-pairs verifier twins of the LSH/IVF scale
 # paths but are permanently excluded from promotion slates (the whitelist
@@ -1518,10 +1597,40 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: first-time driver checks (ROUND-8 ROTATION, VERDICT
-    #    r07 task 1: the EXACT never-checked backlog = SURVEY §7.7's r08
-    #    slate; all 20 sf0.01-oracle-green before promotion, independently
-    #    confirmed 20/20 by the r07 judge) --
+    # -- slots 31-50: ROUND-9 ROTATION (VERDICT r08 task 1 + the SURVEY
+    #    §7.7 age policy): the two r09 registrations jump the queue
+    #    (never-driver-checked; both sf0.001/0.01/0.1-oracle-green before
+    #    promotion), then the two r08 registrations (first driver rows),
+    #    then the 6 r01 greens and the 10 oldest r02 greens from the
+    #    computed queue. events_json_props / mm_features (r02) slip to the
+    #    r10 queue head to make room for the registrations. --
+    "snap_check_all",
+    "stream_late_data_accounting",
+    "win_ntile_highcard",
+    "samp_quota_threshold2",
+    "events_topk_users",
+    "dq_unique_pass",
+    "incr_merge_partial_update",
+    "incr_merge_append",
+    "events_asof_tolerance",
+    "q5_local_supplier_volume",
+    "wr_bucketed_join",
+    "dq_unique_violations",
+    "dq_not_null_violations",
+    "dq_accepted_values",
+    "dq_relationships",
+    "dq_test_harness",
+    "dq_freshness_age",
+    "src_json_roundtrip",
+    "fx_array_agg_ordered",
+    "events_sessionize",
+    # -- tail: driver-green in r01..r08 (rotated out of the window; the
+    #    first twenty are the r08 window, newest evidence first; the r10
+    #    queue continues: events_json_props, mm_features, then the
+    #    remaining r02 greens — sim_ivf_topk, dedup_minhash_lsh,
+    #    sim_lsh_ann, text_stats, stream_tumbling_hourly,
+    #    events_asof_attribution, samp_train_test_split,
+    #    emb_label_centroids, flagship_distinct_preagg — then r03+) --
     "samp_quota_threshold",
     "emb_assign_matrix",
     "src_orc_roundtrip",
@@ -1542,8 +1651,6 @@ _PRIORITY: list[str] = [
     "join_full_outer_reconcile",
     "win_first_last_value",
     "set_repeat_vs_churned",
-    # -- tail: driver-green in r01..r07 (rotated out of the window; the
-    #    first twenty are the r07 window, newest evidence first) --
     "stats_sketch_quantiles",
     "stats_sketch_distinct_merge",
     "dedup_semantic_clusters",
@@ -1644,16 +1751,6 @@ _PRIORITY: list[str] = [
     "q21_sole_late_supplier",
     "olap_grouping_sets",
     "win_percent_rank_cume",
-    "wr_bucketed_join",
-    "dq_unique_violations",
-    "dq_not_null_violations",
-    "dq_accepted_values",
-    "dq_relationships",
-    "dq_test_harness",
-    "dq_freshness_age",
-    "src_json_roundtrip",
-    "fx_array_agg_ordered",
-    "events_sessionize",
     "events_json_props",
     "mm_features",
     "flagship_distinct_preagg",
@@ -1665,19 +1762,8 @@ _PRIORITY: list[str] = [
     "events_asof_attribution",
     "samp_train_test_split",
     "emb_label_centroids",
-    # -- tail end: the permanently slate-excluded all-pairs verifier twins
-    #    (see header note) and remaining r02-r05 driver-green rows --
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
-    "events_topk_users",
-    "dq_unique_pass",
-    "incr_merge_partial_update",
-    "incr_merge_append",
-    "events_asof_tolerance",
-    "q5_local_supplier_volume",
-    # -- r08 registrations (head of the r09 slate; never driver-checked) --
-    "win_ntile_highcard",
-    "samp_quota_threshold2",
 ]
 
 

@@ -223,11 +223,17 @@ def _stream_ckpt_dir(name: str) -> str:
 
 
 def run_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
-) -> DataFrame:
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    return_query: bool = False,
+):
     """Execute a streaming plan to completion over the available input
     (availableNow trigger) into an in-memory sink; returns the result as a
-    batch DataFrame. Test/driver harness helper."""
+    batch DataFrame. Test/driver harness helper. With ``return_query``,
+    also returns the (terminated) StreamingQuery handle so callers can
+    read its progress metrics (e.g. late-data drop accounting)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -236,7 +242,57 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    tbl = spark.table(name)
+    return (tbl, q) if return_query else tbl
+
+
+def write_batch_feed(batches: list[DataFrame], name: str = "latefeed") -> str:
+    """Write DataFrames as a one-FILE-per-batch streaming feed directory
+    whose file modification times force the file source's oldest-first
+    listing to process them in list order under ``maxFilesPerTrigger=1``
+    — the deterministic multi-micro-batch fixture for watermark/late-data
+    semantics. Two timing facts the fixture design must respect (pinned
+    empirically, Spark 4.x): the watermark only advances BETWEEN
+    micro-batches (batch N runs against the watermark derived from
+    batches ≤ N−1), and expired state is evicted at the END of the batch
+    whose start-watermark expired it — so late rows are only DROPPED
+    from the batch AFTER the one that advanced the watermark past them.
+    Fixture setup (single-file writes), not an engine data path."""
+    import glob
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=f"{name}_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    os.makedirs(feed)
+    t0 = 1_700_000_000  # any fixed epoch; only the ordering matters
+    for i, df in enumerate(batches):
+        part_dir = os.path.join(base, f"_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(feed, f"batch{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    return feed
+
+
+def watermark_dropped_rows(query) -> int:
+    """Total input rows each stateful operator dropped as too-late,
+    summed over every micro-batch of a (terminated) StreamingQuery —
+    Spark's own late-data observability surface
+    (StreamingQueryProgress.stateOperators[].numRowsDroppedByWatermark).
+    This is the number an operator of a 100 TB pipeline alerts on: rows
+    silently excluded from results because they arrived behind the
+    watermark horizon."""
+    import json
+
+    total = 0
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    return total
 
 
 def run_foreach_batch_merge(

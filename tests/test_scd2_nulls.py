@@ -51,3 +51,57 @@ def test_check_strategy_null_grid_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_check_cols_all_introspection_and_cycle(spark):
+    """check_cols='all' (r09, VERDICT r08 #3): tracked columns come from
+    the source∩snapshot intersection with dbt_* excluded; a change in a
+    column nobody hand-listed is caught; a mid-cycle added column flips
+    column_added and versions every matched key forward with the history
+    gaining the column as a typed NULL."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 2, 1)
+    v1 = spark.createDataFrame(
+        [(1, "x", 10.0, t1), (2, "y", 20.0, t1)],
+        "k int, name string, bal double, updated_at timestamp",
+    )
+    hist = snap.add_scd_metadata(v1, "k", "updated_at")
+
+    # same-shape source: 'bal' changed for k=1 only — caught without
+    # anyone listing 'bal' by hand, and dbt_* columns are never tracked
+    added, tracked = snap.check_cols_all(
+        spark.createDataFrame(
+            [(1, "x", 11.0, t2)], "k int, name string, bal double, updated_at timestamp"
+        ),
+        hist,
+    )
+    assert not added and tracked == ["k", "name", "bal", "updated_at"]
+    v2 = spark.createDataFrame(
+        [(1, "x", 11.0, t2), (2, "y", 20.0, t1)],
+        "k int, name string, bal double, updated_at timestamp",
+    )
+    out = snap.snapshot_cycle(v2, hist, "k", "updated_at", strategy="check", check_cols="all")
+    rows = {(r.k, r.dbt_valid_to is None): r for r in out.collect()}
+    assert (1, False) in rows and (1, True) in rows  # k=1 closed + re-opened
+    assert (2, True) in rows and len(rows) == 3  # k=2 untouched, still open
+
+    # widened source: 'tier' is new — column_added, EVERY matched key
+    # versions forward even though no tracked value changed, and the
+    # closed v1 rows carry tier = NULL (B13 append_new_columns)
+    v3 = spark.createDataFrame(
+        [(1, "x", 10.0, "gold", t2), (2, "y", 20.0, "tin", t2)],
+        "k int, name string, bal double, tier string, updated_at timestamp",
+    )
+    added, tracked = snap.check_cols_all(v3, hist)
+    assert added and tracked == ["k", "name", "bal", "updated_at"]
+    out = snap.snapshot_cycle(v3, hist, "k", "updated_at", strategy="check", check_cols="all")
+    assert "tier" in out.columns
+    closed = out.filter(F.col("dbt_valid_to").isNotNull())
+    assert closed.count() == 2  # both v1 rows closed
+    assert closed.filter(F.col("tier").isNull()).count() == 2
+    opened = out.filter(F.col("dbt_valid_to").isNull())
+    assert {r.tier for r in opened.collect()} == {"gold", "tin"}
