@@ -434,3 +434,46 @@ def test_matrix_assignment_is_zero_shuffle_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+@pytest.mark.slow  # full-registry sweep (~6 min at sf0.001): round-close tier
+def test_leaf_relation_ceiling(spark, sf_dir):
+    """Registry-wide lineage audit, frozen (r09, VERDICT r08 #2): the r08
+    MANUAL sweep that caught three exponential union-branch re-expansion
+    defects (quota-threshold samplers 244→6 parquet scans, chained
+    versioned-CDC ~2^batches, containment 18→4) becomes a permanent
+    regression test — each registered query's optimized plan may read at
+    most the recorded number of leaf relations (tests/leaf_ceilings.json,
+    generated from the r09 sweep at sf0.001; logical-plan leaf counts are
+    SF-independent). A new re-expansion now fails pytest instead of
+    waiting for a future round's audit. Maintenance: a legitimately
+    added table read means regenerating the entry (the docstring of
+    sampling._pin_small explains the pin pattern to try first); wr_*
+    writer queries mutate warehouse state and are excluded (same posture
+    as the cartesian sweep). Ceilings, not exact pins: the four
+    r08-audited queries keep their exact scan-count pins in the targeted
+    tests above."""
+    import inspect
+    import json
+    from pathlib import Path
+
+    ceilings = json.loads(
+        (Path(__file__).parent / "leaf_ceilings.json").read_text()
+    )
+    names = sorted(set(q.registry_queries()) - _SLOW_SETUP)
+    missing = [n for n in names if n not in ceilings]
+    assert not missing, f"queries without a recorded leaf ceiling: {missing}"
+    over = {}
+    for name in names:
+        fn = q.registry_queries()[name]
+        kwargs = {}
+        if "materialize" in inspect.signature(fn).parameters:
+            kwargs["materialize"] = False
+        df = fn(spark, sf_dir, **kwargs)
+        got = df._jdf.queryExecution().optimizedPlan().toString().count("Relation [")
+        if got > ceilings[name]:
+            over[name] = (got, ceilings[name])
+    assert not over, (
+        "leaf-relation re-expansion (query: got > ceiling) — a corpus-derived "
+        f"table is probably re-deriving its lineage per reference: {over}"
+    )
