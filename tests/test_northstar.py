@@ -883,6 +883,60 @@ def test_streaming_session_windows(spark, sf_dir):
         q.stop()
 
 
+def test_streaming_late_drop_semantics_tiny(spark):
+    """The two empirically-pinned watermark timing facts behind
+    stream_late_data_accounting (r09), on a hand-built 3-batch feed: the
+    watermark advances only BETWEEN micro-batches, expired state evicts
+    at the END of the batch whose start-watermark expired it, so rows a
+    full day late in batch 3 are dropped while every on-time row
+    aggregates; numRowsDroppedByWatermark witnesses the loss in
+    post-partial-agg rows (0 < metric <= raw rows lost)."""
+    import datetime
+
+    from dbt_ci_demo_spark.streaming import events_stream as es
+
+    def ev(eid, ts_str):
+        return (
+            eid,
+            datetime.datetime.fromisoformat(ts_str),
+            eid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [ev(1, "2024-01-02 10:15"), ev(2, "2024-01-02 10:45"), ev(3, "2024-01-02 11:20")],
+        schema,
+    )
+    sentinel = spark.createDataFrame([ev(4, "2024-01-02 12:05")], schema)
+    late = spark.createDataFrame(
+        [ev(5, "2024-01-01 00:05"), ev(6, "2024-01-01 00:25"), ev(7, "2024-01-01 00:45")],
+        schema,
+    )
+    feed = es.write_batch_feed([b0, sentinel, late], name="tinylate")
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    out, q = es.run_to_memory(
+        spark, es.tumbling_counts(stream), "t_tiny_late", "update", return_query=True
+    )
+    final = {
+        (r.window_start.hour, r.event_type): r.n_events
+        for r in out.groupBy("window_start", "window_end", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert final == {(10, "click"): 2, (11, "click"): 1, (12, "click"): 1}, final
+    metric = es.watermark_dropped_rows(q)
+    assert 0 < metric <= 3, metric
+    for sq in spark.streams.active:
+        sq.stop()
+
+
 @pytest.mark.slow  # ~15s randomized multi-batch sweep: round-close tier
 def test_streaming_cdc_runs_multiple_batches_any_order(spark, tmp_path):
     """The foreachBatch CDC sink must actually process MULTIPLE
