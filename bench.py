@@ -17,6 +17,13 @@ dedup_minhash_lsh 1.5× slow (4.31 s vs 2.80 s config-matched at
 identical q1 canary parity), a pure-config false regression. Use
 fresh-JVM warm-3/min-of-5 probes and normalize by q1 (~1.15 s historic)
 for cross-day comparisons.
+
+IN-BENCH CONTENTION (r09 lesson): a ~70-row run accumulates same-JVM
+session state, and mid-list rows can read >1.3x their isolated cost on
+a clean-canary day (r09: dedup_minhash_lsh 5.34 in-bench vs 3.37
+isolated, BELOW its r08 mark). Adjudicate any in-bench riser with an
+isolated fresh-JVM probe before believing it; the per-round ratchet
+compares like-for-like (both in-bench), so the totals stay meaningful.
 """
 
 from __future__ import annotations
