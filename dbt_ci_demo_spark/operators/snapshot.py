@@ -209,6 +209,16 @@ def apply_changeset(snapshot: DataFrame, changeset: DataFrame) -> DataFrame:
 
     Plain-parquet read-modify idiom: join history to the close-set on
     scd_id to update valid_to, then append the inserts.
+
+    Insert-column semantics mirror the reference MERGE
+    (default__snapshot_merge_sql @97630 inserts by the STAGING table's
+    column list): a history column the changeset no longer carries — the
+    source query dropped it mid-cycle — is filled with a typed NULL on
+    the new version rows instead of failing the union, exactly as an
+    unlisted target column behaves in SQL MERGE…INSERT. (The dropped
+    column also falls out of ``check_cols_all``'s tracked intersection,
+    so the two compose into the reference's full dropped-column
+    posture.)
     """
     closes = (
         changeset.filter(F.col("dbt_change_type").isin("update", "delete"))
@@ -234,7 +244,13 @@ def apply_changeset(snapshot: DataFrame, changeset: DataFrame) -> DataFrame:
         )
     )
     inserts = changeset.filter(F.col("dbt_change_type") == "insert").drop("dbt_change_type")
-    return closed.unionByName(inserts.select(*snapshot.columns))
+    ins_cols = [
+        F.col(f.name)
+        if f.name in inserts.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in snapshot.schema.fields
+    ]
+    return closed.unionByName(inserts.select(*ins_cols))
 
 
 def snapshot_cycle(
@@ -256,10 +272,9 @@ def snapshot_cycle(
     considered changed AND the history gains the new columns as typed
     NULLs (B13 ``append_new_columns`` semantics) so the changeset and
     merge unions line up. A column the source *dropped* is simply not
-    tracked (the reference's intersection), but the merge itself still
-    requires the history's columns to be produceable — evolve the source
-    first via ``incremental.apply_schema_change_policy`` if that case
-    arises."""
+    tracked (the reference's intersection) and the merge fills it with
+    typed NULLs on new version rows (see :func:`apply_changeset`) —
+    history keeps the old values."""
     if snapshot is None:
         return add_scd_metadata(source, unique_key, updated_at)
     if strategy == "timestamp":

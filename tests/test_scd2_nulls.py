@@ -105,3 +105,38 @@ def test_check_cols_all_introspection_and_cycle(spark):
     assert closed.filter(F.col("tier").isNull()).count() == 2
     opened = out.filter(F.col("dbt_valid_to").isNull())
     assert {r.tier for r in opened.collect()} == {"gold", "tin"}
+
+
+def test_check_cols_all_dropped_column_cycle(spark):
+    """The other half of the mid-cycle schema story (reference MERGE
+    semantics: insert by the staging column list, unlisted target columns
+    NULL): a source that DROPPED a column still snapshots — the dropped
+    column falls out of the tracked intersection, changed rows version
+    forward, and the new version rows carry NULL in the dropped column
+    while history keeps the old values."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 2, 1)
+    v1 = spark.createDataFrame(
+        [(1, "x", 10.0, t1), (2, "y", 20.0, t1)],
+        "k int, name string, bal double, updated_at timestamp",
+    )
+    hist = snap.add_scd_metadata(v1, "k", "updated_at")
+    # source dropped 'bal'; 'name' changed for k=1 only
+    v2 = spark.createDataFrame(
+        [(1, "x2", t2), (2, "y", t1)], "k int, name string, updated_at timestamp"
+    )
+    added, tracked = snap.check_cols_all(v2, hist)
+    assert not added and tracked == ["k", "name", "updated_at"]
+    out = snap.snapshot_cycle(v2, hist, "k", "updated_at", strategy="check", check_cols="all")
+    assert set(out.columns) == set(hist.columns)
+    rows = out.collect()
+    assert len(rows) == 3  # k=1 closed + new version; k=2 untouched
+    new_version = [r for r in rows if r.k == 1 and r.dbt_valid_to is None]
+    assert len(new_version) == 1 and new_version[0].name == "x2"
+    assert new_version[0].bal is None  # dropped column NULL on the new row
+    closed = [r for r in rows if r.k == 1 and r.dbt_valid_to is not None]
+    assert len(closed) == 1 and closed[0].bal == 10.0  # history keeps it
