@@ -108,7 +108,15 @@ def dedup_stream(
     events: DataFrame, watermark: str = "2 hours", keys: list[str] | None = None
 ) -> DataFrame:
     """Streaming exact dedup on ``keys`` (default event_id) within the
-    watermark horizon — the bounded-state form of keep-first dedup."""
+    watermark horizon — the bounded-state form of keep-first dedup.
+
+    Late-data posture (pinned empirically, r09): unlike the windowed
+    aggregations, ``dropDuplicatesWithinWatermark`` ADMITS rows that
+    arrive behind the watermark — it only bounds how long dedup state is
+    retained, so a late duplicate beyond the horizon can re-emit. That
+    is by design (the operator's contract is "deduplicated within the
+    horizon", not "drop late"); late-data LOSS accounting therefore
+    lives on the aggregation path (see stream_late_data_accounting)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
