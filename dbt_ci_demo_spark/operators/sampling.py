@@ -53,10 +53,41 @@ def _pin_small(df: DataFrame) -> DataFrame:
     fraction), i.e. exponential corpus passes in recursion depth. The
     checkpoint is LAZY: no extra driver-blocking job; the k rows
     materialize inside the first action and are reused by the rest.
-    Local checkpoints live in executor storage — the standard
-    caveat (executor loss forces recompute) is irrelevant for k-row
-    tables, which recompute in milliseconds."""
+
+    Fault-tolerance posture (ADVICE r09): ``localCheckpoint`` TRUNCATES
+    lineage, so its blocks are NOT recomputable — an executor that held
+    them dying mid-job fails the job (Spark also documents local
+    checkpoints as incompatible with dynamic allocation). That is an
+    acceptable blast radius here and ONLY here because the pinned table
+    is k rows: the failed action is retried at the application level and
+    the k rows re-derive in one cheap job. Never use this for
+    corpus-scale data — that is :func:`_pin_corpus` (persist, lineage
+    kept, executor loss recomputes)."""
     return df.localCheckpoint(eager=False)
+
+
+def _pin_corpus(df: DataFrame) -> DataFrame:
+    """Pin a CORPUS-SCALE lineage for multi-read reuse, fault-tolerantly:
+    ``persist(MEMORY_AND_DISK)`` keeps the lineage graph, so an executor
+    loss recomputes the lost blocks instead of failing the job, and the
+    pin stays compatible with dynamic allocation — the 100 TB posture a
+    framework-level default must have (ADVICE r09; contrast
+    :func:`_pin_small`, whose lineage-truncating ``localCheckpoint`` is
+    reserved for k-row tables where the blast radius is one cheap retry).
+
+    Like the lazy local checkpoint, ``persist`` adds no driver-blocking
+    job: blocks materialize inside the first action. Lifetime: the cache
+    entry is registered with the session's CacheManager and lives until
+    ``unpersist``/``clearCache`` (it is also subject to LRU eviction
+    under memory pressure, spilling to disk first); identical plan
+    fragments re-use one entry, so repeated calls over the same input do
+    not accumulate copies. Callers for whom even one materialized copy
+    is too much (a bare column-pruned scan at true corpus scale) should
+    skip pinning and re-read the scan — see ``pin_input=False`` on
+    :func:`ntile_histogram`."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def hash_bucket(key: Column, seed: str = "", buckets: int = BUCKETS) -> Column:
@@ -598,23 +629,29 @@ def ntile_histogram(
     1024×1024 ceilings — tens of MB; lower ``n_bins`` if the driver is
     smaller).
 
-    ``pin_input`` (r09, VERDICT r08 #4): ``df`` is read FOUR times —
-    the two threshold collects, plus the plain and edge branches of the
-    final union. By default the operator pins it itself (lazy
-    ``localCheckpoint``, the :func:`_pin_small` mechanism scaled up to
-    the corpus: no extra driver job; the input materializes inside the
-    stats collect and every later read hits the stored blocks), so
-    callers can't forget and a non-deterministic input is structurally
-    impossible. Pass ``pin_input=False`` when the input is a bare
-    column-pruned scan — re-reading parquet three more times is cheaper
-    than storing a corpus copy in executor storage — and the loud
-    determinism guards below then carry the correctness load."""
+    ``pin_input`` (r09, VERDICT r08 #4; fault-tolerant form ADVICE r09):
+    ``df`` is read FOUR times — the two threshold collects, plus the
+    plain and edge branches of the final union. By default the operator
+    pins it itself via :func:`_pin_corpus` (lazy
+    ``persist(MEMORY_AND_DISK)``: no extra driver job; the input
+    materializes inside the stats collect and every later read hits the
+    cached blocks), so callers can't forget and a non-deterministic
+    input is structurally impossible. The pin keeps lineage — an
+    executor loss recomputes lost blocks instead of failing the job —
+    because this is a framework-level DEFAULT applied to corpus-sized
+    inputs (a lineage-truncating ``localCheckpoint`` here would make
+    every caller inherit an unrecoverable-block failure mode and a
+    dynamic-allocation incompatibility). Pass ``pin_input=False`` when
+    the input is a bare column-pruned scan — re-reading parquet three
+    more times is cheaper than storing a corpus copy in executor
+    storage — and the loud determinism guards below then carry the
+    correctness load."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     if pin_input:
-        df = _pin_small(df)
+        df = _pin_corpus(df)
     strata = list(strata_cols) if strata_cols else []
     s = F.col(score_col)
 

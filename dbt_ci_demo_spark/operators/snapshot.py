@@ -274,7 +274,20 @@ def snapshot_cycle(
     merge unions line up. A column the source *dropped* is simply not
     tracked (the reference's intersection) and the merge fills it with
     typed NULLs on new version rows (see :func:`apply_changeset`) —
-    history keeps the old values."""
+    history keeps the old values.
+
+    A ``str`` ``check_cols`` other than ``'all'`` is a config error and
+    raises ``ValueError`` up front (ADVICE r09) — mirroring the
+    reference's explicit compiler error (snapshot_check_strategy
+    manifest.json:1@122973: "Invalid value for 'check_cols': ..." @124564)
+    instead of letting :func:`check_strategy` iterate the string
+    character-by-character into an opaque unresolved-column
+    AnalysisException."""
+    if isinstance(check_cols, str) and check_cols != "all":
+        raise ValueError(
+            f"Invalid value for 'check_cols': {check_cols!r}. Expected "
+            "'all' or a list of column names."
+        )
     if snapshot is None:
         return add_scd_metadata(source, unique_key, updated_at)
     if strategy == "timestamp":

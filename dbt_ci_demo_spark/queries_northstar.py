@@ -1585,12 +1585,13 @@ def text_ccnet_buckets(
     # The scoring pipeline is the expensive subtree and the bucket plan
     # references it several times (stats, histogram, assignment).
     # ntile_histogram pins its input itself (pin_input=True default,
+    # r09; fault-tolerant persist(MEMORY_AND_DISK) since r10, ADVICE
     # r09): the slim 4-column table materializes once — inside the
     # stats collect — and the histogram job plus both union branches
-    # read the stored blocks, so the caller-side persist/unpersist
-    # this wrapper used to carry is gone. The pinned blocks are freed
-    # by the ContextCleaner once the eager checkpoint severs the last
-    # reference to them.
+    # read the cached blocks, so the caller-side persist/unpersist
+    # this wrapper used to carry is gone. Lifetime: the cache entry
+    # lives in the session's CacheManager (LRU-evictable, disk-spilled)
+    # until unpersist/clearCache; identical re-runs reuse one entry.
     scored = scores.join(langs, "doc_id")
     return tercile_buckets(scored).checkpoint(eager=True)
 

@@ -292,15 +292,94 @@ def watermark_dropped_rows(query) -> int:
     (StreamingQueryProgress.stateOperators[].numRowsDroppedByWatermark).
     This is the number an operator of a 100 TB pipeline alerts on: rows
     silently excluded from results because they arrived behind the
-    watermark horizon."""
+    watermark horizon.
+
+    Retention guard (ADVICE r09): ``query.recentProgress`` retains only
+    the last ``spark.sql.streaming.numRecentProgressUpdates`` entries
+    (default 100), so a feed with more micro-batches would silently
+    undercount. A retained list AT the cap means eviction may already
+    have happened and this raises ``ValueError`` instead of returning a
+    lower bound dressed as a total — long-running queries must attach
+    :class:`WatermarkDropListener` (push-based, unbounded) before
+    ``start()`` and read the total there."""
     import json
 
+    prog = list(query.recentProgress)
+    cap = _recent_progress_cap()
+    if len(prog) >= cap:
+        raise ValueError(
+            f"watermark_dropped_rows: query retained {len(prog)} progress "
+            f"entries, at the spark.sql.streaming.numRecentProgressUpdates "
+            f"cap ({cap}) — earlier micro-batches may have been evicted, so "
+            "a recentProgress sum would silently undercount. Attach "
+            "WatermarkDropListener before start() for unbounded accounting."
+        )
     total = 0
-    for p in query.recentProgress:
+    for p in prog:
         d = p if isinstance(p, dict) else json.loads(p.json)
         for op in d.get("stateOperators", []):
             total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
     return total
+
+
+def _recent_progress_cap() -> int:
+    """The session's recentProgress retention cap (default 100)."""
+    spark = SparkSession.getActiveSession()
+    try:
+        return int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    except Exception:
+        return 100
+
+
+try:
+    from pyspark.sql.streaming import StreamingQueryListener as _SQL_Listener
+except ImportError:  # pragma: no cover — PySpark < 3.4
+    _SQL_Listener = object
+
+
+class WatermarkDropListener(_SQL_Listener):
+    """Push-based, unbounded late-drop accounting: accumulates
+    ``numRowsDroppedByWatermark`` per query id on EVERY progress event,
+    so the total cannot undercount past the ``recentProgress`` retention
+    cap the way a post-hoc :func:`watermark_dropped_rows` sum can.
+
+    Usage: ``spark.streams.addListener(listener)`` before ``start()``;
+    read ``listener.total(query)`` after the run. Progress events are
+    delivered asynchronously on the listener bus — after ``stop()``,
+    poll :meth:`total` until it stabilizes (or compare batch ids) before
+    asserting exact values. The ingest path is a pure method over the
+    progress dict so its arithmetic is unit-testable without a running
+    stream."""
+
+    def __init__(self) -> None:
+        self._totals: dict[str, int] = {}
+
+    # -- pure core (unit-testable) --
+    def ingest(self, progress: dict) -> None:
+        qid = str(progress.get("id"))
+        add = 0
+        for op in progress.get("stateOperators", []):
+            add += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+        self._totals[qid] = self._totals.get(qid, 0) + add
+
+    def total(self, query_or_id) -> int:
+        qid = str(getattr(query_or_id, "id", query_or_id))
+        return self._totals.get(qid, 0)
+
+    # -- listener surface --
+    def onQueryStarted(self, event) -> None:  # noqa: N802 — Spark API
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802 — Spark API
+        import json
+
+        self.ingest(json.loads(event.progress.json))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802 — Spark API
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802 — Spark API
+        pass
 
 
 def run_foreach_batch_merge(

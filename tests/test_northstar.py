@@ -921,6 +921,10 @@ def test_streaming_late_drop_semantics_tiny(spark):
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
     )
+    # unbounded push-based accounting (ADVICE r09): the listener must
+    # agree with the recentProgress sum on a short feed
+    listener = es.WatermarkDropListener()
+    spark.streams.addListener(listener)
     out, q = es.run_to_memory(
         spark, es.tumbling_counts(stream), "t_tiny_late", "update", return_query=True
     )
@@ -933,8 +937,46 @@ def test_streaming_late_drop_semantics_tiny(spark):
     assert final == {(10, "click"): 2, (11, "click"): 1, (12, "click"): 1}, final
     metric = es.watermark_dropped_rows(q)
     assert 0 < metric <= 3, metric
+    # listener events arrive async on the bus — poll until it catches up
+    import time
+
+    deadline = time.time() + 30
+    while listener.total(q) != metric and time.time() < deadline:
+        time.sleep(0.2)
+    assert listener.total(q) == metric, (listener.total(q), metric)
+    spark.streams.removeListener(listener)
     for sq in spark.streams.active:
         sq.stop()
+
+
+def test_watermark_dropped_rows_retention_guard():
+    """watermark_dropped_rows must refuse to sum a recentProgress list at
+    the retention cap (eviction may have dropped earlier batches — the
+    sum would undercount silently, ADVICE r09), and the listener's pure
+    ingest path must accumulate past any cap."""
+    import pytest
+
+    from dbt_ci_demo_spark.streaming import events_stream as es
+
+    def prog(qid, dropped):
+        return {"id": qid, "stateOperators": [{"numRowsDroppedByWatermark": dropped}]}
+
+    class FakeQuery:
+        def __init__(self, progresses):
+            self.recentProgress = progresses
+
+    ok = FakeQuery([prog("q1", 2), prog("q1", 3)])
+    assert es.watermark_dropped_rows(ok) == 5
+
+    capped = FakeQuery([prog("q1", 1)] * es._recent_progress_cap())
+    with pytest.raises(ValueError, match="numRecentProgressUpdates"):
+        es.watermark_dropped_rows(capped)
+
+    listener = es.WatermarkDropListener()
+    for i in range(es._recent_progress_cap() + 50):
+        listener.ingest(prog("qX", 1))
+    assert listener.total("qX") == es._recent_progress_cap() + 50
+    assert listener.total("other") == 0
 
 
 @pytest.mark.slow  # ~15s randomized multi-batch sweep: round-close tier

@@ -176,13 +176,29 @@ def test_window_audit_bounded_plans(spark, sf_dir):
     wlines = [ln for ln in p.splitlines() if "Window [" in ln]
     assert len(wlines) == 1, p
     assert "row_number()" in wlines[0] and "__bin" in wlines[0], p
-    # pin_input (r09, VERDICT r08 #4): the expensive scoring lineage is
-    # pinned INSIDE the operator — the corpus pass reads the pinned RDD
-    # exactly twice (plain + edge union branches) and re-scans parquet
-    # ZERO times; un-pinned, each branch re-derived the whole scoring
-    # pipeline (the four-read foot-gun this closed).
-    assert p.count("Scan parquet") == 0, p
-    assert p.count("Scan ExistingRDD") == 2, p
+    # pin_input (r09, VERDICT r08 #4; fault-tolerant persist ADVICE r09):
+    # the expensive scoring lineage is pinned INSIDE the operator — the
+    # corpus pass reads the cached input exactly twice (plain + edge
+    # union branches) and executes ZERO parquet scans outside the cache.
+    # The pin is persist(MEMORY_AND_DISK), not localCheckpoint: lineage
+    # stays attached (the parquet text visible in the plan is the cached
+    # relation's RECOMPUTE lineage, printed under InMemoryRelation and
+    # executed only on a cache miss), so an executor loss recomputes
+    # instead of failing the job and dynamic allocation stays usable.
+    assert p.count("InMemoryTableScan") == 2, p
+    assert "Scan ExistingRDD" not in p, p
+    # optimized plan: exactly two leaf relations, both the cached pin —
+    # a parquet leaf OUTSIDE the cache (a branch escaping the pin) or a
+    # third reference (re-expansion) would change these counts
+    fn = q.registry_queries()["text_ccnet_buckets"]
+    opt = (
+        fn(spark, sf_dir, materialize=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("Relation [") == 2, opt
+    assert opt.count("InMemoryRelation [") == 2, opt
     # Global ntile(4) over raw orders — the unpartitioned-window case of
     # the same audit: one bin-partitioned rank window, no ntile, and the
     # driver-held thresholds mean ZERO joins and exactly ONE exchange

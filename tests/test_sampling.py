@@ -293,3 +293,22 @@ def test_quota_threshold_recursion_matches_window_sampler(spark, sf_dir):
     assert sp.stratified_sample_by_quota_threshold(
         d, ["lang"], "doc_id", big, seed="rc", n_levels=2
     ).count() == d.count()
+
+
+def test_pin_corpus_keeps_lineage_and_spills(spark):
+    """_pin_corpus (ADVICE r09): the corpus-scale pin must be a
+    MEMORY_AND_DISK persist — lineage stays attached (executor loss
+    recomputes instead of failing; dynamic allocation stays usable) —
+    not a lineage-truncating localCheckpoint, and rows are unchanged."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    pinned = sp._pin_corpus(df)
+    try:
+        lvl = pinned.storageLevel
+        assert lvl.useMemory and lvl.useDisk and not lvl.useOffHeap
+        assert pinned.count() == 100
+        plan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # lineage is NOT truncated: no ExistingRDD leaf replaces the range
+        assert "Scan ExistingRDD" not in plan, plan
+    finally:
+        pinned.unpersist()

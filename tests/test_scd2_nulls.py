@@ -140,3 +140,29 @@ def test_check_cols_all_dropped_column_cycle(spark):
     assert new_version[0].bal is None  # dropped column NULL on the new row
     closed = [r for r in rows if r.k == 1 and r.dbt_valid_to is not None]
     assert len(closed) == 1 and closed[0].bal == 10.0  # history keeps it
+
+
+def test_snapshot_cycle_invalid_check_cols_str(spark):
+    """A str check_cols other than 'all' is a config error and must raise
+    the reference's explicit compiler error (snapshot_check_strategy
+    manifest.json:1@122973) instead of iterating the string char-by-char
+    into an opaque unresolved-column AnalysisException (ADVICE r09)."""
+    import datetime
+
+    import pytest
+
+    t1 = datetime.datetime(2024, 1, 1)
+    v1 = spark.createDataFrame(
+        [(1, "x", t1)], "k int, name string, updated_at timestamp"
+    )
+    hist = snap.add_scd_metadata(v1, "k", "updated_at")
+    with pytest.raises(ValueError, match="Invalid value for 'check_cols'"):
+        snap.snapshot_cycle(
+            v1, hist, "k", "updated_at", strategy="check", check_cols="name"
+        )
+    # the error is a config gate: it fires even on the FIRST build, where
+    # the row_changed predicate is never evaluated
+    with pytest.raises(ValueError, match="Invalid value for 'check_cols'"):
+        snap.snapshot_cycle(
+            v1, None, "k", "updated_at", strategy="check", check_cols="name"
+        )
