@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
 _HASH_SPACE = 1 << 32  # _key_hash range: first 8 md5 hex chars
+# Stratum-count ceiling for the driver-held literal-CASE ntile design
+# (ntile_histogram) — past it, :func:`ntile_exact` routes to the
+# distributed broadcast-threshold twin (ntile_threshold).
+DRIVER_STRATA_CEILING = 1024
 
 
 def _key_hash(key: Column, seed: str) -> Column:
@@ -712,12 +716,14 @@ def ntile_histogram(
     # blow up on a high-cardinality strata column; a distributed
     # formulation (the exact_percentiles shape, broadcast thresholds
     # instead of literals) is the right tool past this point.
-    if len(stats) > 1024:
+    if len(stats) > DRIVER_STRATA_CEILING:
         raise ValueError(
             f"ntile_histogram: {len(stats)} strata — the driver-held "
-            "literal-CASE design is for bounded stratum counts (≤1024); "
-            "use ntile_threshold (the distributed broadcast-threshold "
-            "twin) for high-cardinality strata"
+            "literal-CASE design is for bounded stratum counts "
+            f"(≤{DRIVER_STRATA_CEILING}); use ntile_exact (the "
+            "cardinality-routing dispatcher) or ntile_threshold (the "
+            "distributed broadcast-threshold twin) for high-cardinality "
+            "strata"
         )
     if not stats:
         return df.withColumn(tile_col, F.lit(None).cast("int"))
@@ -1156,3 +1162,90 @@ def ntile_threshold(
         )
     )
     return plain.unionByName(edge)
+
+
+def _ntile_route(n_strata: int, ceiling: int = DRIVER_STRATA_CEILING) -> str:
+    """Pure routing decision for :func:`ntile_exact`: stratum counts the
+    driver can hold as literal CASE chains go to ``'histogram'``
+    (:func:`ntile_histogram`); anything past the ceiling goes to
+    ``'threshold'`` (:func:`ntile_threshold`, fully distributed)."""
+    if n_strata < 0:
+        raise ValueError(f"n_strata must be >= 0, got {n_strata}")
+    return "histogram" if n_strata <= ceiling else "threshold"
+
+
+def ntile_exact(
+    df: DataFrame,
+    n_tiles: int,
+    score_col: str,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+    n_bins: int = 1024,
+    ascending: bool = True,
+    tile_col: str = "__tile",
+    heavy_bin_rows: int = 1 << 21,
+    pin_input: bool = True,
+    max_driver_strata: int = DRIVER_STRATA_CEILING,
+) -> DataFrame:
+    """Cardinality-routed exact ntile (VERDICT r09 #5 — the Lloyd
+    assignment-seam precedent, ``_kmeans_assign``'s k-routing applied to
+    the ntile family): ONE cheap distinct-count aggregate over the strata
+    columns picks the right formulation, so callers can't hit
+    :func:`ntile_histogram`'s documented literal-CASE ceiling by passing
+    a high-cardinality strata column.
+
+    - strata count ≤ ``max_driver_strata`` (default
+      :data:`DRIVER_STRATA_CEILING`) → :func:`ntile_histogram`:
+      driver-held literal thresholds, zero joins in the corpus pass, and
+      the collected histogram routes degenerate heavy bins through an
+      exact distributed rank.
+    - past the ceiling → :func:`ntile_threshold`: broadcast-threshold
+      thresholds, zero driver collects; note its declarative design
+      RAISES on a heavy boundary bin (≥ ``heavy_bin_rows``) instead of
+      routing around it — both guards name the sibling, as before.
+
+    Same contract as both twins: ``df`` plus an integer ``tile_col`` in
+    [1, n_tiles], decision-identical to ``ntile(n_tiles) OVER (PARTITION
+    BY strata ORDER BY score [ASC|DESC], id)`` — the routing changes the
+    PLAN only, never the rows (the twins are equality-property-tested
+    against each other and against the window formulation).
+
+    Cost: the routing count is one column-pruned distinct aggregate.
+    With ``pin_input=True`` (default) the input is pinned FIRST
+    (:func:`_pin_corpus` — fault-tolerant persist), so the count job
+    doubles as the pin's materializing action and every downstream read
+    (either twin reads the input several times) hits the cache; the
+    histogram twin is then told not to re-pin. Global mode
+    (``strata_cols=None``/empty) skips the count — one stratum, always
+    the histogram path."""
+    strata = list(strata_cols) if strata_cols else []
+    if pin_input:
+        df = _pin_corpus(df)
+    n_strata = df.select(*strata).distinct().count() if strata else 1
+    route = _ntile_route(n_strata, max_driver_strata)
+    if route == "histogram":
+        return ntile_histogram(
+            df,
+            n_tiles,
+            score_col,
+            id_col,
+            strata,
+            n_bins=n_bins,
+            ascending=ascending,
+            tile_col=tile_col,
+            heavy_bin_rows=heavy_bin_rows,
+            # already pinned above (or the caller opted out) — never
+            # stack a second storage copy
+            pin_input=False,
+        )
+    return ntile_threshold(
+        df,
+        n_tiles,
+        score_col,
+        id_col,
+        strata,
+        n_bins=n_bins,
+        ascending=ascending,
+        tile_col=tile_col,
+        heavy_bin_rows=heavy_bin_rows,
+    )

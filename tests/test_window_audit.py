@@ -577,3 +577,85 @@ def test_percentiles_null_strata_keys_kept(spark):
     g2 = sorted([tuple(x) for x in got2.collect()], key=str)
     wv2 = sorted([tuple(x) for x in want2.collect()], key=str)
     assert g2 == wv2 and len(g2) == 4
+
+
+# ---------------------------------------------------------------------------
+# ntile_exact (cardinality-routing dispatcher, VERDICT r09 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_route_boundary():
+    """The pure routing decision at the literal-CASE ceiling: AT the
+    ceiling stays on the driver-held histogram path, one past it goes
+    distributed — so no caller can hit ntile_histogram's documented
+    1024-strata ValueError through the dispatcher."""
+    from dbt_ci_demo_spark.operators import sampling as sp
+
+    ceil = sp.DRIVER_STRATA_CEILING
+    assert ceil == 1024
+    for n, want in [
+        (0, "histogram"),
+        (1, "histogram"),
+        (ceil - 1, "histogram"),
+        (ceil, "histogram"),
+        (ceil + 1, "threshold"),
+        (10 * ceil, "threshold"),
+    ]:
+        assert sp._ntile_route(n) == want, n
+    # custom ceilings route at their own boundary
+    assert sp._ntile_route(4, 4) == "histogram"
+    assert sp._ntile_route(5, 4) == "threshold"
+    with pytest.raises(ValueError):
+        sp._ntile_route(-1)
+
+
+def test_ntile_exact_routes_and_matches_ntile(spark):
+    """End-to-end through the dispatcher with a small ceiling so both
+    routes execute cheaply: at the ceiling the plan is the histogram
+    formulation (driver-held literals — zero joins), past it the
+    threshold formulation (broadcast-joined thresholds), and BOTH equal
+    the window ntile bit-for-bit — routing changes the plan, never the
+    rows."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_exact
+
+    rng = random.Random(23)
+
+    def fixture(n_strata):
+        rows = []
+        for g in range(n_strata):
+            for i in range(rng.randint(2, 5)):
+                rows.append((g * 10 + i, f"s{g}", rng.choice([1.0, 2.0, 2.0, 7.5])))
+        return spark.createDataFrame(rows, "id bigint, g string, v double")
+
+    for n_strata, join_expected in [(4, False), (5, True)]:
+        df = fixture(n_strata)
+        got_df = ntile_exact(
+            df, 3, "v", "id", ["g"], n_bins=8, tile_col="t", max_driver_strata=4
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert ("BroadcastHashJoin" in plan) == join_expected, (n_strata, plan)
+        want = _collect_sorted(_ntile_ref(df, 3, True, ["g"]), ["id", "t"])
+        got = _collect_sorted(got_df.select("id", "t"), ["id", "t"])
+        assert got == want, n_strata
+
+
+def test_ntile_exact_highcard_fixture(spark):
+    """The 1300-strata fixture (past the real 1024 literal-CASE ceiling,
+    the case that used to be a caller-facing ValueError foot-gun) passes
+    straight through the dispatcher and equals ntile."""
+    from dbt_ci_demo_spark.operators.sampling import ntile_exact
+
+    rng = random.Random(31)
+    rows = []
+    for g in range(1300):
+        for i in range(rng.randint(1, 4)):
+            rows.append((g * 100 + i, f"s{g}", rng.choice([1.0, 3.0, 3.0, 9.5])))
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    got = _collect_sorted(
+        ntile_exact(df, 2, "v", "id", ["g"], n_bins=8, tile_col="t").select(
+            "id", "t"
+        ),
+        ["id", "t"],
+    )
+    want = _collect_sorted(_ntile_ref(df, 2, True, ["g"]), ["id", "t"])
+    assert got == want
