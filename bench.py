@@ -153,6 +153,10 @@ HEADLINE = [
     # registered name, and the fixture write as its own row.
     "stream_late_data_accounting",
     "stream_late_feed_write",
+    # r10 registration: append-mode session emission + late-drop
+    # accounting (merging state) — pipeline-only over the same cached
+    # feed, like the tumbling row above.
+    "stream_session_late_accounting",
 ]
 
 
@@ -218,12 +222,20 @@ def _bench_only():
         _write_late_feed(spark, sf_dir)
         return spark.range(1)  # run() force-writes a DataFrame
 
+    def session_late_pipeline(spark, sf_dir):
+        from dbt_ci_demo_spark.queries_media import _session_accounting_from_feed
+
+        return _session_accounting_from_feed(
+            spark, sf_dir, _late_feed_cached(spark, sf_dir)
+        )
+
     return {
         "dedup_simhash_xxhash64": simhash_xxh,
         "dedup_minhash_xxhash64": minhash_xxh,
         "dedup_cluster_star_chain": cc_star_chain,
         "stream_late_data_accounting": late_pipeline,
         "stream_late_feed_write": late_feed_write,
+        "stream_session_late_accounting": session_late_pipeline,
         "_warm_late_feed": _late_feed_cached,
     }
 

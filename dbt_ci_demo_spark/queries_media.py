@@ -419,6 +419,100 @@ def _late_accounting_from_feed(
 
 
 @query(
+    "stream_session_late_accounting",
+    oracle=f"""
+    WITH on_time AS (
+      SELECT * FROM events WHERE ts >= TIMESTAMP '{_ONTIME_CUT}'
+    ),
+    late AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '{_LATE_CUT}'
+    ),
+    cut AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS c
+      FROM on_time
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM on_time
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ),
+    final AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT f.user_id, f.session_start, f.session_end, f.n_events,
+           (SELECT count(*) FROM late) AS n_late_dropped
+    FROM final f, cut
+    WHERE f.session_end <= cut.c
+    """,
+)
+def stream_session_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session-window emission + late-data accounting (r10 —
+    the merging-state counterpart of ``stream_late_data_accounting``,
+    whose UPDATE-mode tumbling aggregation can't witness append-mode
+    emission discipline, and session windows don't support update mode at
+    all). Same 3-batch feed; the gap-merged session state emits a session
+    exactly once, when the watermark passes its end. The oracle states
+    the full emitted-session TABLE value-exactly: batch lag/cumsum
+    sessionization of the on-time slice, filtered to sessions the
+    watermark had closed — ``session_end <= floor_ms(max on-time ts) -
+    2h``. Two empirically pinned semantics the oracle encodes (see
+    tests/test_northstar.py::test_session_append_boundary_emission):
+    eviction/emission is INCLUSIVE (a session ending exactly at the
+    watermark emits — batch-end eviction uses ``end <= wm``), and the
+    watermark itself is millisecond-floored (Spark tracks event-time max
+    in ms), hence the oracle's ``date_trunc('milliseconds', ...)``.
+    Trailing sessions (end past the watermark) stay in state, unemitted —
+    excluded on both sides; the late batch drops wholesale pre-state and
+    is accounted in the constant ``n_late_dropped`` column, cross-checked
+    in-engine against numRowsDroppedByWatermark (post-partial-agg:
+    0 < metric <= exact loss)."""
+    return _session_accounting_from_feed(
+        spark, sf_dir, _write_late_feed(spark, sf_dir)
+    )
+
+
+def _session_accounting_from_feed(
+    spark: SparkSession, sf_dir: str, feed: str
+) -> DataFrame:
+    """Pipeline stage of stream_session_late_accounting (bench times this
+    over a pre-built feed, mirroring the tumbling row's decomposition)."""
+    _, late = _late_event_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    name = f"q_stream_sess_late_{next(_sink_seq)}"
+    emitted, q = es.run_to_memory(
+        spark, es.session_windows(stream), name, "append", return_query=True
+    )
+    n_late = late.count()
+    metric = es.watermark_dropped_rows(q)
+    if not (0 < metric <= n_late):
+        raise RuntimeError(
+            f"session late-data accounting drift: "
+            f"numRowsDroppedByWatermark={metric} vs late rows={n_late} — "
+            "the observability metric must witness the loss "
+            "(0 < metric <= exact loss)"
+        )
+    return emitted.withColumn("n_late_dropped", F.lit(n_late).cast("long"))
+
+
+@query(
     "stream_sliding_windows",
     oracle="""
     WITH cand AS (

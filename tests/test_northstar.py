@@ -979,6 +979,54 @@ def test_watermark_dropped_rows_retention_guard():
     assert listener.total("other") == 0
 
 
+def test_session_append_boundary_emission(spark):
+    """The two empirically-pinned semantics behind
+    stream_session_late_accounting's oracle (r10): APPEND-mode session
+    emission is INCLUSIVE at the watermark — a session whose end lands
+    EXACTLY on the watermark (10:00 event + 30 min gap = 10:30 end;
+    sentinel at 12:30 puts the watermark at exactly 10:30) IS emitted at
+    the close of the next batch — and late rows behind the watermark are
+    dropped pre-state and witnessed by numRowsDroppedByWatermark. If a
+    Spark upgrade flips the boundary to exclusive, this fails and the
+    oracle's `session_end <= cutoff` must flip with it."""
+    import datetime
+
+    from dbt_ci_demo_spark.streaming import events_stream as es
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def ev(eid, ts, uid):
+        return (eid, datetime.datetime.fromisoformat(ts), uid, "click", 1.0, "{}")
+
+    # user 1: session end == watermark (the boundary tie); user 2: end
+    # well before it (must emit either way); user 3: the sentinel (its
+    # session stays open — trailing horizon); user 4: a day late (drops)
+    b1 = spark.createDataFrame(
+        [ev(1, "2024-01-02 10:00", 1), ev(2, "2024-01-02 09:00", 2)], schema
+    )
+    sentinel = spark.createDataFrame([ev(3, "2024-01-02 12:30", 3)], schema)
+    late = spark.createDataFrame([ev(4, "2024-01-01 00:00", 4)], schema)
+    feed = es.write_batch_feed([b1, sentinel, late], name="boundarytie")
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    emitted, q = es.run_to_memory(
+        spark, es.session_windows(stream), "t_sess_tie", "append", return_query=True
+    )
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end)) for r in emitted.collect()
+    )
+    assert got == [
+        (1, "2024-01-02 10:00:00", "2024-01-02 10:30:00"),  # end == wm: emitted
+        (2, "2024-01-02 09:00:00", "2024-01-02 09:30:00"),
+    ], got
+    assert es.watermark_dropped_rows(q) == 1
+    for sq in spark.streams.active:
+        sq.stop()
+
+
 @pytest.mark.slow  # ~15s randomized multi-batch sweep: round-close tier
 def test_streaming_cdc_runs_multiple_batches_any_order(spark, tmp_path):
     """The foreachBatch CDC sink must actually process MULTIPLE
