@@ -17,12 +17,14 @@
 from __future__ import annotations
 
 import traceback
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dbt_ci_demo_spark.operators.materialize import Warehouse
+from dbt_ci_demo_spark.operators.quality import run_test_harness
 from dbt_ci_demo_spark.plans.graph import ModelGraph
 from dbt_ci_demo_spark.plans.model import Model
 from dbt_ci_demo_spark.plans.state import StateManifest
@@ -110,6 +112,23 @@ class RunResult:
 
 
 @dataclass
+class BuildStep:
+    """One ordered entry of a ``dbt build`` run (run_results analog):
+    seeds/models/snapshots in DAG order with each node's tests
+    IMMEDIATELY after it — the ordering + failure-skip contract of the
+    reference CI's actual command (`dbt build`,
+    .github/workflows/ci_full_test_no_container.yml:33; the incremental
+    workflows run `dbt build --select state:modified --defer --state …`,
+    ci_incr_test_w_container.yml:34)."""
+
+    seq: int
+    node: str
+    resource_type: str  # seed | model | snapshot | test
+    status: str  # success | pass | fail | error | skipped
+    n_rows: int | None = None  # written rows (nodes) / failures (tests)
+
+
+@dataclass
 class Runner:
     spark: SparkSession
     models: dict[str, Model]
@@ -148,10 +167,22 @@ class Runner:
         state: StateManifest | None = None,
         defer: bool = False,
         state_out: str | None = None,
+        tests: dict[str, list[tuple[str, Callable[[DataFrame], DataFrame]]]] | None = None,
+        build_steps: list[BuildStep] | None = None,
     ) -> dict[str, RunResult]:
+        """Run the selected DAG. With ``tests``/``build_steps`` this is
+        ``dbt build`` (see :class:`BuildStep`): each node's tests run
+        immediately after the node materializes (post-wave, wave order),
+        a hard test failure (should_error) SKIPS every downstream node —
+        the behavioral contract distinguishing `dbt build` from
+        `dbt run; dbt test` — and every resource lands as an ordered
+        step with its written-row / failure count."""
         selected = self.graph.select(state, select)
         defer_state = state if defer else None
+        if tests is not None and build_steps is None:
+            build_steps = []  # tests imply build-mode bookkeeping
         results: dict[str, RunResult] = {}
+        test_failed: set[str] = set()
         new_state = StateManifest(dict(state.nodes) if state else {})
 
         def run_one(name: str) -> RunResult:
@@ -162,6 +193,11 @@ class Runner:
             )
             if failed_parent:
                 return RunResult(name, "skipped", error=f"upstream {failed_parent} failed")
+            bad_test_parent = next((p for p in m.refs if p in test_failed), None)
+            if bad_test_parent:
+                return RunResult(
+                    name, "skipped", error=f"upstream {bad_test_parent} test failed"
+                )
             try:
                 ctx = ModelContext(
                     self.spark, m, self.warehouse, self.sources, selected, defer_state
@@ -181,6 +217,37 @@ class Runner:
             except Exception as e:  # noqa: BLE001
                 return RunResult(name, "error", error=f"{e}\n{traceback.format_exc()}")
 
+        def record_wave(wave: list[str]) -> None:
+            """dbt build bookkeeping: ordered steps + tests-after-node."""
+            for name in wave:
+                res = results[name]
+                m = self.models[name]
+                rtype = (
+                    m.config.materialized
+                    if m.config.materialized in ("seed", "snapshot")
+                    else "model"
+                )
+                n_rows = (
+                    self.warehouse.read(name).count()
+                    if res.status == "success"
+                    else None
+                )
+                build_steps.append(
+                    BuildStep(len(build_steps) + 1, name, rtype, res.status, n_rows)
+                )
+                if res.status != "success":
+                    continue
+                for test_name, test_fn in (tests or {}).get(name, []):
+                    _, tr = run_test_harness(test_fn(self.warehouse.read(name)))
+                    status = "fail" if tr.should_error else "pass"
+                    if tr.should_error:
+                        test_failed.add(name)
+                    build_steps.append(
+                        BuildStep(
+                            len(build_steps) + 1, test_name, "test", status, tr.failures
+                        )
+                    )
+
         # Waves: independent models run concurrently on the FAIR scheduler —
         # the reference's `threads: 4` node-level parallelism (B36).
         for wave in self.graph.execution_waves(selected):
@@ -191,6 +258,8 @@ class Runner:
                 with ThreadPoolExecutor(max_workers=self.env.threads) as pool:
                     for name, res in zip(wave, pool.map(run_one, wave)):
                         results[name] = res
+            if build_steps is not None:
+                record_wave(wave)
         if state_out:
             new_state.save(state_out)
         self._last_state = new_state
@@ -199,6 +268,13 @@ class Runner:
     def _materialize(self, m: Model, ctx: ModelContext) -> str:
         cfg = m.config
         df = m.fn(ctx)
+        if cfg.materialized == "seed":
+            # B3 seed inside the DAG (dbt build runs seeds as graph
+            # nodes): the node fn yields the parsed CSV frame (the
+            # Warehouse.load_seed path for file-based seeds); build
+            # writes it like a table so downstream ref() resolves.
+            self.warehouse.write_table(df, m.name)
+            return "seed"
         if cfg.materialized == "table":
             self.warehouse.write_table(
                 df, m.name, partition_by=cfg.partition_by, cluster_by=cfg.cluster_by

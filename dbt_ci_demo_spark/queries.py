@@ -1605,12 +1605,14 @@ _PRIORITY: list[str] = [
     #    which they return to permanent slate exemption), then the
     #    computed age queue: the two rows that slipped in r09
     #    (events_json_props, mm_features), the r02 remainder, and the 7
-    #    oldest r03 greens. The r10 registration
-    #    (stream_session_late_accounting — sf0.001/0.01/0.1-oracle-green
-    #    before promotion) jumps the head per policy; with the twins it
-    #    displaces mm_image_metadata, mm_resize and text_winnowing (r03)
-    #    to the r11 queue head. --
+    #    oldest r03 greens. The two r10 registrations
+    #    (stream_session_late_accounting, wr_build_e2e — both
+    #    sf0.001/0.01/0.1-oracle-green before promotion) jump the head
+    #    per policy; with the twins they displace emb_kmeans_converged,
+    #    mm_image_metadata, mm_resize and text_winnowing (r03) to the
+    #    r11 queue head. --
     "stream_session_late_accounting",
+    "wr_build_e2e",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
     "events_json_props",
@@ -1629,7 +1631,6 @@ _PRIORITY: list[str] = [
     "dedup_cluster_components",
     "sim_embedding_neardup",
     "emb_kmeans_step",
-    "emb_kmeans_converged",
     # -- tail: driver-green in r01..r09 (rotated out of the window;
     #    newest evidence first — the r09 window, then the r08 window;
     #    the r11 queue head is mm_resize, text_winnowing (the two r03
@@ -1754,6 +1755,7 @@ _PRIORITY: list[str] = [
     "ts_date_spine_gapfill",
     "samp_hash_fraction",
     "pipe_embedding_end_to_end",
+    "emb_kmeans_converged",
     "mm_image_metadata",
     "mm_resize",
     "text_winnowing",

@@ -789,3 +789,208 @@ def wr_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "event_id", "user_id", "event_type", "value", F.col("ds").cast("string").alias("ds")
     )
+
+
+# ---------------------------------------------------------------------------
+# dbt build end-to-end: the reference CI's actual command.
+# ---------------------------------------------------------------------------
+
+_BUILD_SEED_CSV = """c_mktsegment,priority
+AUTOMOBILE,1
+BUILDING,2
+FURNITURE,3
+HOUSEHOLD,4
+MACHINERY,5
+"""
+
+_BUILD_SEED_VALUES = """(VALUES
+      ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
+      ('HOUSEHOLD', 4), ('MACHINERY', 5)) AS sd(c_mktsegment, priority)"""
+
+_BUILD_ORACLE = f"""
+    WITH stg AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    mart_n AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT sd.priority
+        FROM stg JOIN customer c ON stg.o_custkey = c.c_custkey
+        JOIN {_BUILD_SEED_VALUES} ON c.c_mktsegment = sd.c_mktsegment
+      )
+    )
+    SELECT * FROM (
+      SELECT 1 AS seq, 'seed_priority' AS node, 'seed' AS resource_type,
+             'success' AS status, CAST(5 AS BIGINT) AS n_rows
+      UNION ALL SELECT 2, 'stg_dup_custkeys', 'model', 'success',
+             (SELECT count(*) FROM orders)
+      UNION ALL SELECT 3, 'unique_stg_dup_custkeys_o_custkey', 'test', 'fail',
+             (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                                    GROUP BY o_custkey HAVING count(*) > 1))
+      UNION ALL SELECT 4, 'stg_orders_b', 'model', 'success',
+             (SELECT count(*) FROM stg)
+      UNION ALL SELECT 5, 'not_null_stg_orders_b_o_orderkey', 'test', 'pass',
+             CAST(0 AS BIGINT)
+      UNION ALL SELECT 6, 'unique_stg_orders_b_o_orderkey', 'test', 'pass',
+             CAST(0 AS BIGINT)
+      UNION ALL SELECT 7, 'mart_dup_downstream', 'model', 'skipped',
+             CAST(NULL AS BIGINT)
+      UNION ALL SELECT 8, 'mart_priority_sales', 'model', 'success',
+             (SELECT n FROM mart_n)
+      UNION ALL SELECT 9, 'not_null_mart_priority_sales_priority', 'test', 'pass',
+             CAST(0 AS BIGINT)
+      UNION ALL SELECT 10, 'relationships_mart_priority_sales_priority', 'test',
+             'pass', CAST(0 AS BIGINT)
+      UNION ALL SELECT 11, 'snap_priority', 'snapshot', 'success',
+             (SELECT n FROM mart_n)
+    )
+"""
+
+
+def _build_e2e_models(spark: SparkSession) -> dict[str, Model]:
+    from pyspark.sql import functions as F  # noqa: F401 — closure clarity
+
+    reg: dict[str, Model] = {}
+
+    def _seed_priority(ctx):
+        # the Warehouse.load_seed parse path (header + inferSchema) over
+        # a CSV payload — a dbt seed is a version-controlled CSV file
+        path = os.path.join(_wh_root(), "seed_priority.csv")
+        with open(path, "w") as f:
+            f.write(_BUILD_SEED_CSV)
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(path)
+            .select("c_mktsegment", F.col("priority").cast("int").alias("priority"))
+        )
+
+    model("seed_priority", registry=reg, materialized="seed")(_seed_priority)
+
+    def _stg_orders_b(ctx):
+        return (
+            ctx.source("orders")
+            .filter(F.col("o_orderkey") % 4 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    model("stg_orders_b", sources=["orders"], registry=reg)(_stg_orders_b)
+
+    def _stg_dup_custkeys(ctx):
+        return ctx.source("orders").select("o_custkey")
+
+    model("stg_dup_custkeys", sources=["orders"], registry=reg)(_stg_dup_custkeys)
+
+    def _mart_priority_sales(ctx):
+        o = ctx.ref("stg_orders_b")
+        c = ctx.source("customer")
+        sd = ctx.ref("seed_priority")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(sd, "c_mktsegment")
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                exact_sum("o_totalprice").alias("revenue"),
+            )
+        )
+
+    model(
+        "mart_priority_sales",
+        refs=["stg_orders_b", "seed_priority"],
+        sources=["customer"],
+        registry=reg,
+    )(_mart_priority_sales)
+
+    def _mart_dup_downstream(ctx):
+        return ctx.ref("stg_dup_custkeys").distinct()
+
+    model("mart_dup_downstream", refs=["stg_dup_custkeys"], registry=reg)(
+        _mart_dup_downstream
+    )
+
+    def _snap_priority(ctx):
+        return ctx.ref("mart_priority_sales").withColumn(
+            "updated_at", F.lit("2026-01-01 00:00:00").cast("timestamp")
+        )
+
+    model(
+        "snap_priority",
+        refs=["mart_priority_sales"],
+        registry=reg,
+        materialized="snapshot",
+        unique_key="priority",
+        strategy="check",
+        check_cols=["n_orders", "revenue"],
+        updated_at="updated_at",
+    )(_snap_priority)
+
+    return reg
+
+
+@query("wr_build_e2e", oracle=_BUILD_ORACLE)
+def wr_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt build`` end-to-end (r10) — the reference CI's ACTUAL command
+    (.github/workflows/ci_full_test_no_container.yml:33 runs bare
+    ``dbt build``; the incremental workflows run ``dbt build --select
+    state:modified --defer --state …``, ci_incr_test_w_container.yml:34):
+    seeds, models and snapshots materialize in DAG order with each node's
+    generic tests IMMEDIATELY after it, and a hard test failure SKIPS the
+    failing node's downstream — the behavioral contract distinguishing
+    ``build`` from ``run; test`` (previously each resource type had its
+    own row; the ordering/failure-skip composition had none).
+
+    The DAG: a CSV seed (segment→priority), a clean staging model whose
+    unique/not_null tests pass, a deliberately duplicate-keyed staging
+    model whose unique test FAILS (so its downstream mart must come out
+    ``skipped`` — the oracle pins the skip), a mart joining staging ×
+    customer source × seed, its not_null/relationships tests, and an SCD2
+    check-strategy snapshot of the mart. Returns the ordered run-results
+    table (seq, node, resource_type, status, n_rows); every count is
+    data-derived in the oracle, so the row also value-checks the seed
+    parse, the test failure counts, and the snapshot first build.
+    threads=1 — waves are name-sorted, so the step order is exact."""
+    from dbt_ci_demo_spark.operators.quality import (
+        test_not_null,
+        test_relationships,
+        test_unique,
+    )
+    from dbt_ci_demo_spark.plans.runner import BuildStep  # noqa: F401
+
+    db = "wq_build_e2e"
+    wh = _wh(spark, db)
+    for t in wh.list_tables():
+        wh.drop(t)
+    reg = _build_e2e_models(spark)
+    runner = Runner(
+        spark,
+        reg,
+        env=EnvConfig(env="prod", database_prefix=db, threads=1),
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), db),
+    )
+    def seed_parent(_df):
+        return runner.warehouse.read("seed_priority")
+
+    tests = {
+        "stg_orders_b": [
+            ("not_null_stg_orders_b_o_orderkey", lambda df: test_not_null(df, "o_orderkey")),
+            ("unique_stg_orders_b_o_orderkey", lambda df: test_unique(df, "o_orderkey")),
+        ],
+        "stg_dup_custkeys": [
+            ("unique_stg_dup_custkeys_o_custkey", lambda df: test_unique(df, "o_custkey")),
+        ],
+        "mart_priority_sales": [
+            ("not_null_mart_priority_sales_priority", lambda df: test_not_null(df, "priority")),
+            (
+                "relationships_mart_priority_sales_priority",
+                lambda df: test_relationships(df, "priority", seed_parent(df), "priority"),
+            ),
+        ],
+    }
+    steps: list = []
+    runner.build(tests=tests, build_steps=steps)
+    rows = [(s.seq, s.node, s.resource_type, s.status, s.n_rows) for s in steps]
+    return spark.createDataFrame(
+        rows, "seq int, node string, resource_type string, status string, n_rows bigint"
+    )

@@ -748,3 +748,55 @@ def test_compact_layout_broadcasts_counts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_build_with_tests_skips_downstream_of_failed_test(spark, sf_dir, env, tmp_path):
+    """dbt build semantics (r10, wr_build_e2e's engine seam): a node's
+    generic tests run immediately after it materializes; a hard test
+    failure leaves the NODE success (it did build) but SKIPS every
+    downstream node — the behavioral contract distinguishing `dbt build`
+    from `dbt run; dbt test`. Steps come out in wave order with
+    data-derived counts; a seed-materialized node dispatches through
+    write_table and resolves via ref()."""
+    from dbt_ci_demo_spark.operators.quality import test_unique
+
+    registry: dict[str, Model] = {}
+
+    @model(name="a_seed", registry=registry, materialized="seed")
+    def a_seed(ctx):
+        return spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+
+    @model(name="child_of_seed", refs=["a_seed"], registry=registry)
+    def child_of_seed(ctx):
+        return ctx.ref("a_seed")
+
+    @model(name="clean", sources=["orders"], registry=registry)
+    def clean(ctx):
+        return ctx.source("orders").select("o_orderkey").limit(10)
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    steps: list = []
+    results = runner.build(
+        tests={
+            "a_seed": [("unique_a_seed_k", lambda df: test_unique(df, "k"))],
+            "clean": [("unique_clean_ok", lambda df: test_unique(df, "o_orderkey"))],
+        },
+        build_steps=steps,
+    )
+    # the duplicate-keyed seed BUILDS (success) but its test fails...
+    assert results["a_seed"].status == "success"
+    # ...and the downstream node is skipped for that reason
+    assert results["child_of_seed"].status == "skipped"
+    assert "test failed" in results["child_of_seed"].error
+    assert results["clean"].status == "success"
+    by_node = {(s.node, s.resource_type): s for s in steps}
+    assert by_node[("a_seed", "seed")].n_rows == 2
+    assert by_node[("unique_a_seed_k", "test")].status == "fail"
+    assert by_node[("unique_a_seed_k", "test")].n_rows == 1  # one duplicated key
+    assert by_node[("unique_clean_ok", "test")].status == "pass"
+    assert by_node[("child_of_seed", "model")].status == "skipped"
+    assert by_node[("child_of_seed", "model")].n_rows is None
+    # ordered: each test follows its node, skip follows in the next wave
+    seqs = [s.seq for s in steps]
+    assert seqs == sorted(seqs) == list(range(1, len(steps) + 1))
+    runner.warehouse.drop_database()
