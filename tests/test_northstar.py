@@ -979,6 +979,8 @@ def test_watermark_dropped_rows_retention_guard():
     assert listener.total("other") == 0
 
 
+@pytest.mark.slow  # ~15s 3-micro-batch run: a Spark-upgrade regression
+# pin (the oracle itself re-checks the semantics every gate), round-close tier
 def test_session_append_boundary_emission(spark):
     """The two empirically-pinned semantics behind
     stream_session_late_accounting's oracle (r10): APPEND-mode session

@@ -639,6 +639,8 @@ def test_ntile_exact_routes_and_matches_ntile(spark):
         assert got == want, n_strata
 
 
+@pytest.mark.slow  # ~10s 1300-strata fixture: round-close tier (the
+# boundary property test + small-ceiling end-to-end keep the fast signal)
 def test_ntile_exact_highcard_fixture(spark):
     """The 1300-strata fixture (past the real 1024 literal-CASE ceiling,
     the case that used to be a caller-facing ValueError foot-gun) passes
