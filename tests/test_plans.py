@@ -41,9 +41,13 @@ _CARTESIAN_OK = {
     "q11_important_parts",
     "text_tfidf_topterms",
     "text_unigram_logprob",  # same shape: 1-row (N, V) totals broadcast
-    # text_ccnet_buckets no longer needs the exemption: r09's
-    # ntile_histogram pin_input puts the unigram totals broadcast inside
-    # the pinned scoring lineage, not the corpus plan
+    # text_ccnet_buckets: the unigram-totals 1-row broadcast lives inside
+    # the PINNED scoring lineage. r09's localCheckpoint pin hid it from
+    # the plan text entirely; the r10 fault-tolerant persist pin keeps
+    # the recompute lineage attached, so InMemoryRelation PRINTS it —
+    # the nested-loop stage executes once on cache build (1-row side),
+    # never per corpus read. Same bounded shape as text_unigram_logprob.
+    "text_ccnet_buckets",
     "pipe_mixture_from_quality",  # same shape: 1-row min-clean-tokens broadcast
     "samp_budget_allocation",  # same shape: 1-row N/leftover broadcasts over a k-row table
     "pipe_budgeted_curation",  # same shape: allocate_budget's 1-row broadcasts inside
