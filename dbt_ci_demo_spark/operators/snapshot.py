@@ -282,8 +282,12 @@ def snapshot_cycle(
     manifest.json:1@122973: "Invalid value for 'check_cols': ..." @124564)
     instead of letting :func:`check_strategy` iterate the string
     character-by-character into an opaque unresolved-column
-    AnalysisException."""
-    if isinstance(check_cols, str) and check_cols != "all":
+    AnalysisException. Like the reference, the gate lives in the CHECK
+    dispatch only — a timestamp-strategy run never reads ``check_cols``,
+    so a stray value there stays ignored (r10 review finding: the first
+    cut gated unconditionally, failing previously-working timestamp
+    callers)."""
+    if strategy == "check" and isinstance(check_cols, str) and check_cols != "all":
         raise ValueError(
             f"Invalid value for 'check_cols': {check_cols!r}. Expected "
             "'all' or a list of column names."

@@ -125,7 +125,11 @@ class BuildStep:
     node: str
     resource_type: str  # seed | model | snapshot | test
     status: str  # success | pass | fail | error | skipped
-    n_rows: int | None = None  # written rows (nodes) / failures (tests)
+    # nodes: TABLE rows after the run (a full count of the target — for
+    # incremental models that is total state, not this run's delta, and
+    # for views it re-executes the view plan; the count only runs in
+    # build-steps mode). tests: failure count from the harness.
+    n_rows: int | None = None
 
 
 @dataclass

@@ -356,9 +356,17 @@ def _write_late_feed(spark: SparkSession, sf_dir: str) -> str:
     sentinel, sentinel, late) — see write_batch_feed for the two Spark
     timing facts the 3-batch shape respects."""
     on_time, late = _late_event_slices(spark, sf_dir)
-    # fixture setup: a 1-row bounded read picks the sentinel (any max-ts row)
+    # fixture setup: 1-row bounded reads pick the sentinel. The pick is
+    # fully DETERMINISTIC (min event_id at the max ts), because the
+    # sentinel expression is evaluated by two separate jobs (the batch-0
+    # anti-join and the batch-1 write) — a limit(1) over a max-ts TIE
+    # could select different rows in each, dropping one row from and
+    # duplicating another in the feed (r10 review finding).
     mx = on_time.agg(F.max("ts")).first()[0]
-    sentinel = on_time.filter(F.col("ts") == mx).limit(1)
+    sid = (
+        on_time.filter(F.col("ts") == mx).agg(F.min("event_id")).first()[0]
+    )
+    sentinel = on_time.filter(F.col("event_id") == F.lit(sid))
     return es.write_batch_feed(
         [
             on_time.join(sentinel.select("event_id"), "event_id", "left_anti"),

@@ -1583,17 +1583,23 @@ def text_ccnet_buckets(
         return tercile_buckets(scores.join(langs, "doc_id"))
     ensure_checkpoint_dir(spark)
     # The scoring pipeline is the expensive subtree and the bucket plan
-    # references it several times (stats, histogram, assignment).
-    # ntile_histogram pins its input itself (pin_input=True default,
-    # r09; fault-tolerant persist(MEMORY_AND_DISK) since r10, ADVICE
+    # references it several times (stats, histogram, assignment). The
+    # pin is the fault-tolerant persist(MEMORY_AND_DISK) (r10, ADVICE
     # r09): the slim 4-column table materializes once — inside the
     # stats collect — and the histogram job plus both union branches
-    # read the cached blocks, so the caller-side persist/unpersist
-    # this wrapper used to carry is gone. Lifetime: the cache entry
-    # lives in the session's CacheManager (LRU-evictable, disk-spilled)
-    # until unpersist/clearCache; identical re-runs reuse one entry.
-    scored = scores.join(langs, "doc_id")
-    return tercile_buckets(scored).checkpoint(eager=True)
+    # read the cached blocks. Because this branch MATERIALIZES the
+    # result (eager checkpoint), the pinned input is dead weight
+    # afterwards, so this caller owns the pin and unpersists it —
+    # bounded cache lifetime, unlike the operator-internal default
+    # whose CacheManager entry lives until clearCache (fine for the
+    # lazy/compose path, wasteful after an eager materialization).
+    from dbt_ci_demo_spark.operators.sampling import _pin_corpus
+
+    scored = _pin_corpus(scores.join(langs, "doc_id"))
+    try:
+        return tercile_buckets(scored, pin_input=False).checkpoint(eager=True)
+    finally:
+        scored.unpersist()
 
 
 def tercile_buckets(
@@ -1602,6 +1608,7 @@ def tercile_buckets(
     id_col: str = "doc_id",
     strata_cols: list[str] | None = None,
     n_bins: int = 1024,
+    pin_input: bool = True,
 ) -> DataFrame:
     """Exact ntile(3)-per-stratum bucket assignment ('head'/'middle'/
     'tail') WITHOUT a stratum-sized window — the bounded plan behind
@@ -1629,6 +1636,7 @@ def tercile_buckets(
         n_bins=n_bins,
         ascending=False,
         tile_col="__tile",
+        pin_input=pin_input,
     )
     return t.select(
         *scored.columns,

@@ -955,7 +955,6 @@ def wr_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_relationships,
         test_unique,
     )
-    from dbt_ci_demo_spark.plans.runner import BuildStep  # noqa: F401
 
     db = "wq_build_e2e"
     wh = _wh(spark, db)

@@ -166,3 +166,10 @@ def test_snapshot_cycle_invalid_check_cols_str(spark):
         snap.snapshot_cycle(
             v1, None, "k", "updated_at", strategy="check", check_cols="name"
         )
+    # ...but like the reference, only inside the CHECK dispatch: the
+    # timestamp strategy never reads check_cols, so a stray value stays
+    # ignored there instead of failing a previously-working call
+    out = snap.snapshot_cycle(
+        v1, hist, "k", "updated_at", strategy="timestamp", check_cols="name"
+    )
+    assert out.count() == 1

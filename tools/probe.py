@@ -29,12 +29,22 @@ def main() -> None:
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
+    import bench
+
     from dbt_ci_demo_spark.queries import registry_queries
     from dbt_ci_demo_spark.session import get_spark
 
     spark = get_spark(f"probe-{name}")
-    regs = registry_queries()
+    # Overlay the bench's own rows/overrides so a probe measures the SAME
+    # composition the bench row did — e.g. stream_late_data_accounting is
+    # the pipeline-only override (pre-built feed), not the registered
+    # fixture-write+pipeline composition, and the xxhash64/star-chain
+    # bench-only rows resolve at all.
+    overrides, warm_late_feed = bench._bench_only()
+    regs = {**registry_queries(), **overrides}
     fn = regs[name]
+    if name in ("stream_late_data_accounting", "stream_session_late_accounting"):
+        warm_late_feed(spark, sf_dir)  # untimed, as in bench.main()
 
     def run() -> float:
         t0 = time.perf_counter()
