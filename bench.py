@@ -157,6 +157,11 @@ HEADLINE = [
     # accounting (merging state) — pipeline-only over the same cached
     # feed, like the tumbling row above.
     "stream_session_late_accounting",
+    # r10 registration: exact-substring span dedup (Lee et al. suffix-array
+    # family, distributed as duplicated 8-gram span extraction) — the
+    # gram-hash count + semi join + doc-bounded island merge over the
+    # dup-injected corpus.
+    "dedup_substring_spans",
 ]
 
 

@@ -16,6 +16,12 @@ candidate recall at the LSH stage.
 
 Scale design:
 - exact dedup: one shuffle on the content hash.
+- exact SUBSTRING dedup (span extraction): duplicated k-token windows
+  via one map-side-combinable gram-hash count + output-proportional
+  semi join, merged to maximal removal intervals by a doc-bounded
+  gaps-and-islands window — the distributed stand-in for the
+  suffix-array method (Lee et al. 2022); no corpus-sized state, no
+  global window.
 - MinHash+LSH: shingle explode → 1 groupBy for signatures (N min-aggs in
   one pass) → band explode → self-join on (band, band_hash) buckets →
   exact-Jaccard verification of candidates only. No O(n²) stage; the
@@ -35,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbt_ci_demo_spark.session import ensure_checkpoint_dir
 
@@ -949,4 +956,106 @@ def decontaminate_against(
         F.round(F.col("shared_ngrams").cast("double") / F.col("n_grams"), 6).alias(
             "overlap_frac"
         ),
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """EXACT SUBSTRING dedup (span extraction): find every maximal token
+    span that is part of text duplicated elsewhere in the corpus — the
+    distributed reformulation of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; the RefinedWeb/Gopher exact-span stage). Returns per
+    duplicated span (id, span_start, span_end, span_tokens, n_dup_grams)
+    with 0-based inclusive token indices; downstream splices the spans
+    out of the document (removal-set semantics) rather than dropping the
+    whole doc — the behavior that distinguishes this family from
+    doc-level exact/near dedup (`exact_duplicates`, MinHash).
+
+    Semantics: tokenize on whitespace (case-SENSITIVE — "exact" means
+    exact; `word_shingles`' lowercase canon is the near-dup family's),
+    slide a k-token window, and mark every window whose token sequence
+    occurs >= ``min_occurrences`` times corpus-wide (same-document
+    repeats count — self-repetition IS duplication, cf. the suffix
+    array's corpus-level count). Any duplicated substring of length
+    L >= k tokens is covered by its L-k+1 duplicated windows, so spans
+    of at least k tokens are recovered with EXACT boundaries; shorter
+    duplicates are invisible (the standard k-length floor). Marked
+    window starts at distance <= k merge (overlap or exact adjacency)
+    into one maximal removal interval via per-document gaps-and-islands.
+
+    Plan shape (one corpus tokenize per reference, three shuffles, no
+    O(n^2) stage):
+      1. projection: split + transform/posexplode -> (id, pos, gram
+         hash); narrow, whole-stage-codegen.
+      2. groupBy(gram hash) count -> duplicated-gram set: map-side
+         combinable; the hottest gram (boilerplate) partial-aggregates
+         before the exchange.
+      3. left-semi join grams -> duplicated set on the 8-byte
+         ``xxhash64`` of the gram, NOT the k-token string — the
+         `remove_duplicate_lines` key discipline: shuffle bytes shrink
+         severalfold exactly on the heavy keys, the hash never reaches
+         the output, and a 64-bit collision (the only way results could
+         differ from keying on the string, ~n^2/2^65) merely marks one
+         extra window. Marked rows are output-proportional; AQE
+         skew-splits a boilerplate heavy-hitter.
+      4. one doc-keyed exchange for the island merge: lag + running sum
+         share a single (id, pos) sort — Spark plans ONE Window exchange
+         with two Window nodes — and every partition is DOC-BOUNDED
+         (<= n_tokens - k + 1 rows), the repo's accepted bounded-window
+         class; the closing (id, island) aggregate is map-side
+         combinable.
+    The gram table is intentionally NOT pinned: it is corpus x ~n_tokens
+    rows, so re-deriving it from a column-pruned (id, text) scan on the
+    dup-count branch beats storing a corpus-scale copy (the
+    `win_ntile_quartiles` bare-scan opt-out, applied at step 2/3's
+    shared subtree).
+    """
+    if k < 1 or min_occurrences < 2:
+        raise ValueError("k must be >= 1 and min_occurrences >= 2")
+    toks = F.split(F.col(text_col), r"\s+")
+    with_toks = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col("__t"), i + 1, k))),
+    )
+    grams = with_toks.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "__gh")
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__gh")
+    )
+    marked = grams.join(dup, on="__gh", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "__new",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("__isl")
     )

@@ -1610,7 +1610,11 @@ _PRIORITY: list[str] = [
     #    sf0.001/0.01/0.1-oracle-green before promotion) jump the head
     #    per policy; with the twins they displace emb_kmeans_converged,
     #    mm_image_metadata, mm_resize and text_winnowing (r03) to the
-    #    r11 queue head. --
+    #    r11 queue head. The late-round registration
+    #    dedup_substring_spans (exact-substring span dedup, the Lee et
+    #    al. suffix-array family) also jumps the head, displacing
+    #    emb_kmeans_step (r03) to the r11 queue head as well. --
+    "dedup_substring_spans",
     "stream_session_late_accounting",
     "wr_build_e2e",
     "dedup_jaccard_pairs",
@@ -1630,11 +1634,13 @@ _PRIORITY: list[str] = [
     "dedup_exact_groups",
     "dedup_cluster_components",
     "sim_embedding_neardup",
-    "emb_kmeans_step",
     # -- tail: driver-green in r01..r09 (rotated out of the window;
     #    newest evidence first — the r09 window, then the r08 window;
-    #    the r11 queue head is mm_resize, text_winnowing (the two r03
-    #    slips), then the remaining r03 greens and r04+) --
+    #    the r11 queue head is emb_kmeans_step (displaced from this
+    #    window by the dedup_substring_spans registration), mm_resize,
+    #    text_winnowing (the r03 slips), then the remaining r03 greens
+    #    and r04+) --
+    "emb_kmeans_step",
     "snap_check_all",
     "stream_late_data_accounting",
     "win_ntile_highcard",

@@ -114,6 +114,55 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH docs AS ({_DOCS_DUP}),
+    toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], chr(31)) AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    marked AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 8
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2022 suffix-array family,
+    distributed as duplicated k-gram span extraction — the dedup family
+    the doc-level operators don't cover: splice-out removal intervals,
+    not whole-doc drops). Over the trailing-marker dup-injected corpus
+    the copies share every token but the appended marker, so the span
+    boundary math is exercised exactly: the copy's maximal span must END
+    at the last shared token, excluding the marker; the raw corpus also
+    contributes organic duplicated 8-gram runs. The oracle keys
+    duplicate detection on the k-token gram STRING while the operator
+    keys on its xxhash64 (the `remove_duplicate_lines` discipline), so
+    the match also certifies collision-free hashing on this corpus."""
+    return dd.duplicated_ngram_spans(
+        _docs_dup(spark, sf_dir), "text", "doc_id", k=8
+    )
+
+
+@query(
     "text_repetition",
     oracle="""
     WITH docs AS (

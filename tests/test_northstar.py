@@ -1247,3 +1247,116 @@ def test_semdedup_drops_exactly_injected_dups(spark, sf_dir):
     injected = {r["vec_id"] for r in out if r["vec_id"] >= 100000}
     assert dropped == injected
     assert {v - 100000 for v in dropped} <= kept
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (duplicated_ngram_spans)
+# ---------------------------------------------------------------------------
+
+
+def _py_substring_spans(docs, k, min_occ=2):
+    """Brute-force reference for duplicated_ngram_spans: count every
+    k-gram corpus-wide, mark duplicated window starts, merge starts at
+    distance <= k into maximal spans."""
+    import re
+
+    toks = {i: re.split(r"\s+", t) for i, t in docs}
+    occ: dict = {}
+    for t in toks.values():
+        for p in range(max(0, len(t) - k + 1)):
+            g = "\x1f".join(t[p : p + k])
+            occ[g] = occ.get(g, 0) + 1
+    out = set()
+    for i, t in toks.items():
+        marked = [
+            p
+            for p in range(max(0, len(t) - k + 1))
+            if occ["\x1f".join(t[p : p + k])] >= min_occ
+        ]
+        cur = None
+        for p in marked:
+            if cur is not None and p - cur[1] <= k:
+                cur = [cur[0], p, cur[2] + 1]
+            else:
+                if cur is not None:
+                    out.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+                cur = [p, p, 1]
+        if cur is not None:
+            out.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+    return out
+
+
+def _spark_substring_spans(spark, docs, k, min_occ=2):
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    res = dd.duplicated_ngram_spans(df, "text", "doc_id", k=k, min_occurrences=min_occ)
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+        for r in res.collect()
+    }
+
+
+def test_substring_spans_boundaries_and_merge(spark):
+    """Hand-built corpus pinning the three boundary behaviors: (a) a
+    shared 12-token run inside otherwise-unique docs yields spans with
+    EXACT boundaries on both sides; (b) two duplicated 8-gram blocks at
+    start distance exactly k merge into one maximal interval (adjacent
+    token ranges); (c) at distance k+1 they stay separate islands."""
+    k = 8
+    shared = [f"s{i}" for i in range(12)]  # 12-token shared run
+    a = [f"a{i}" for i in range(4)] + shared + [f"z{i}" for i in range(4)]
+    b = ["bx"] + shared + [f"y{i}" for i in range(7)]
+    block1 = [f"p{i}" for i in range(8)]
+    block2 = [f"q{i}" for i in range(8)]
+    c_adj = block1 + block2  # starts 0 and 8: distance k -> merge
+    d_gap = block1 + ["gap"] + block2  # starts 0 and 9: distance k+1 -> split
+    docs = [
+        (1, " ".join(a)),
+        (2, " ".join(b)),
+        (3, " ".join(c_adj)),
+        (4, " ".join(d_gap)),
+        # second occurrences making block1/block2 duplicated as blocks
+        (5, " ".join(block1)),
+        (6, " ".join(block2)),
+    ]
+    got = _spark_substring_spans(spark, docs, k)
+    # (a) doc 1: run at tokens 4..15 -> marked starts 4..8 (5 grams)
+    assert (1, 4, 15, 12, 5) in got
+    #     doc 2: run at tokens 1..12 -> marked starts 1..5
+    assert (2, 1, 12, 12, 5) in got
+    # (b) doc 3: starts 0 and 8 merge -> one span [0,15] of 2 grams
+    assert (3, 0, 15, 16, 2) in got
+    # (c) doc 4: starts 0 and 9 -> two separate 8-token spans
+    assert (4, 0, 7, 8, 1) in got and (4, 9, 16, 8, 1) in got
+    # and the whole set matches the brute-force reference exactly
+    assert got == _py_substring_spans(docs, k)
+
+
+def test_substring_spans_match_bruteforce_random(spark):
+    """Randomized equality vs the brute-force reference: tiny vocab +
+    short docs force organic cross-doc and WITHIN-doc duplicated grams
+    (self-repetition counts toward min_occurrences), plus docs shorter
+    than k (excluded) and higher min_occurrences."""
+    import random
+
+    for seed, min_occ in [(7, 2), (11, 2), (13, 3)]:
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice("abcd") for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(10)
+        ]
+        got = _spark_substring_spans(spark, docs, k=3, min_occ=min_occ)
+        want = _py_substring_spans(docs, k=3, min_occ=min_occ)
+        assert got == want, (seed, min_occ, got ^ want)
+
+
+def test_substring_spans_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        dd.duplicated_ngram_spans(df, "text", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        dd.duplicated_ngram_spans(df, "text", "doc_id", min_occurrences=1)
