@@ -1059,3 +1059,61 @@ def duplicated_ngram_spans(
         )
         .drop("__isl")
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply `duplicated_ngram_spans` removal intervals: splice the
+    duplicated token ranges OUT of each document and reassemble the
+    survivors — the second half of the exact-substring dedup recipe
+    (detect spans, then cut them, keeping the unique remainder of the
+    doc instead of dropping it).
+
+    Contract: ``spans`` carries (id, span_start, span_end) token-index
+    intervals produced against the SAME tokenization this operator uses
+    (case-sensitive whitespace split) — the `duplicated_ngram_spans`
+    output. Reassembly joins surviving tokens with single spaces
+    (original whitespace runs are not preserved — standard for
+    token-level splicing). Row-preserving: docs with no spans pass
+    through with n_removed = 0; a fully-duplicated doc survives with
+    empty text (the caller decides to drop it), mirroring
+    `remove_duplicate_lines`.
+
+    Plan shape: the span table is aggregated per doc (tiny,
+    output-proportional) and joined back doc-keyed — ONE shuffle join;
+    the splice itself is a pure array expression (transform + filter
+    with index + exists over the per-doc interval list), zero
+    additional shuffles, whole-stage-codegen. Interval lists are
+    per-doc bounded (<= n_tokens/k spans), so the exists() probe is
+    cheap; no explode of the corpus token table is ever materialized."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start"), F.col("span_end"))
+        ).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    joined = docs.join(sp, on=id_col, how="left").select(
+        F.col(id_col), toks.alias("__t"), F.col("__spans")
+    )
+    # NULL __spans (no duplicated spans in this doc) => exists() is NULL
+    # per-token; coalesce to FALSE so every token survives.
+    def _in_span(i):
+        return F.coalesce(
+            F.exists(
+                F.col("__spans"),
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+            F.lit(False),
+        )
+
+    kept = F.filter(F.col("__t"), lambda t, i: ~_in_span(i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_spliced"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1360,3 +1360,64 @@ def test_substring_spans_rejects_bad_args(spark):
         dd.duplicated_ngram_spans(df, "text", "doc_id", k=0)
     with pytest.raises(ValueError):
         dd.duplicated_ngram_spans(df, "text", "doc_id", min_occurrences=1)
+
+
+def test_remove_spans_splices_and_preserves_rows(spark):
+    """End-to-end family composition: detect duplicated spans, splice
+    them out. A fully-duplicated doc survives with empty text (caller
+    drops it — the remove_duplicate_lines posture), partial overlap
+    keeps exactly the unique flanks, untouched docs pass through with
+    n_removed=0, and the result is row-preserving."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h i j y"),
+            (3, "unique only here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dd.duplicated_ngram_spans(docs, "text", "doc_id", k=8)
+    out = {
+        r.doc_id: (r.text_spliced, r.n_tokens, r.n_removed)
+        for r in dd.remove_spans(docs, spans, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: ("", 10, 10),
+        2: ("x y", 12, 10),
+        3: ("unique only here", 3, 0),
+    }
+
+
+def test_remove_spans_matches_bruteforce_random(spark):
+    """Randomized splice equality vs a pure-Python reference over the
+    same corpora as the span-detection property test."""
+    import random
+    import re
+
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(1, 12))))
+            for i in range(10)
+        ]
+        k = 3
+        span_set = _py_substring_spans(docs, k)
+        by_doc: dict = {}
+        for d, s, e, *_ in span_set:
+            by_doc.setdefault(d, []).append((s, e))
+        want = {}
+        for i, t in docs:
+            toks = re.split(r"\s+", t)
+            kept = [
+                tok
+                for p, tok in enumerate(toks)
+                if not any(s <= p <= e for s, e in by_doc.get(i, []))
+            ]
+            want[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        spans = dd.duplicated_ngram_spans(df, "text", "doc_id", k=k)
+        got = {
+            r.doc_id: (r.text_spliced, r.n_tokens, r.n_removed)
+            for r in dd.remove_spans(df, spans, "text", "doc_id").collect()
+        }
+        assert got == want, seed
