@@ -84,11 +84,17 @@ def _pin_corpus(df: DataFrame) -> DataFrame:
     entry is registered with the session's CacheManager and lives until
     ``unpersist``/``clearCache`` (it is also subject to LRU eviction
     under memory pressure, spilling to disk first); identical plan
-    fragments re-use one entry, so repeated calls over the same input do
-    not accumulate copies. Callers for whom even one materialized copy
-    is too much (a bare column-pruned scan at true corpus scale) should
-    skip pinning and re-read the scan — see ``pin_input=False`` on
-    :func:`ntile_histogram`."""
+    fragments re-use one entry, so repeated calls over the SAME input do
+    not accumulate copies — but calls over DISTINCT inputs each register
+    their own entry, and unlike a local checkpoint's blocks (reclaimed by
+    the ContextCleaner once the DataFrame is garbage-collected) a
+    CacheManager entry is never GC-reclaimed. A long-lived session
+    sweeping many inputs therefore owns the pin lifetime: collect the
+    pinned frames via the operators' ``pin_registry`` parameter and
+    ``unpersist`` when done consuming each result. Callers for whom even
+    one materialized copy is too much (a bare column-pruned scan at true
+    corpus scale) should skip pinning and re-read the scan — see
+    ``pin_input=False`` on :func:`ntile_histogram`."""
     from pyspark.storagelevel import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -572,6 +578,7 @@ def ntile_histogram(
     tile_col: str = "__tile",
     heavy_bin_rows: int = 1 << 21,
     pin_input: bool = True,
+    pin_registry: list | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (PARTITION BY strata ORDER BY score
     [ASC|DESC], id)`` WITHOUT a stratum-sized (or, unpartitioned, a
@@ -649,13 +656,19 @@ def ntile_histogram(
     the input is a bare column-pruned scan — re-reading parquet three
     more times is cheaper than storing a corpus copy in executor
     storage — and the loud determinism guards below then carry the
-    correctness load."""
+    correctness load. ``pin_registry``: a long-lived session calling
+    this over many DISTINCT inputs accumulates one CacheManager entry
+    per input (see :func:`_pin_corpus` lifetime); pass a list and the
+    pinned frame is appended for the caller to ``unpersist`` once the
+    result is consumed."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     if pin_input:
         df = _pin_corpus(df)
+        if pin_registry is not None:
+            pin_registry.append(df)
     strata = list(strata_cols) if strata_cols else []
     s = F.col(score_col)
 
@@ -1186,6 +1199,7 @@ def ntile_exact(
     heavy_bin_rows: int = 1 << 21,
     pin_input: bool = True,
     max_driver_strata: int = DRIVER_STRATA_CEILING,
+    pin_registry: list | None = None,
 ) -> DataFrame:
     """Cardinality-routed exact ntile (VERDICT r09 #5 — the Lloyd
     assignment-seam precedent, ``_kmeans_assign``'s k-routing applied to
@@ -1217,10 +1231,26 @@ def ntile_exact(
     (either twin reads the input several times) hits the cache; the
     histogram twin is then told not to re-pin. Global mode
     (``strata_cols=None``/empty) skips the count — one stratum, always
-    the histogram path."""
+    the histogram path. ``max_driver_strata`` may only LOWER the routing
+    point (a tighter driver-memory bound): raising it past
+    :data:`DRIVER_STRATA_CEILING` would route strata counts the
+    histogram twin's own hard guard rejects, paying the pin + count +
+    stats cost before the inevitable ValueError — so the dispatcher
+    fails fast instead. ``pin_registry`` as on :func:`ntile_histogram`:
+    the caller-owned unpersist hook for long-lived sessions."""
+    if max_driver_strata > DRIVER_STRATA_CEILING:
+        raise ValueError(
+            f"ntile_exact: max_driver_strata={max_driver_strata} exceeds "
+            f"the histogram twin's hard driver ceiling "
+            f"({DRIVER_STRATA_CEILING}); the parameter can only lower "
+            "the routing point — strata counts past the ceiling always "
+            "take the distributed ntile_threshold path"
+        )
     strata = list(strata_cols) if strata_cols else []
     if pin_input:
         df = _pin_corpus(df)
+        if pin_registry is not None:
+            pin_registry.append(df)
     n_strata = df.select(*strata).distinct().count() if strata else 1
     route = _ntile_route(n_strata, max_driver_strata)
     if route == "histogram":

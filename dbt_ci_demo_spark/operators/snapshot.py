@@ -286,7 +286,17 @@ def snapshot_cycle(
     dispatch only — a timestamp-strategy run never reads ``check_cols``,
     so a stray value there stays ignored (r10 review finding: the first
     cut gated unconditionally, failing previously-working timestamp
-    callers)."""
+    callers). ``strategy`` itself is validated first (second r10 review
+    finding): the reference's strategy_dispatch raises on an unknown
+    strategy name, and without that gate a typo ('Check', 'check_cols')
+    would silently fall into check semantics — bypassing the check_cols
+    gate above and char-iterating a str value, or running
+    check-all-columns when timestamp semantics were intended."""
+    if strategy not in ("timestamp", "check"):
+        raise ValueError(
+            f"Invalid value for 'strategy': {strategy!r}. Expected "
+            "'timestamp' or 'check'."
+        )
     if strategy == "check" and isinstance(check_cols, str) and check_cols != "all":
         raise ValueError(
             f"Invalid value for 'check_cols': {check_cols!r}. Expected "

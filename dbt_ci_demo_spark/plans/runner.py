@@ -242,13 +242,24 @@ class Runner:
                 if res.status != "success":
                     continue
                 for test_name, test_fn in (tests or {}).get(name, []):
-                    _, tr = run_test_harness(test_fn(self.warehouse.read(name)))
-                    status = "fail" if tr.should_error else "pass"
-                    if tr.should_error:
+                    try:
+                        _, tr = run_test_harness(test_fn(self.warehouse.read(name)))
+                        status = "fail" if tr.should_error else "pass"
+                        failures = tr.failures
+                        if tr.should_error:
+                            test_failed.add(name)
+                    except Exception:  # noqa: BLE001
+                        # A test that ERRORS (bad column, bad SQL) must not
+                        # abort the build: dbt records an `error` step and
+                        # skips downstream of the tested node, same as a
+                        # hard failure; later waves and the state manifest
+                        # still land. (`error` was documented on BuildStep
+                        # but unreachable before this branch.)
+                        status, failures = "error", None
                         test_failed.add(name)
                     build_steps.append(
                         BuildStep(
-                            len(build_steps) + 1, test_name, "test", status, tr.failures
+                            len(build_steps) + 1, test_name, "test", status, failures
                         )
                     )
 

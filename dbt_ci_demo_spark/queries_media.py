@@ -356,16 +356,20 @@ def _write_late_feed(spark: SparkSession, sf_dir: str) -> str:
     sentinel, sentinel, late) — see write_batch_feed for the two Spark
     timing facts the 3-batch shape respects."""
     on_time, late = _late_event_slices(spark, sf_dir)
-    # fixture setup: 1-row bounded reads pick the sentinel. The pick is
-    # fully DETERMINISTIC (min event_id at the max ts), because the
+    # fixture setup: ONE 1-row bounded read picks the sentinel. The pick
+    # is fully DETERMINISTIC (min event_id at the max ts), because the
     # sentinel expression is evaluated by two separate jobs (the batch-0
     # anti-join and the batch-1 write) — a limit(1) over a max-ts TIE
     # could select different rows in each, dropping one row from and
-    # duplicating another in the feed (r10 review finding).
-    mx = on_time.agg(F.max("ts")).first()[0]
-    sid = (
-        on_time.filter(F.col("ts") == mx).agg(F.min("event_id")).first()[0]
-    )
+    # duplicating another in the feed (r10 review finding). The struct
+    # max (ts, then -event_id) folds the old two sequential aggregation
+    # jobs (max ts, then min id at that ts) into a single pass — this
+    # runs inside the timed stream_late_feed_write bench row (second
+    # r10 review finding).
+    top = on_time.agg(
+        F.max(F.struct(F.col("ts"), (-F.col("event_id")).alias("nid")))
+    ).first()[0]
+    sid = -top["nid"]
     sentinel = on_time.filter(F.col("event_id") == F.lit(sid))
     return es.write_batch_feed(
         [

@@ -800,3 +800,54 @@ def test_build_with_tests_skips_downstream_of_failed_test(spark, sf_dir, env, tm
     seqs = [s.seq for s in steps]
     assert seqs == sorted(seqs) == list(range(1, len(steps) + 1))
     runner.warehouse.drop_database()
+
+
+def test_build_with_erroring_test_records_error_and_continues(
+    spark, sf_dir, env, tmp_path
+):
+    """r10 review finding: a test function that RAISES (bad column — an
+    AnalysisException, not a failure count) must not abort the build.
+    dbt records the test as `error`, skips downstream of the tested
+    node, and the rest of the DAG plus the state manifest still land."""
+    from dbt_ci_demo_spark.operators.quality import test_unique
+
+    registry: dict[str, Model] = {}
+
+    @model(name="src_a", sources=["orders"], registry=registry)
+    def src_a(ctx):
+        return ctx.source("orders").select("o_orderkey").limit(10)
+
+    @model(name="child_a", refs=["src_a"], registry=registry)
+    def child_a(ctx):
+        return ctx.ref("src_a")
+
+    @model(name="unrelated", sources=["orders"], registry=registry)
+    def unrelated(ctx):
+        return ctx.source("orders").select("o_custkey").limit(5)
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    steps: list = []
+    state_out = str(tmp_path / "state_err.json")
+    results = runner.build(
+        tests={
+            "src_a": [("broken_test", lambda df: df.select("no_such_col"))],
+            "unrelated": [("ok_test", lambda df: test_unique(df, "o_custkey"))],
+        },
+        build_steps=steps,
+        state_out=state_out,
+    )
+    # the node built; its erroring test is recorded, not propagated
+    assert results["src_a"].status == "success"
+    by_node = {s.node: s for s in steps}
+    assert by_node["broken_test"].status == "error"
+    assert by_node["broken_test"].n_rows is None
+    # downstream of the errored test is skipped, like a hard failure
+    assert results["child_a"].status == "skipped"
+    assert "test failed" in results["child_a"].error
+    # the rest of the DAG still ran and the state manifest landed
+    assert results["unrelated"].status == "success"
+    assert by_node["ok_test"].status == "pass"
+    import os
+
+    assert os.path.exists(state_out)
+    runner.warehouse.drop_database()

@@ -173,3 +173,29 @@ def test_snapshot_cycle_invalid_check_cols_str(spark):
         v1, hist, "k", "updated_at", strategy="timestamp", check_cols="name"
     )
     assert out.count() == 1
+
+
+def test_snapshot_cycle_invalid_strategy(spark):
+    """r10 review finding: the strategy NAME itself is validated — the
+    reference's strategy_dispatch raises on an unknown strategy, and
+    without the gate a typo ('Check', 'check_cols') silently fell into
+    check semantics: bypassing the check_cols str gate above
+    (char-iterating the string) or running check-all-columns when
+    timestamp semantics were intended."""
+    import datetime
+
+    import pytest
+
+    t1 = datetime.datetime(2024, 1, 1)
+    v1 = spark.createDataFrame(
+        [(1, "x", t1)], "k int, name string, updated_at timestamp"
+    )
+    hist = snap.add_scd_metadata(v1, "k", "updated_at")
+    for bad in ("Check", "check_cols", "timestamps", ""):
+        with pytest.raises(ValueError, match="Invalid value for 'strategy'"):
+            snap.snapshot_cycle(
+                v1, hist, "k", "updated_at", strategy=bad, check_cols="name"
+            )
+    # the gate fires on the first build too (config error, not data)
+    with pytest.raises(ValueError, match="Invalid value for 'strategy'"):
+        snap.snapshot_cycle(v1, None, "k", "updated_at", strategy="chekc")

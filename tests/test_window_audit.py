@@ -661,3 +661,33 @@ def test_ntile_exact_highcard_fixture(spark):
     )
     want = _collect_sorted(_ntile_ref(df, 2, True, ["g"]), ["id", "t"])
     assert got == want
+
+
+def test_ntile_exact_rejects_raised_ceiling_and_registers_pin(spark):
+    """r10 review findings: (1) max_driver_strata may only LOWER the
+    routing point — raised past the histogram twin's hard 1024 guard the
+    dispatcher fails FAST (before paying pin + count + stats cost)
+    instead of routing a strata count the twin then rejects; (2) the
+    pin_registry hook hands the caller the pinned frame so a long-lived
+    session can unpersist (the persist pin is never GC-reclaimed)."""
+    from dbt_ci_demo_spark.operators.sampling import (
+        DRIVER_STRATA_CEILING,
+        ntile_exact,
+        ntile_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id bigint, g string, v double",
+    )
+    with pytest.raises(ValueError, match="can only lower the routing point"):
+        ntile_exact(
+            df, 2, "v", "id", ["g"], max_driver_strata=DRIVER_STRATA_CEILING + 1
+        )
+    for fn in (ntile_exact, ntile_histogram):
+        pins: list = []
+        out = fn(df, 2, "v", "id", ["g"], tile_col="t", pin_registry=pins)
+        out.count()
+        assert len(pins) == 1 and pins[0].is_cached, fn.__name__
+        pins[0].unpersist()
+        assert not pins[0].is_cached, fn.__name__

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit("usage: python tools/probe.py <query> [sf_dir]")
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
@@ -33,8 +35,6 @@ def main() -> None:
 
     from dbt_ci_demo_spark.queries import registry_queries
     from dbt_ci_demo_spark.session import get_spark
-
-    spark = get_spark(f"probe-{name}")
     # Overlay the bench's own rows/overrides so a probe measures the SAME
     # composition the bench row did — e.g. stream_late_data_accounting is
     # the pipeline-only override (pre-built feed), not the registered
@@ -42,6 +42,12 @@ def main() -> None:
     # bench-only rows resolve at all.
     overrides, warm_late_feed = bench._bench_only()
     regs = {**registry_queries(), **overrides}
+    if name not in regs:
+        sys.exit(
+            f"unknown query {name!r}; valid names are the registered "
+            "queries plus bench-only rows (see bench.py HEADLINE)"
+        )
+    spark = get_spark(f"probe-{name}")
     fn = regs[name]
     if name in ("stream_late_data_accounting", "stream_session_late_accounting"):
         warm_late_feed(spark, sf_dir)  # untimed, as in bench.main()
