@@ -39,8 +39,30 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _idot(a: Column, b: Column) -> Column:
+    """Integer-dot twin of :func:`_dot` for int8 code arrays: a LONG
+    accumulator (exact — |codes| ≤ 127 so a 64-dim dot is ≤ ~10^6, far
+    inside long range) shared by the quantized rankers; one definition
+    so an accumulator/overflow fix can't silently miss a copy (r10
+    review finding — it was pasted locally in two functions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with the zero-norm convention the int8 path
+    already uses (``cosine_topk_quantized``): a zero-norm side scores
+    0.0, NOT NaN. Without the guard 0/0 = NaN, and Spark sorts NaN
+    ABOVE every real double — so a single all-zero embedding in the
+    corpus would surface as every query's rank-1 "neighbor" in the
+    desc-ordered top-k windows (r10 review finding). On zero-free data
+    the branch is never taken and the double math — and every oracle
+    replicating the unguarded formula — is bit-identical."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def cosine_topk_bruteforce(
@@ -55,7 +77,14 @@ def cosine_topk_bruteforce(
     The query side is broadcast (small by construction); ranking uses
     round(cosine, 6) with an id tie-break so the ordering — and therefore
     the result set — is engine-independent. Output: (query_id, neighbor_id,
-    cosine_r, rank)."""
+    cosine_r, rank).
+
+    Self-match contract (shared by all four top-k tiers): exclusion is
+    ID equality, so queries are assumed DRAWN FROM the corpus under one
+    id space. A query table with an independent id numbering must not
+    collide with corpus ids — a corpus vector that merely shares a
+    query's id would be silently dropped from that query's candidates
+    (r10 review finding; re-key one side, e.g. negative query ids)."""
     from pyspark.sql.window import Window
 
     q = queries.select(
@@ -100,15 +129,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
+def lsh_bucket(vec: str, planes: list[list[int]]) -> Column:
     """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
 
     Built as ONE SQL expression string (F.expr) rather than composed
     Column objects: a 64-dim plane as F.array(*64 F.lit(...)) costs 64
     py4j round trips, and 8 tables × 4 planes of them put seconds of
     driver-side plan construction ahead of a sub-second query. The
-    generated expression is identical to the Column form."""
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    generated expression is identical to the Column form.
+
+    ``vec`` must be a COLUMN NAME (or a SQL expression string): the old
+    Column branch stringified via the private ``_jc.toString()``, which
+    does not exist under Spark Connect and is not guaranteed to render
+    parseable SQL for composed Columns (r10 review finding) — alias the
+    expression in a projection first and pass the name."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            "lsh_bucket takes a column-name/SQL string (alias a computed "
+            "Column in a projection first); Column objects can't be "
+            "portably rendered back to SQL"
+        )
+    vec_sql = vec
     terms = []
     for p, plane in enumerate(planes):
         arr = ",".join(f"{float(w)}D" for w in plane)
@@ -188,8 +229,16 @@ def lsh_ann_topk(
 def ivf_centroids(
     corpus: DataFrame, cluster_col: str, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
-    """Per-cluster centroid via positional explode + decimal-exact mean —
-    deterministic (order-independent) centroid coordinates."""
+    """Per-cluster centroid via positional explode + FIXED-POINT mean
+    (round(v·1e6) → exact BIGINT sums, the queries_embed module rule):
+    deterministic, order-independent, and cross-engine-exact. The
+    previous decimal(30,12) cast of raw doubles was the exact pattern
+    that module's header bans — DuckDB's double→decimal cast mis-rounds
+    the last digit ~1-in-256k, a latent oracle-flake at fixture scale
+    (r10 review finding); integer fixed-point sums have no such edge.
+    Centroid coordinates are means of 1e-6-quantized components
+    (≤ 5e-7 per-element shift — immaterial to IVF probe ranking, and
+    identical in both engines)."""
     pos = corpus.select(
         F.col(cluster_col).alias("cluster"),
         F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"),
@@ -197,9 +246,12 @@ def ivf_centroids(
     means = (
         pos.groupBy("cluster", "pos")
         .agg(
-            (F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias(
-                "mean"
-            )
+            (
+                F.sum(F.round(F.col("val") * F.lit(1_000_000.0)).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1_000_000.0)
+            ).alias("mean")
         )
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
@@ -325,7 +377,10 @@ def embedding_near_duplicates(
 
 
 def quantize_embeddings_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retain_vec: bool = False,
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|v| / 127,
     q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] — the standard
@@ -338,16 +393,20 @@ def quantize_embeddings_int8(
     floor(x + 0.5) rounding makes the quantized codes bit-identical in
     any IEEE-double engine (round() half-even/half-up conventions
     differ; floor(+0.5) does not). Zero vectors quantize to all-zero
-    codes with scale 0."""
+    codes with scale 0. ``retain_vec=True`` also emits the double-cast
+    source vector as ``v``, so a caller needing codes AND source (e.g.
+    reconstruction-error reporting) stays a single scan instead of
+    self-joining the output back to the input (r10 review finding)."""
     v = _to_double(F.col(vec_col))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     q = F.when(
         scale > 0,
         F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
-    return df.select(
-        F.col(id_col), scale.alias("scale"), q.alias("q")
-    )
+    cols = [F.col(id_col), scale.alias("scale"), q.alias("q")]
+    if retain_vec:
+        cols.insert(1, v.alias("v"))
+    return df.select(*cols)
 
 
 def cosine_topk_quantized(
@@ -371,17 +430,11 @@ def cosine_topk_quantized(
     round-6 + id tie-break, self-matches excluded)."""
     from pyspark.sql.window import Window
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     q = queries_q.select(F.col(id_col).alias("query_id"), F.col(codes_col).alias("qq"))
     c = corpus_q.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("cq"))
-    num = idot(F.col("qq"), F.col("cq")).cast("double")
-    den = F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
-        idot(F.col("cq"), F.col("cq")).cast("double")
+    num = _idot(F.col("qq"), F.col("cq")).cast("double")
+    den = F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
+        _idot(F.col("cq"), F.col("cq")).cast("double")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -409,6 +462,7 @@ def ivf_topk_int8(
     k: int = 5,
     n_probe: int = 2,
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF serving with int8 candidate scoring — the production ANN
     composition: the cluster PROBE ranks the k-row float centroid table
@@ -418,10 +472,18 @@ def ivf_topk_int8(
     — scales cancel out of the cosine), so the stage that actually
     touches the corpus moves 4× less data and stays engine-exact.
     Same output contract as :func:`ivf_topk`; scores are the quantized
-    cosines."""
+    cosines. ``centroids`` — the stored artifact from
+    :func:`build_ivf_index`, same as on :func:`ivf_topk` (r10 review
+    finding: the int8 path lacked the parameter, so serving from the
+    stored index still paid the corpus-wide centroid aggregate every
+    call); omitted, the centroids are computed from the corpus."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    cents = (
+        centroids.select("cluster", "centroid")
+        if centroids is not None
+        else ivf_centroids(corpus, cluster_col, vec_col, dim)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
@@ -446,15 +508,9 @@ def ivf_topk_int8(
         F.col(id_col).alias("neighbor_id"), F.col(cluster_col).alias("cluster")
     )
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    num = idot(F.col("qq"), F.col("cq")).cast("double")
-    den = F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
-        idot(F.col("cq"), F.col("cq")).cast("double")
+    num = _idot(F.col("qq"), F.col("cq")).cast("double")
+    den = F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double")) * F.sqrt(
+        _idot(F.col("cq"), F.col("cq")).cast("double")
     )
     scored = (
         qz_c.join(clusters, on="neighbor_id")

@@ -94,7 +94,9 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(l2, 6) AS l2_norm,
            md5(array_to_string(
-             list_transform(v, x -> CAST(CAST(round(x / l2, 6) + 0 AS DECIMAL(10,6)) AS VARCHAR)),
+             list_transform(v, x -> CAST(CAST(round(
+               CASE WHEN l2 > 0 THEN x / l2 ELSE 0.0 END, 6) + 0
+               AS DECIMAL(10,6)) AS VARCHAR)),
              ',')) AS norm_digest
     FROM n
     """,
@@ -106,14 +108,22 @@ def emb_normalize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings; `+ 0` collapses IEEE negative zero). The norm is a
     sequential-fold dot product — deterministic order, matching DuckDB's
     list_inner_product. Pure per-row expressions: embarrassingly parallel
-    at any scale, no shuffle at all."""
+    at any scale, no shuffle at all. Zero-norm guard (r10 review
+    finding): without it a zero vector's 0/0 = NaN casts to NULL in
+    non-ANSI Spark, array_join SKIPS the NULLs, and the digest comes out
+    plausible-looking but computed over a SHORTER string — silent
+    corruption — while DuckDB's NaN::DECIMAL raises; both sides now emit
+    an all-zero vector's digest (the convention of the cosine family)."""
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     base = emb.select("vec_id", v.alias("v"), l2.alias("l2"))
-    elem_str = lambda x: (F.round(x / F.col("l2"), 6) + F.lit(0)).cast("decimal(10,6)").cast(
-        "string"
-    )  # noqa: E731
+    elem_str = lambda x: (
+        F.round(
+            F.when(F.col("l2") > 0, x / F.col("l2")).otherwise(F.lit(0.0)), 6
+        )
+        + F.lit(0)
+    ).cast("decimal(10,6)").cast("string")  # noqa: E731
     return base.select(
         "vec_id",
         F.round(F.col("l2"), 6).alias("l2_norm"),
@@ -360,14 +370,6 @@ def emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_idot(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
     """Nearest-centroid expression over DRIVER-HELD literal centroids
     (the MLlib design: the quantizer is bounded model state — k×d
@@ -381,8 +383,8 @@ def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
     and therefore preserves both the argmin and the tie structure of the
     oracle's ``|q|² − 2·q·s + |s|²``. All terms are exact: products of
     fixed-point components ≤ 2^40, partial sums ≤ 2^53, so the
-    double-typed comparison is integer-exact (same invariant as
-    _kmeans_idot). Ties break to the LOWEST cluster_id via lexicographic
+    double-typed comparison is integer-exact (the module's shared
+    fixed-point invariant). Ties break to the LOWEST cluster_id via lexicographic
     struct comparison in ``array_min`` — identical to the
     ``row_number() OVER (ORDER BY dist, cluster_id)`` it replaces.
 
@@ -419,11 +421,13 @@ expression TREE grows with k: at k = 10⁴, d = 64 it is a ~10⁶-node plan
 whose Catalyst analysis/codegen cost explodes (and codegen falls back
 past the 64KB method limit) — a planner-side bottleneck no cluster
 fixes. Past this threshold :func:`_kmeans_assign` routes to
-:func:`_kmeans_assign_matrix_expr`, whose centroid matrix is a SINGLE
-nested-array literal (O(1) expression nodes in k; the matrix ships to
-executors once inside the serialized task binary — the broadcast-matrix
-design) with a transform-with-index argmin. Equality of the two paths is
-property-tested (tests/test_northstar.py)."""
+:func:`_kmeans_assign_matrix_expr`, whose centroid matrix is built as
+ONE F.expr SQL string (a single py4j round trip; ConstantFolding
+collapses the parsed array-of-arrays to one Literal, which ships to
+executors inside the serialized task binary — the broadcast-matrix
+design) with a transform-with-index argmin: the per-centroid structs
+are gone from the plan. Equality of the two paths is property-tested
+(tests/test_northstar.py)."""
 
 
 def _kmeans_assign_matrix_expr(seed_items: list[tuple[int, list[int]]]):
@@ -437,10 +441,25 @@ def _kmeans_assign_matrix_expr(seed_items: list[tuple[int, list[int]]]):
     break to the LOWEST cluster_id — seed_items is sorted by cluster_id,
     so position order equals id order and the (score, pos) struct-min
     tie-break is identical. The final ``element_at`` maps the winning
-    position back to its cluster_id (ids need not be contiguous)."""
+    position back to its cluster_id (ids need not be contiguous).
+
+    Construction (r10 review finding): the matrix is built as ONE
+    ``F.expr`` SQL string — a single py4j round trip, and Catalyst's
+    ConstantFolding collapses the parsed array-of-arrays to one Literal
+    before codegen. The previous ``F.lit(nested_list)`` looked like "a
+    single literal" but PySpark's ``lit`` recursively expands a list to
+    ``array(*[lit(item) ...])``: k·d driver-side py4j calls (~640k at
+    the k=10⁴, d=64 scale this path exists for) — the exact driver-side
+    blow-up the routing seam is meant to avoid."""
     q = F.col("q")
-    matrix = F.lit([sv for _, sv in seed_items]).cast("array<array<bigint>>")
-    cids = F.lit([int(cid) for cid, _ in seed_items]).cast("array<bigint>")
+    matrix_sql = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in sv) + ")"
+        for _, sv in seed_items
+    )
+    matrix = F.expr(f"array({matrix_sql})")
+    cids = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in seed_items) + ")"
+    )
     scored = F.transform(
         matrix,
         lambda s, i: F.struct(
@@ -463,10 +482,11 @@ def _kmeans_assign_matrix_expr(seed_items: list[tuple[int, list[int]]]):
 
 def _kmeans_assign(seed_items: list[tuple[int, list[int]]]):
     """The assignment seam: literal-per-centroid expression for
-    k ≤ _KM_LITERAL_K_MAX (fastest plan, bounded tree), single
-    nested-array-literal matrix above it (O(1) plan nodes in k). Both
-    paths share the exact-integer argmin contract; equality is
-    property-tested at and beyond the threshold."""
+    k ≤ _KM_LITERAL_K_MAX (fastest plan, bounded tree), the single
+    expr-built matrix literal above it (one py4j call, one folded
+    Literal in the optimized plan). Both paths share the exact-integer
+    argmin contract; equality is property-tested at and beyond the
+    threshold."""
     if len(seed_items) <= _KM_LITERAL_K_MAX:
         return _kmeans_assign_expr(seed_items)
     return _kmeans_assign_matrix_expr(seed_items)
@@ -604,7 +624,7 @@ def _ivf_kmeans_sql(iters: int) -> str:
     ),
     means AS (
       SELECT cluster_id, pos,
-             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+             CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mean
       FROM pos GROUP BY cluster_id, pos
     ),
     cents AS (
@@ -784,14 +804,17 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgeting reads. Codes use explicit floor(x+0.5) rounding so the
     quantization is bit-identical in any IEEE-double engine (round()
     half-up/half-even conventions differ; floor(+0.5) does not). Pure
-    per-row expressions — zero shuffles; every code array is
-    digest-checked against the oracle."""
+    per-row expressions — zero shuffles, ONE scan (retain_vec keeps the
+    source vector in the quantize projection; the old self-join back to
+    the input for the error term scanned the table twice and added a
+    join exchange, contradicting this very docstring — r10 review
+    finding); every code array is digest-checked against the oracle."""
     from dbt_ci_demo_spark.operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    qdf = sim.quantize_embeddings_int8(emb, "vec_id", "embedding")
-    v = F.col("embedding").cast("array<double>")
-    joined = emb.select("vec_id", v.alias("v")).join(qdf, "vec_id")
+    joined = sim.quantize_embeddings_int8(
+        emb, "vec_id", "embedding", retain_vec=True
+    )
     err = F.when(
         F.col("scale") > 0,
         F.array_max(

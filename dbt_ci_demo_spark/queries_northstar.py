@@ -971,7 +971,7 @@ def _ivf_oracle() -> str:
     ),
     means AS (
       SELECT label, pos,
-             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+             CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mean
       FROM pos GROUP BY label, pos
     ),
     cents AS (
@@ -1753,7 +1753,7 @@ def _ivf_quantized_oracle() -> str:
     ),
     means AS (
       SELECT label, pos,
-             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean
+             CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mean
       FROM pos GROUP BY label, pos
     ),
     cents AS (

@@ -1421,3 +1421,44 @@ def test_remove_spans_matches_bruteforce_random(spark):
             for r in dd.remove_spans(df, spans, "text", "doc_id").collect()
         }
         assert got == want, seed
+
+
+def test_similarity_zero_vector_conventions(spark):
+    """r10 review findings: (a) a zero-norm embedding scores cosine 0.0
+    (the int8 path's convention) instead of NaN — without the guard
+    Spark sorts NaN above every real double and the zero vector became
+    every query's rank-1 'neighbor'; (b) lsh_bucket takes only a
+    column-name/SQL string (the Column branch relied on the private
+    _jc.toString(), absent under Spark Connect)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # the zero vector
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sim.cosine_topk_bruteforce(df, df.filter("vec_id = 0"), k=3).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.cosine_r) for r in out}
+    assert by_rank[1][0] == 1, by_rank  # true nearest, not the zero vector
+    zero_row = [r for r in out if r.neighbor_id == 2]
+    assert zero_row and zero_row[0].cosine_r == 0.0, out  # 0.0, never NaN
+    with pytest.raises(TypeError, match="column-name/SQL string"):
+        sim.lsh_bucket(F.col("embedding"), [[1, -1]])
+
+
+def test_ivf_int8_stored_centroids_match_recomputed(spark, sf_dir):
+    """r10 review finding: ivf_topk_int8 lacked the centroids= stored-
+    artifact parameter its docstring's 'production serving' claim
+    implies — serving from the stored index paid a corpus-wide centroid
+    aggregate per call. The stored path must return the recomputed
+    path's exact rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("cl")
+    )
+    q = emb.filter("vec_id < 3")
+    cents = sim.ivf_centroids(emb, "cl", "embedding")
+    a = sorted(map(tuple, sim.ivf_topk_int8(emb, q, "cl", k=3).collect()))
+    b = sorted(
+        map(tuple, sim.ivf_topk_int8(emb, q, "cl", k=3, centroids=cents).collect())
+    )
+    assert a == b and len(a) == 9
