@@ -103,11 +103,20 @@ def test_harness_frame(
 
     Reference: default__get_test_sql (manifest.json:1@56739) —
     ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
-    {fail_calc} {error_if} as should_error from (main_sql limit {limit})``;
-    optional ``where`` config pre-filters the model through a subquery
-    (default__get_where_subquery, @146116). Lazy so callers can union many
-    harness rows (one per test) into a single job — the suite pattern.
-    """
+    {fail_calc} {error_if} as should_error from (main_sql limit {limit})``.
+    Lazy so callers can union many harness rows (one per test) into a
+    single job — the suite pattern.
+
+    ``where`` caveat (r10 review finding): the reference's ``where``
+    config pre-filters the MODEL through a subquery BEFORE the test SQL
+    runs (default__get_where_subquery, @146116). This harness receives
+    the already-computed violations frame, so ``where`` here can only
+    post-filter THAT frame — its columns are the test's output (e.g.
+    ``unique_field``/``n_records``), not the model's, and for tests
+    whose violation set depends on the row population the two orders
+    differ. To reproduce the reference config exactly, filter the model
+    BEFORE calling the test function (``test_unique(df.filter(...),
+    ...)``) and leave this parameter unset."""
     v = violations
     if where:
         v = v.filter(where)

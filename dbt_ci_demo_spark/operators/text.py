@@ -108,12 +108,6 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for lang, words in LANG_MARKERS.items()
     }
     langs = list(LANG_MARKERS)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
     out = df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
@@ -400,13 +394,23 @@ def badword_filter(
     Entries are treated as LITERAL words: regex metacharacters in a
     caller-supplied list (., +, (, ? — common in real C4-style lists)
     are escaped before joining, so a hostile or merely punctuated entry
-    cannot change the alternation's semantics or error the scan."""
+    cannot change the alternation's semantics or error the scan.
+    Entries are LOWERCASED before compiling (the text side already is):
+    an uppercase entry otherwise silently never matched, defeating the
+    promised case-insensitivity; and an EMPTY list keeps everything —
+    the naive compile produced \\b()\\b, whose empty alternation matches
+    at every word boundary and dropped the whole corpus (both r10
+    review findings)."""
     meta = set("\\^$.|?*+()[]{}")
     esc = [
-        "".join("\\" + ch if ch in meta else ch for ch in w) for w in words
+        "".join("\\" + ch if ch in meta else ch for ch in w.lower())
+        for w in words
     ]
-    pat = r"\b(" + "|".join(esc) + r")\b"
-    n_bad = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    if esc:
+        pat = r"\b(" + "|".join(esc) + r")\b"
+        n_bad = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    else:
+        n_bad = F.lit(0)
     return df.select(
         F.col(id_col),
         n_bad.cast("int").alias("n_badwords"),
@@ -420,10 +424,15 @@ def url_domains(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for domain-level blocklists/quality priors (a la C4/RefinedWeb
     domain filtering). Pure regexp in the scan; the per-domain corpus
     aggregate downstream is one hash shuffle on the domain."""
-    # host charset written as [^/ :] (plain space, not \s) so the pattern
-    # is the same literal string in Spark SQL and DuckDB — backslash
-    # escaping in string literals differs between the engines.
-    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://([^/ :]+)', 1)")
+    # Host charset [^/\s:]: ALL whitespace terminates the host — the old
+    # plain-space class let a URL followed by \n or \t swallow the next
+    # line into the "domain", poisoning downstream blocklist aggregates
+    # (r10 review finding; the PII URL pattern already used [^\s]). The
+    # runtime REGEX is identical in both engines; only the source-literal
+    # escaping differs (Spark SQL strings are backslash-escaped, DuckDB's
+    # are not), hence the doubled backslash here and the single one in
+    # the oracle SQL.
+    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://([^/\\\\s:]+)', 1)")
     return df.select(
         F.col(id_col), F.explode(urls).alias("domain")
     ).withColumn("domain", F.lower(F.col("domain")))

@@ -269,20 +269,35 @@ def flagship_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "meta_content_digest",
     oracle="""
-    WITH oh AS (
-      SELECT ('0x' || substr(md5(concat_ws('|',
-               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-               o_orderstatus,
-               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)),
-             1, 8))::BIGINT AS h
+    WITH ofld AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS f1, CAST(o_custkey AS VARCHAR) AS f2,
+             o_orderstatus AS f3,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS f4,
+             strftime(o_orderdate, '%Y-%m-%d') AS f5, o_orderpriority AS f6
       FROM orders
+    ),
+    oh AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(length(f1) AS VARCHAR) || ':' || f1,
+               CAST(length(f2) AS VARCHAR) || ':' || f2,
+               CAST(length(f3) AS VARCHAR) || ':' || f3,
+               CAST(length(f4) AS VARCHAR) || ':' || f4,
+               CAST(length(f5) AS VARCHAR) || ':' || f5,
+               CAST(length(f6) AS VARCHAR) || ':' || f6)),
+             1, 8))::BIGINT AS h
+      FROM ofld
+    ),
+    nfld AS (
+      SELECT CAST(n_nationkey AS VARCHAR) AS f1, n_name AS f2,
+             CAST(n_regionkey AS VARCHAR) AS f3
+      FROM nation
     ),
     nh AS (
       SELECT ('0x' || substr(md5(concat_ws('|',
-               CAST(n_nationkey AS VARCHAR), n_name,
-               CAST(n_regionkey AS VARCHAR))), 1, 8))::BIGINT AS h
-      FROM nation
+               CAST(length(f1) AS VARCHAR) || ':' || f1,
+               CAST(length(f2) AS VARCHAR) || ':' || f2,
+               CAST(length(f3) AS VARCHAR) || ':' || f3)), 1, 8))::BIGINT AS h
+      FROM nfld
     )
     SELECT 'orders' AS table_name, count(*) AS n_rows,
            CAST(SUM(h) AS BIGINT) AS content_digest_sum

@@ -437,7 +437,7 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lower(domain) AS domain FROM (
       SELECT doc_id,
-             unnest(regexp_extract_all(text, 'https?://([^/ :]+)', 1)) AS domain
+             unnest(regexp_extract_all(text, 'https?://([^/\\s:]+)', 1)) AS domain
       FROM docs
     )
     """,

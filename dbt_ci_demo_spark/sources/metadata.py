@@ -79,9 +79,17 @@ def columns_in_relation(spark: SparkSession, qualified: str) -> DataFrame:
 def get_catalog(spark: SparkSession, database: str) -> DataFrame:
     """B26: the get_catalog rollup — one row per relation with column count
     and row count. Lazy schema access gives n_columns for free; row_count
-    is a parquet-footer count (no row materialization)."""
+    is a parquet-footer count for tables (no row materialization) — a
+    VIEW's count executes the view's plan, the same cost dbt's catalog
+    query pays against a view. Session temp views are excluded with the
+    same namespace filter as :func:`list_relations` (r10 review finding:
+    they are namespace-less, so resolving ``db.name`` for one raised
+    TABLE_OR_VIEW_NOT_FOUND and crashed the whole rollup whenever the
+    session held any temp view — e.g. a streaming memory sink)."""
     rows = []
     for t in spark.catalog.listTables(database):
+        if t.namespace != [database]:
+            continue
         q = f"`{database}`.`{t.name}`"
         df = spark.table(q)
         is_view = t.tableType == "VIEW"
@@ -118,24 +126,30 @@ def fixture_catalog(spark: SparkSession, sf_dir: str, tables: list[str]) -> Data
     ).orderBy("table_name")
 
 
-def content_digest(df, columns: list[str]):
+def content_digest(df: DataFrame, columns: list[str]) -> DataFrame:
     """Order-independent, engine-exact content digest of a DataFrame:
-    per row, md5 over the '|'-joined column values (NULLs rendered as a
-    sentinel so they are distinguishable from empty strings), the first
-    8 hex chars as a 32-bit integer, summed in decimal. Any row change,
-    insert, or delete moves the digest; row ORDER and partitioning do
-    not (sum is commutative) — which is what makes this the DATA analog
-    of the checksum-based `state:modified` selection: pipelines diff
-    digests across runs to detect silent upstream drift without
-    comparing tables. One scan + a 1-row aggregate at any scale.
+    per row, md5 over the LENGTH-PREFIXED '|'-joined column values
+    (``len:value`` per field — without the prefix the payload is
+    ambiguous when a value contains the separator: ('a|b','c') and
+    ('a','b|c') both rendered 'a|b|c', so a change shifting a '|'
+    across a field boundary was invisible, r10 review finding; NULLs
+    render as a sentinel so they are distinguishable from empty
+    strings), the first 8 hex chars as a 32-bit integer, summed in
+    decimal. Any row change, insert, or delete moves the digest; row
+    ORDER and partitioning do not (sum is commutative) — which is what
+    makes this the DATA analog of the checksum-based `state:modified`
+    selection: pipelines diff digests across runs to detect silent
+    upstream drift without comparing tables. One scan + a 1-row
+    aggregate at any scale.
 
     Returns a 1-row DataFrame (n_rows, content_digest_sum).
     """
-    from pyspark.sql import functions as F
 
-    payload = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in columns]
-    )
+    def lp(c: str):
+        s = F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        return F.concat(F.length(s).cast("string"), F.lit(":"), s)
+
+    payload = F.concat_ws("|", *[lp(c) for c in columns])
     h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -79,3 +79,55 @@ def test_badwords_and_urls_degenerate(spark):
     assert {r.doc_id for r in flagged.filter(~F.col("keep")).collect()} == {4}
     doms = tx.url_domains(docs, "text", "doc_id")
     assert doms.count() == 0  # no URLs anywhere, no errors
+
+
+def test_badwords_case_empty_and_url_whitespace(spark):
+    """r10 review findings: (a) uppercase blocklist entries are
+    lowercased before compiling (they silently never matched the
+    lowered text); (b) an EMPTY blocklist keeps everything (the naive
+    compile produced \\b()\\b, matching at every word boundary and
+    dropping the whole corpus); (c) a URL terminated by newline/tab no
+    longer swallows the following text into the 'domain'."""
+    docs = spark.createDataFrame(
+        [
+            (1, "contains spamword here"),
+            (2, "clean text https://example.com\nmore text"),
+            (3, "tab case https://tab.example.com\tafter-tab"),
+        ],
+        "doc_id bigint, text string",
+    )
+    up = tx.badword_filter(docs, "text", "doc_id", words=("SPAMWORD",))
+    assert {r.doc_id: r.keep for r in up.collect()} == {1: False, 2: True, 3: True}
+    empty = tx.badword_filter(docs, "text", "doc_id", words=())
+    assert all(r.keep and r.n_badwords == 0 for r in empty.collect())
+    doms = {r.domain for r in tx.url_domains(docs, "text", "doc_id").collect()}
+    assert doms == {"example.com", "tab.example.com"}, doms
+
+
+def test_catalog_ignores_temp_views_and_digest_separator_shift(spark, tmp_path):
+    """r10 review findings: (a) get_catalog excludes session temp views
+    with the list_relations namespace filter — one temp view anywhere in
+    the session (e.g. a streaming memory sink) crashed the whole rollup
+    with TABLE_OR_VIEW_NOT_FOUND; (b) content_digest's length-prefixed
+    payload distinguishes rows that shift a separator character across a
+    field boundary ('a|b','c' vs 'a','b|c' hashed identically before)."""
+    from dbt_ci_demo_spark.sources import metadata as md
+
+    db = "cat_tmpview_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        spark.createDataFrame([(1,)], "k int").write.mode("overwrite").saveAsTable(
+            f"{db}.t1"
+        )
+        spark.createDataFrame([(9,)], "x int").createOrReplaceTempView("a_temp_view")
+        cat = md.get_catalog(spark, db)
+        names = {r.table_name for r in cat.collect()}
+        assert "t1" in names and "a_temp_view" not in names
+    finally:
+        spark.catalog.dropTempView("a_temp_view")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    d1 = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    d2 = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    h1 = md.content_digest(d1, ["x", "y"]).first()["content_digest_sum"]
+    h2 = md.content_digest(d2, ["x", "y"]).first()["content_digest_sum"]
+    assert h1 != h2
