@@ -42,6 +42,14 @@ def merge_upsert(
       target values for the other columns.
     - With no key the reference emits ``on FALSE`` → pure append
       (``when not matched then insert`` fires for every source row).
+
+    Source-uniqueness contract (r10 review finding): like a real MERGE
+    (which ERRORS on multiple matches per target row), the source batch
+    must be unique on the key. The full-replace path degrades gracefully
+    (both duplicates land, append-style), but the
+    ``merge_update_columns`` left join would FAN OUT each matched target
+    row once per duplicate — so feed key-duplicated batches through
+    :func:`cdc_apply` (latest-op-wins) or dedupe upstream.
     """
     if unique_key is None:
         return target.unionByName(source)
@@ -106,14 +114,36 @@ def insert_overwrite_partitions(
 
     ``partition_expr`` is evaluated against both target and source rows
     (e.g. ``F.to_date('l_shipdate')``).
+
+    NULL-partition semantics (r10 review finding — three-valued logic
+    made both branches silently wrong for rows whose partition expression
+    is NULL): in the static branch ``~isin`` evaluates to NULL for them,
+    so the filter DROPPED every NULL-partition target row even though no
+    listed partition covered it (permanent data loss); in the dynamic
+    branch the equi anti-join never matches NULL, so old NULL-partition
+    rows were KEPT alongside the new ones (duplicates) — diverging from
+    Spark's native dynamic overwrite, which replaces
+    __HIVE_DEFAULT_PARTITION__ like any other. Now: unlisted/absent NULL
+    partitions are kept (static), and a null-safe anti-join replaces the
+    NULL partition whenever the source writes into it (dynamic).
     """
     part = partition_expr.alias("__part")
     tgt = target.withColumn("__part", partition_expr)
     if partitions is not None:
-        kept = tgt.filter(~F.col("__part").isin(partitions)).drop("__part")
+        kept = tgt.filter(
+            F.col("__part").isNull() | ~F.col("__part").isin(partitions)
+        ).drop("__part")
         return kept.unionByName(source.select(*target.columns))
-    src_parts = source.select(part).distinct()
-    kept = tgt.join(src_parts, on="__part", how="left_anti").drop("__part")
+    src_parts = source.select(part).distinct().alias("__sp")
+    kept = (
+        tgt.alias("__tg")
+        .join(
+            src_parts,
+            on=F.col("__tg.__part").eqNullSafe(F.col("__sp.__part")),
+            how="left_anti",
+        )
+        .drop("__part")
+    )
     return kept.unionByName(source.select(*target.columns))
 
 

@@ -73,15 +73,31 @@ class Warehouse:
     def qualified(self, name: str) -> str:
         return f"`{self.database}`.`{name}`"
 
+    def _session_view(self, name: str) -> str:
+        """Session temp-view alias for a DataFrame-lineage view (see
+        create_view): database-scoped so two Warehouses can't collide."""
+        return f"{self.database}__view__{name}"
+
     def exists(self, name: str) -> bool:
-        return self.spark.catalog.tableExists(f"{self.database}.{name}")
+        return self.spark.catalog.tableExists(
+            f"{self.database}.{name}"
+        ) or self.spark.catalog.tableExists(self._session_view(name))
 
     def read(self, name: str) -> DataFrame:
+        # DataFrame-lineage views (create_view(df=...)) live as session
+        # temp views under the scoped alias; before the r10 review fix
+        # they were registered under the BARE name, which this qualified
+        # resolution could never see — every downstream ref() of a
+        # view-materialized model failed TABLE_OR_VIEW_NOT_FOUND.
+        sv = self._session_view(name)
+        if self.spark.catalog.tableExists(sv):
+            return self.spark.table(sv)
         return self.spark.table(self.qualified(name))
 
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(name)}")
         self.spark.sql(f"DROP VIEW IF EXISTS {self.qualified(name)}")
+        self.spark.catalog.dropTempView(self._session_view(name))
 
     def rename(self, old: str, new: str) -> None:
         self.spark.sql(f"ALTER TABLE {self.qualified(old)} RENAME TO {self.qualified(new)}")
@@ -128,14 +144,24 @@ class Warehouse:
         column_comments: dict[str, str] | None = None,
     ) -> None:
         """bigquery__persist_docs (@25819): table description →
-        TBLPROPERTIES comment; column docs → ALTER COLUMN COMMENT."""
+        TBLPROPERTIES comment; column docs → ALTER COLUMN COMMENT.
+
+        Escaping (r10 review finding, verified live): Spark SQL string
+        literals are BACKSLASH-escaped as well as quote-escaped — an
+        unescaped 'C:\\temp' stored a TAB and a trailing backslash ate
+        the closing quote (ParseException) — so both characters are
+        escaped."""
+
+        def _lit(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "''")
+
         if description is not None:
-            safe = description.replace("'", "''")
+            safe = _lit(description)
             self.spark.sql(
                 f"ALTER TABLE {self.qualified(name)} SET TBLPROPERTIES ('comment' = '{safe}')"
             )
         for col, comment in (column_comments or {}).items():
-            safe = comment.replace("'", "''")
+            safe = _lit(comment)
             self.spark.sql(
                 f"ALTER TABLE {self.qualified(name)} ALTER COLUMN `{col}` COMMENT '{safe}'"
             )
@@ -171,6 +197,9 @@ class Warehouse:
             cols, n_buckets = bucket_by
             writer = writer.bucketBy(n_buckets, *cols).sortBy(*(cluster_by or cols))
         writer.saveAsTable(f"{self.database}.{name}")
+        # a model switching view -> table must not leave a stale session
+        # view shadowing the new physical relation in read()
+        self.spark.catalog.dropTempView(self._session_view(name))
 
     def _scrub_location(self, name: str) -> None:
         """Delete leftover files at a managed table's default location.
@@ -194,13 +223,38 @@ class Warehouse:
         if fs.exists(path):
             fs.delete(path, True)
 
+    def _partition_col(self, name: str) -> str | None:
+        """First partition column of an existing table (None if
+        unpartitioned or absent) — the layout swap_in preserves."""
+        try:
+            cols = self.spark.catalog.listColumns(f"{self.database}.{name}")
+        except Exception:
+            return None
+        for c in cols:
+            if c.isPartition:
+                return c.name
+        return None
+
     def swap_in(self, df: DataFrame, name: str, partition_by: str | None = None,
                 cluster_by: list[str] | None = None) -> None:
         """Stage-and-swap for results that read the table they replace.
         A failed staging write never leaves debris: the stale tmp catalog
         entry AND any orphaned files at the tmp location are scrubbed both
         up front (recovery from a prior crash) and on failure (so the
-        exception propagates from a clean state)."""
+        exception propagates from a clean state).
+
+        Partition preservation (r10 review finding): when ``partition_by``
+        is omitted and the table being replaced is hive-partitioned, the
+        replacement INHERITS the existing partition column — the DDL
+        rewrites (drop_columns/alter_column_type) and snapshot merges
+        were silently flattening partitioned tables, which besides losing
+        pruning made a later dynamic insert_overwrite a full-table
+        overwrite. A result that no longer carries the partition column
+        (drop_columns of the partition key) writes unpartitioned."""
+        if partition_by is None:
+            inherited = self._partition_col(name)
+            if inherited and inherited in df.columns:
+                partition_by = inherited
         tmp = f"{name}{TMP_SUFFIX}"
         self.drop(tmp)
         self._scrub_location(tmp)
@@ -215,22 +269,33 @@ class Warehouse:
 
     def create_view(self, name: str, sql: str | None = None, df: DataFrame | None = None) -> None:
         """B2. With SQL text → a real catalog view (CREATE OR REPLACE VIEW);
-        with only a DataFrame → a session temp view under the bare name
-        (documented parity gap: BigQuery views are server-side objects,
-        Spark DataFrame lineage is session-side)."""
+        with only a DataFrame → a session temp view under the warehouse's
+        SCOPED alias (documented parity gap: BigQuery views are
+        server-side objects, Spark DataFrame lineage is session-side —
+        but the relation is fully addressable through this Warehouse:
+        read()/exists()/drop() resolve it, so a Runner view model and its
+        downstream refs work; r10 review finding — the old bare-name temp
+        view was invisible to the qualified read path). Any same-named
+        physical relation is dropped first (CREATE OR REPLACE parity)."""
         if sql is not None:
             self.spark.sql(f"CREATE OR REPLACE VIEW {self.qualified(name)} AS {sql}")
         elif df is not None:
-            df.createOrReplaceTempView(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(name)}")
+            self.spark.sql(f"DROP VIEW IF EXISTS {self.qualified(name)}")
+            df.createOrReplaceTempView(self._session_view(name))
         else:
             raise ValueError("view needs sql or df")
 
     def copy_table(self, sources: list[str], dest: str, mode: str = "overwrite") -> None:
         """B4: BigQuery table copy — N sources appended/overwritten into one
-        destination (materialization_copy_bigquery @45600)."""
+        destination (materialization_copy_bigquery @45600). Bare source
+        names resolve in THIS warehouse's database (r10 review finding:
+        ``spark.table(src)`` resolved them against the session's current
+        database — wrong one, or a same-named foreign table, silently);
+        dotted names pass through untouched."""
         first = True
         for src in sources:
-            df = self.spark.table(src)
+            df = self.spark.table(src if "." in src else self.qualified(src))
             self.write_table(df, dest, mode=(mode if first else "append"))
             first = False
 
@@ -272,19 +337,52 @@ class Warehouse:
             self.write_table(df, name, partition_by=partition_by)
             return "ctas"
         target = self.read(name)
+        physical_cols = set(target.columns)
         source, target = incr.apply_schema_change_policy(df, target, on_schema_change)
+        # In-place write paths (insertInto / append) hit the PHYSICAL
+        # table, so a policy that widened the in-memory target must be
+        # persisted with an ALTER first — otherwise append_new_columns /
+        # sync_all_columns silently degraded to 'ignore' here (the new
+        # column was projected away forever; r10 review finding). A
+        # policy that REMOVED columns cannot be applied in place (parquet
+        # drop needs the CTAS rewrite) — fail loudly instead of writing
+        # positionally-misaligned rows.
+        added = {
+            f.name: f.dataType.simpleString()
+            for f in target.schema.fields
+            if f.name not in physical_cols
+        }
+        removed = physical_cols - set(target.columns)
+        in_place = strategy == "insert_overwrite" or (
+            strategy == "merge" and unique_key is None
+        )
+        if in_place and removed:
+            raise ValueError(
+                "on_schema_change removed columns "
+                f"{sorted(removed)}, which the in-place "
+                f"{strategy} write cannot apply — use full_refresh "
+                "(CTAS rewrite) to drop physical columns"
+            )
+        if in_place and added:
+            self.add_columns(name, added)
         if strategy == "insert_overwrite" and partition_by:
             # Native dynamic partition overwrite: rewrites only the
             # partitions present in `source`. No staging swap, no read of
             # the target — the write cost is proportional to the delta.
+            # Dynamic mode pinned on the WRITER (r10 review finding): the
+            # session default is STATIC, which would truncate the whole
+            # table down to the delta.
             cols = self.read(name).columns
-            source.select(*cols).write.insertInto(f"{self.database}.{name}", overwrite=True)
+            source.select(*cols).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).insertInto(f"{self.database}.{name}", overwrite=True)
             return "insert_overwrite_dynamic"
         if strategy == "insert_overwrite":
             raise ValueError("insert_overwrite requires partition_by")
         if strategy == "merge":
             if unique_key is None:
-                source.select(*target.columns).write.mode("append").saveAsTable(
+                cols = self.read(name).columns
+                source.select(*cols).write.mode("append").saveAsTable(
                     f"{self.database}.{name}"
                 )
                 return "append"
@@ -339,11 +437,17 @@ class Warehouse:
         """make_date_partitioned_table (@47149): for each date, compute the
         day's DataFrame (the reference substitutes [DBT__PARTITION_DATE]
         into the SQL) and overwrite exactly that partition via dynamic
-        overwrite."""
+        overwrite. The dynamic mode is pinned ON THE WRITER (r10 review
+        finding): relying on the session conf meant any session not built
+        by dbt_ci_demo_spark.session ran Spark's default STATIC overwrite
+        here — truncating every partition and keeping only the day's
+        delta."""
         for i, ds in enumerate(dates):
             day = df_for_date(ds).withColumn(partition_col, F.lit(ds))
             if i == 0 and not self.exists(name):
                 self.write_table(day, name, partition_by=partition_col)
             else:
                 cols = self.read(name).columns
-                day.select(*cols).write.insertInto(f"{self.database}.{name}", overwrite=True)
+                day.select(*cols).write.option(
+                    "partitionOverwriteMode", "dynamic"
+                ).insertInto(f"{self.database}.{name}", overwrite=True)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import inspect
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -77,14 +78,49 @@ class Model:
         return list(self.refs)
 
     def checksum(self) -> str:
-        """sha256 over normalized source + config — the state:modified key
-        (manifest node ``checksum.sha256``)."""
+        """sha256 over normalized source + captured state + config — the
+        state:modified key (manifest node ``checksum.sha256``).
+
+        Captured state (r10 review finding): ``inspect.getsource`` is
+        blind to closure cells and default arguments, so two
+        factory-built models (``make(threshold)``) had IDENTICAL
+        checksums for different thresholds — a behavior change
+        state:modified could not see, shipping stale tables in deferred
+        CI. The payload therefore includes the repr of every closure
+        cell and default (repr of plain config values is deterministic;
+        an unreprable cell degrades to its type name, which still
+        differs when the TYPE changes and is no worse than before)."""
         try:
             src = inspect.getsource(self.fn)
         except (OSError, TypeError):
             src = repr(self.fn)
+
+        def safe_repr(v) -> str:
+            try:
+                # strip memory addresses ("<function f at 0x7f..>") so the
+                # checksum is stable across processes — an address-bearing
+                # repr would read as modified on EVERY run
+                return re.sub(r" at 0x[0-9a-fA-F]+", "", repr(v))
+            except Exception:
+                return f"<unreprable {type(v).__name__}>"
+
+        def cell_value(c):
+            try:
+                return safe_repr(c.cell_contents)
+            except ValueError:  # empty cell
+                return "<empty cell>"
+
+        cells = [cell_value(c) for c in (getattr(self.fn, "__closure__", None) or ())]
+        defaults = [safe_repr(d) for d in (getattr(self.fn, "__defaults__", None) or ())]
         payload = json.dumps(
-            {"src": src, "config": self.config.to_json(), "refs": self.refs, "sources": self.sources},
+            {
+                "src": src,
+                "cells": cells,
+                "defaults": defaults,
+                "config": self.config.to_json(),
+                "refs": self.refs,
+                "sources": self.sources,
+            },
             sort_keys=True,
         )
         return hashlib.sha256(payload.encode()).hexdigest()
@@ -113,7 +149,19 @@ def model(
             refs=refs or [],
             sources=sources or [],
         )
-        (_REGISTRY if registry is None else registry)[m.name] = m
+        reg = _REGISTRY if registry is None else registry
+        prior = reg.get(m.name)
+        # dbt errors on duplicate node names; silently replacing meant a
+        # copy-pasted name made one model never run, with every ref()
+        # resolving to whichever import won (r10 review finding).
+        # Re-registering the SAME function stays idempotent (module
+        # re-imports, REPL reloads).
+        if prior is not None and prior.fn is not fn:
+            raise ValueError(
+                f"duplicate model name {m.name!r}: already registered by "
+                f"{getattr(prior.fn, '__qualname__', prior.fn)!r}"
+            )
+        reg[m.name] = m
         return fn
 
     return deco

@@ -851,3 +851,146 @@ def test_build_with_erroring_test_records_error_and_continues(
 
     assert os.path.exists(state_out)
     runner.warehouse.drop_database()
+
+
+def test_view_model_is_readable_and_refable(spark, sf_dir, env, tmp_path):
+    """r10 review finding: the DataFrame-lineage view registered a temp
+    view under the BARE name, which Warehouse.read's qualified resolution
+    could never see — every downstream ref() of a view model (and
+    build-steps row counting) failed TABLE_OR_VIEW_NOT_FOUND. Views are
+    now session views under a warehouse-scoped alias, resolved by
+    read()/exists()/drop()."""
+    registry: dict[str, Model] = {}
+
+    @model(name="v_orders", sources=["orders"], registry=registry, materialized="view")
+    def v_orders(ctx):
+        return ctx.source("orders").select("o_orderkey").limit(7)
+
+    @model(name="from_view", refs=["v_orders"], registry=registry)
+    def from_view(ctx):
+        return ctx.ref("v_orders")
+
+    runner = make_runner(spark, sf_dir, env, registry, tmp_path)
+    steps: list = []
+    results = runner.build(tests={}, build_steps=steps)
+    assert results["v_orders"].status == "success", results["v_orders"].error
+    assert results["from_view"].status == "success", results["from_view"].error
+    assert runner.warehouse.read("v_orders").count() == 7
+    assert runner.warehouse.exists("v_orders")
+    by_node = {s.node: s for s in steps}
+    assert by_node["v_orders"].n_rows == 7
+    # a later table write under the same name shadows out the view
+    runner.warehouse.write_table(
+        spark.createDataFrame([(1,)], "k int"), "v_orders"
+    )
+    assert runner.warehouse.read("v_orders").columns == ["k"]
+    runner.warehouse.drop_database()
+
+
+def test_insert_overwrite_null_partitions(spark):
+    """r10 review finding: three-valued logic silently broke both
+    branches for NULL partition values — static ~isin DROPPED every
+    NULL-partition target row (data loss); the dynamic equi anti-join
+    never matched NULL so old NULL rows were KEPT next to the new ones
+    (duplicates). Static keeps unlisted NULLs; dynamic null-safe-replaces
+    them."""
+    from dbt_ci_demo_spark.operators import incremental as incr
+
+    tgt = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), (None, 3)], "ds string, v int"
+    )
+    src_listed = spark.createDataFrame([("2024-01-01", 10)], "ds string, v int")
+    out = incr.insert_overwrite_partitions(
+        tgt, src_listed, F.col("ds"), partitions=["2024-01-01"]
+    )
+    got = {(r.ds, r.v) for r in out.collect()}
+    assert got == {("2024-01-01", 10), ("2024-01-02", 2), (None, 3)}, got
+    src_null = spark.createDataFrame([(None, 30)], "ds string, v int")
+    out2 = incr.insert_overwrite_partitions(tgt, src_null, F.col("ds"))
+    got2 = {(r.ds, r.v) for r in out2.collect()}
+    assert got2 == {("2024-01-01", 1), ("2024-01-02", 2), (None, 30)}, got2
+
+
+def test_incremental_inplace_schema_evolution_and_docs_escaping(spark, sf_dir, tmp_path):
+    """r10 review findings: (a) append_new_columns degraded to 'ignore'
+    on the in-place insert_overwrite path (the widened column was
+    projected away forever — now persisted via ALTER ADD COLUMNS first);
+    (b) sync-removed columns raise loudly instead of writing
+    positionally-misaligned rows; (c) persist_docs escapes backslashes
+    (an unescaped trailing backslash was a ParseException, 'C:\\temp'
+    stored a TAB)."""
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+
+    wh = Warehouse(spark, "wq_evolve", location=str(tmp_path / "wq_evolve"))
+    try:
+        base = spark.createDataFrame(
+            [("2024-01-01", 1)], "ds string, v int"
+        )
+        wh.write_incremental(base, "t", strategy="insert_overwrite", partition_by="ds")
+        widened = spark.createDataFrame(
+            [("2024-01-02", 2, 9)], "ds string, v int, extra int"
+        )
+        wh.write_incremental(
+            widened,
+            "t",
+            strategy="insert_overwrite",
+            partition_by="ds",
+            on_schema_change="append_new_columns",
+        )
+        got = {(r.ds, r.v, r.extra) for r in wh.read("t").collect()}
+        assert got == {("2024-01-01", 1, None), ("2024-01-02", 2, 9)}, got
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="removed columns"):
+            wh.write_incremental(
+                spark.createDataFrame([("2024-01-03", 3)], "ds string, v int"),
+                "t",
+                strategy="insert_overwrite",
+                partition_by="ds",
+                on_schema_change="sync_all_columns",
+            )
+        wh.persist_docs("t", description="path C:\\temp ends with \\")
+        # 'comment' is a reserved property: surfaced by DESCRIBE EXTENDED,
+        # not SHOW TBLPROPERTIES
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED wq_evolve.t").collect()
+        }
+        assert desc.get("Comment") == "path C:\\temp ends with \\"
+        # swap_in inherits the partition layout on DDL rewrites
+        wh.alter_column_type("t", "v", "bigint")
+        assert wh._partition_col("t") == "ds"
+    finally:
+        wh.drop_database()
+
+
+def test_model_registry_duplicate_guard_and_closure_checksum():
+    """r10 review findings: (a) duplicate model names raise instead of
+    silently replacing (same-function re-registration stays idempotent
+    for re-imports); (b) checksum sees closure/default values, so
+    factory-built models with different parameters read as modified."""
+    import pytest as _pytest
+
+    reg: dict[str, Model] = {}
+
+    @model(name="dup_guard", registry=reg)
+    def m1(ctx):
+        return None
+
+    model(name="dup_guard", registry=reg)(m1)  # same fn: idempotent
+
+    with _pytest.raises(ValueError, match="duplicate model name"):
+
+        @model(name="dup_guard", registry=reg)
+        def m2(ctx):
+            return None
+
+    def make(threshold):
+        def fn(ctx):
+            return threshold
+
+        return Model(name="f", fn=fn, config=ModelConfig())
+
+    a, b = make(1), make(2)
+    assert a.checksum() != b.checksum()
+    assert a.checksum() == make(1).checksum()  # stable across processes' reprs
