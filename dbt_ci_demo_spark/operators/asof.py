@@ -41,25 +41,58 @@ def asof_join(
 
     ``right`` must be unique per (keys, ts) — pre-dedup with a window if
     not. Right columns are emitted under their own names; left keeps all
-    its columns. ``tolerance_seconds`` drops matches older than the
-    tolerance (pandas ``merge_asof`` semantics).
+    its columns (a ``right_cols``/``asof_ts`` name already present on the
+    left raises — the output would be ambiguous). ``tolerance_seconds``
+    drops matches older than the tolerance (pandas ``merge_asof``
+    semantics).
+
+    Atomic carry (r10 review finding): the matched right ROW travels as
+    ONE struct through a single ``last(ignorenulls)`` — carrying each
+    right column independently let a genuine NULL in right-side data be
+    skipped (indistinguishable from the union's filler nulls), emitting a
+    (asof_ts, value) pair that existed in NO right row (a stale value
+    with a newer match's timestamp; under tolerance, a value from
+    OUTSIDE the window could pass the asof_ts keep-check). NULL join
+    keys never match (SQL/DuckDB ``l.k = r.k`` semantics): NULL-keyed
+    right rows are filtered out of the carry, so a NULL-keyed left row
+    gets NULL right columns instead of a phantom NULL-to-NULL
+    attribution.
     """
     lcols = left.columns
+    passthrough = [c for c in lcols if c not in on and c != ts_col]
+    clash = (set(right_cols) | {"asof_ts"}) & set(passthrough)
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision: {sorted(clash)} exist on the "
+            "left — rename or drop them before joining"
+        )
+    match_struct = F.struct(
+        F.col(ts_col).alias("asof_ts"), *[F.col(c) for c in right_cols]
+    )
     # side 0 sorts before side 1 at equal ts → right row at ts == left ts
     # is visible to the left row (inclusive as-of).
     r = right.select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_cols],
-        *[F.lit(None).alias(f"__l_{c}") for c in lcols if c not in on and c != ts_col],
+        match_struct.alias("__match"),
+        *[F.lit(None).alias(f"__l_{c}") for c in passthrough],
+    )
+    null_keys = None
+    for k in on:
+        cond = F.col(k).isNull()
+        null_keys = cond if null_keys is None else (null_keys | cond)
+    if null_keys is not None:
+        r = r.filter(~null_keys)
+    null_match = F.lit(None).cast(
+        r.schema["__match"].dataType
     )
     l = left.select(
         *on,
         F.col(ts_col),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
-        *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in on and c != ts_col],
+        null_match.alias("__match"),
+        *[F.col(c).alias(f"__l_{c}") for c in passthrough],
     )
     u = r.unionByName(l)
     w = (
@@ -67,30 +100,29 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols]
-    carried_ts = F.last(
-        F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True
-    ).over(w).alias("__asof_ts")
+    carried = F.last(F.col("__match"), ignorenulls=True).over(w).alias("__match")
     out = (
-        u.select(*on, F.col(ts_col), F.col("__side"), carried_ts, *carried,
-                 *[F.col(f"__l_{c}") for c in lcols if c not in on and c != ts_col])
+        u.select(*on, F.col(ts_col), F.col("__side"), carried,
+                 *[F.col(f"__l_{c}") for c in passthrough])
         .filter(F.col("__side") == 1)
         .drop("__side")
     )
     if tolerance_seconds is not None:
-        horizon = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(tolerance_seconds * 1_000_000)
-        keep = F.unix_micros(F.col("__asof_ts").cast("timestamp")) >= horizon
-        out = out.select(
-            *on,
-            ts_col,
-            F.when(keep, F.col("__asof_ts")).alias("__asof_ts"),
-            *[F.when(keep, F.col(c)).alias(c) for c in right_cols],
-            *[F.col(f"__l_{c}") for c in lcols if c not in on and c != ts_col],
+        horizon = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(
+            tolerance_seconds * 1_000_000
         )
-    renames = {f"__l_{c}": c for c in lcols if c not in on and c != ts_col}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.withColumnRenamed("__asof_ts", "asof_ts")
+        keep = (
+            F.unix_micros(F.col("__match")["asof_ts"].cast("timestamp")) >= horizon
+        )
+        out = out.withColumn("__match", F.when(keep, F.col("__match")))
+    out = out.select(
+        *on,
+        ts_col,
+        F.col("__match")["asof_ts"].alias("asof_ts"),
+        *[F.col("__match")[c].alias(c) for c in right_cols],
+        *[F.col(f"__l_{c}").alias(c) for c in passthrough],
+    )
+    return out
 
 
 def bucketized_range_join(
@@ -110,7 +142,13 @@ def bucketized_range_join(
     keys = keys or []
     us = bucket_seconds * 1_000_000
     p = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / us))
-    i = intervals.withColumn(
+    # Empty/reversed intervals (end <= start) match nothing under the
+    # theta condition, but Spark's step-less sequence(start, stop) runs
+    # DESCENDING when start > stop — one malformed interval row would
+    # explode into an enormous backward bucket list instead of nothing
+    # (r10 review finding). Filter them out up front, exactly mirroring
+    # the theta join's empty result for such rows.
+    i = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

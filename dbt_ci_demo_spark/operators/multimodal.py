@@ -75,7 +75,10 @@ def attach_media_column(
             F.concat(F.lit(f"mem://{modality}/"), F.col(id_col).cast("string")).alias("uri"),
             F.lit(modality).alias("modality"),
             F.length(p).cast("long").alias("n_bytes"),
-            F.md5(p.cast("string")).alias("content_hash"),
+            # md5 takes BINARY natively — hashing the raw payload bytes;
+            # the old string cast was a redundant per-row node that also
+            # misled readers into thinking a text transcoding was hashed
+            F.md5(p).alias("content_hash"),
             p.alias("bytes"),
         ).cast(MEDIA_SCHEMA).alias("media"),
     )
@@ -203,9 +206,12 @@ def frame_sample_plan(
     byte_offset) rows JVM-side (sequence + explode — no Python), so the
     decode stage only touches sampled offsets. With a real container
     format the offsets would come from the index atom; the fan-out shape
-    is identical."""
+    is identical. Zero-byte payloads emit NO frames (r10 review finding:
+    greatest(n-1, 0) manufactured a frame at offset 0 for an empty
+    payload, sending the decode stage into nothing — the same
+    spurious-row class audio_chunk_plan's duration filter guards)."""
     n = F.col("media.n_bytes")
-    return media_df.select(
+    return media_df.filter(n > 0).select(
         F.col(id_col),
         F.posexplode(
             F.sequence(F.lit(0), F.greatest((n / every_n_bytes).cast("long") - 1, F.lit(0)))

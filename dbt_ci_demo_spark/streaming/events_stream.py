@@ -155,7 +155,12 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            for v in pdf["value"]:
+            # SQL NULL doubles arrive as NaN through Arrow; SUM skips
+            # them (the batch twin's semantics) while COUNT(*) above
+            # counts the row. Without the guard Decimal('nan') raised
+            # InvalidOperation at int(), failing the whole micro-batch
+            # on one nullable value (r10 review finding).
+            for v in pdf["value"].dropna():
                 micros += int(Decimal(str(v)).quantize(q6) * 1_000_000)
         state.update((n, micros))
         yield pd.DataFrame(
@@ -249,7 +254,13 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not complete within 600s - refusing to "
+            "read a partial sink as the full result (r10 review finding: "
+            "awaitTermination(timeout) returns False, it does not raise)"
+        )
     tbl = spark.table(name)
     return (tbl, q) if return_query else tbl
 
@@ -398,7 +409,6 @@ def run_foreach_batch_merge(
     insert. Complete output mode means each batch carries current totals,
     so the MERGE is idempotent across batches and restarts; recovery
     rides on checkpointing rather than operator state."""
-    import tempfile
 
     from dbt_ci_demo_spark.operators.incremental import merge_upsert
 
@@ -424,7 +434,13 @@ def run_foreach_batch_merge(
         .option("checkpointLocation", _stream_ckpt_dir(name))
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not complete within 600s - refusing to "
+            "read a partial sink as the full result (r10 review finding: "
+            "awaitTermination(timeout) returns False, it does not raise)"
+        )
     return holder["target"]
 
 
@@ -451,7 +467,6 @@ def run_foreach_batch_cdc(
     The accumulated state lives driver-referenced and is RELIABLE-
     checkpointed per batch (files, not pinned executor blocks — the
     shared iterative-operator discipline), bounded by |keys|."""
-    import tempfile
 
     from dbt_ci_demo_spark.operators.incremental import cdc_apply_versioned
     from dbt_ci_demo_spark.session import ensure_checkpoint_dir
@@ -473,7 +488,13 @@ def run_foreach_batch_cdc(
         .option("checkpointLocation", _stream_ckpt_dir(name))
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not complete within 600s - refusing to "
+            "read a partial sink as the full result (r10 review finding: "
+            "awaitTermination(timeout) returns False, it does not raise)"
+        )
     if stats is not None:
         stats["batches"] = holder["batches"]
     return holder["state"]

@@ -141,3 +141,55 @@ def test_salted_join_spreads_hot_key(spark):
         skew.salted_join(probe, build, key="k", n_salts=n_salts)
     with _pytest.raises(ValueError, match="salt_from"):
         skew.salted_join(probe, build, key="k", n_salts=n_salts, salt_from="k")
+
+
+def test_asof_null_value_carried_atomically(spark):
+    """r10 review finding: carrying right columns independently let
+    last(ignorenulls) skip a GENUINE NULL in right data, emitting a
+    (asof_ts, value) pair that existed in no right row. The struct carry
+    is atomic: the matched row's NULL survives."""
+    right = _mk(
+        spark,
+        [(1, _ts("2024-01-01T00:00:00"), 5.0), (1, _ts("2024-01-01T01:00:00"), None)],
+        "k bigint, ts timestamp, v double",
+    )
+    left = _mk(spark, [(1, _ts("2024-01-01T02:00:00"))], "k bigint, ts timestamp")
+    row = aj.asof_join(left, right, ["k"], "ts", ["v"]).first()
+    assert row.asof_ts == _ts("2024-01-01T01:00:00")
+    assert row.v is None  # the matched row's genuine NULL, not the stale 5.0
+
+
+def test_asof_null_keys_never_match_and_collision_raises(spark):
+    """r10 review findings: NULL join keys follow SQL equality (no
+    NULL-to-NULL attribution), and a right_cols name already on the left
+    raises instead of emitting ambiguous duplicate columns."""
+    import pytest
+
+    right = _mk(
+        spark, [(None, _ts("2024-01-01T00:00:00"), 5.0)], "k bigint, ts timestamp, v double"
+    )
+    left = _mk(spark, [(None, _ts("2024-01-01T02:00:00"))], "k bigint, ts timestamp")
+    row = aj.asof_join(left, right, ["k"], "ts", ["v"]).first()
+    assert row.v is None and row.asof_ts is None
+    left2 = _mk(spark, [(1, _ts("2024-01-01T02:00:00"), 1.0)], "k bigint, ts timestamp, v double")
+    with pytest.raises(ValueError, match="name collision"):
+        aj.asof_join(left2, right, ["k"], "ts", ["v"])
+
+
+def test_range_join_reversed_interval_matches_nothing(spark):
+    """r10 review finding: a reversed interval (end < start) fed Spark's
+    step-less sequence a descending range — one malformed row exploded
+    into a huge backward bucket list instead of the theta join's empty
+    result. Now filtered up front."""
+    points = _mk(spark, [(_ts("2024-01-01T00:30:00"),)], "ts timestamp")
+    intervals = _mk(
+        spark,
+        [
+            (_ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"), "ok"),
+            (_ts("2025-01-01T00:00:00"), _ts("2024-01-01T00:00:00"), "reversed"),
+            (_ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:00:00"), "empty"),
+        ],
+        "start timestamp, end timestamp, tag string",
+    )
+    out = aj.bucketized_range_join(points, intervals, "ts", "start", "end", 3600)
+    assert [r.tag for r in out.collect()] == ["ok"]
