@@ -61,16 +61,28 @@ def range_bucket(value: Column | str, start: int, end: int, interval: int) -> Co
     used for integer range partitioning (partition_by, manifest.json:1@13262).
 
     Returns the bucket ordinal: 0 for x < start, n for x >= end, else
-    1 + floor((x-start)/interval) — matching RANGE_BUCKET's
-    insertion-point semantics on the generated array.
+    1 + (x-start) div interval — matching RANGE_BUCKET's insertion-point
+    semantics on the generated array. Returns BIGINT like BigQuery's
+    INT64 (r10 review findings, both confirmed live: the old int32 cast
+    was an ANSI CAST_OVERFLOW crash for ordinals past 2^31, and the old
+    double-division floor silently returned bucket+1 once |x-start|
+    exceeded 2^53 — integer ``div`` is exact at any int64 magnitude; the
+    otherwise-branch operand is non-negative, so div == floor-division).
+    Inverted bounds (end < start ⇒ an empty GENERATE_ARRAY) return 0 for
+    every x, as BigQuery does, instead of a nonsense negative ordinal.
     """
     col = F.col(value) if isinstance(value, str) else value
+    if end < start:
+        return F.lit(0).cast("bigint")
     n_edges = (end - start) // interval + 1
+    bucket = F.call_function(
+        "div", col.cast("bigint") - F.lit(start), F.lit(interval)
+    )
     return (
         F.when(col < F.lit(start), F.lit(0))
         .when(col >= F.lit(start + (n_edges - 1) * interval), F.lit(n_edges))
-        .otherwise((F.floor((col - F.lit(start)) / F.lit(interval)) + F.lit(1)).cast("int"))
-        .cast("int")
+        .otherwise(bucket + F.lit(1))
+        .cast("bigint")
     )
 
 

@@ -1442,9 +1442,10 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(concat_ws('|', coalesce(CAST(p_name AS VARCHAR), ''),
                               coalesce(CAST(p_brand AS VARCHAR), ''))) AS row_hash,
            regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
-           CASE WHEN p_size < 1 THEN 0
+           CAST(CASE WHEN p_size < 1 THEN 0
                 WHEN p_size >= 41 THEN 5
-                ELSE 1 + CAST(FLOOR((p_size - 1) / 10) AS INT) END AS size_bucket,
+                ELSE 1 + CAST(FLOOR((p_size - 1) / 10) AS INT) END
+                AS BIGINT) AS size_bucket,
            CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier,
            nullif(p_brand, 'Brand#13') AS brand_or_null
     FROM part

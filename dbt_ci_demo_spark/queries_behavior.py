@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_ci_demo_spark.functions.bq_compat import exact_sum
 from dbt_ci_demo_spark.queries import _t, query
 
 
@@ -153,7 +154,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            exact_sum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -197,7 +198,7 @@ def events_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.groupBy(hour.alias("hour"), F.col("event_type"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+                exact_sum("value").alias("sum_value"),
             )
         )
 

@@ -49,9 +49,18 @@ def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
     out = df
     for name in ("ts",):
         if name in df.columns and isinstance(df.schema[name].dataType, T.LongType):
+            # FLOOR division, exact in int64 (r10 review finding,
+            # confirmed live): bare `div` truncates toward zero, but
+            # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast floors, so a
+            # pre-epoch nanos value diverged by 1µs. pmod's non-negative
+            # remainder makes the subtraction an exact multiple, so the
+            # truncation IS the floor — no double math (ns magnitudes
+            # exceed 2^53).
             out = out.withColumn(
                 name,
-                F.timestamp_micros(F.expr(f"`{name}` div 1000")).cast("timestamp_ntz"),
+                F.timestamp_micros(
+                    F.expr(f"(`{name}` - pmod(`{name}`, 1000)) div 1000")
+                ).cast("timestamp_ntz"),
             )
     return out
 
@@ -63,8 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
-    """Register each fixture table as a session temp view under its name."""
-    for name in tables or TABLES:
+    """Register each fixture table as a session temp view under its name.
+    An explicitly EMPTY list registers nothing (r10 review finding: the
+    falsy ``or`` idiom silently registered all ten fixture views for a
+    caller whose computed subset came out empty)."""
+    for name in (TABLES if tables is None else tables):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

@@ -155,3 +155,34 @@ def test_cdc_versioned_random_batches_order_invariant(spark, rows, rnd):
         state = cdc_apply_versioned(state, batches[j], "key", "seq", "op")
     replayed = cdc_apply_versioned(state, batches[i], "key", "seq", "op")
     assert frozenset(tuple(r) for r in replayed.collect()) == fwd
+
+
+def test_range_bucket_int64_exactness_and_inverted_bounds(spark):
+    """r10 review findings (confirmed live pre-fix): (a) the double-
+    division floor returned bucket+1 once |x-start| exceeded 2^53 —
+    integral div is exact at any int64 magnitude; (b) the int32 result
+    cast was an ANSI CAST_OVERFLOW crash for huge ordinals — the return
+    type is now BIGINT like BigQuery's INT64; (c) inverted bounds (an
+    empty GENERATE_ARRAY) return 0 for every x, not a negative ordinal."""
+    from dbt_ci_demo_spark.functions.bq_compat import range_bucket
+
+    big_interval = 1 << 40
+    x = (1 << 53) + big_interval - 1  # true bucket ordinal: 8192 + 1
+    df = spark.createDataFrame([(x,), (5,)], "x bigint")
+    out = df.select(range_bucket("x", 0, (1 << 54), big_interval).alias("b"))
+    assert dict(out.dtypes)["b"] == "bigint"
+    got = {r.b for r in out.collect()}
+    assert (1 << 13) + 1 in got and 1 in got, got
+    inv = df.select(range_bucket("x", 10, 0, 1).alias("b")).collect()
+    assert all(r.b == 0 for r in inv)
+
+
+def test_register_views_empty_list_registers_nothing(spark, sf_dir):
+    from dbt_ci_demo_spark.sources.catalog import register_views
+
+    spark.catalog.dropTempView("region") if spark.catalog.tableExists("region") else None
+    register_views(spark, sf_dir, tables=[])
+    assert not spark.catalog.tableExists("region")
+    register_views(spark, sf_dir, tables=["region"])
+    assert spark.catalog.tableExists("region")
+    spark.catalog.dropTempView("region")
