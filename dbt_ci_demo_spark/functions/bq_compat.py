@@ -69,11 +69,15 @@ def range_bucket(value: Column | str, start: int, end: int, interval: int) -> Co
     exceeded 2^53 — integer ``div`` is exact at any int64 magnitude; the
     otherwise-branch operand is non-negative, so div == floor-division).
     Inverted bounds (end < start ⇒ an empty GENERATE_ARRAY) return 0 for
-    every x, as BigQuery does, instead of a nonsense negative ordinal.
+    every non-NULL x, as BigQuery does, instead of a nonsense negative
+    ordinal — but a NULL point stays NULL regardless of the boundaries
+    array (RANGE_BUCKET(NULL, ...) IS NULL; the non-inverted path already
+    propagates NULL through the ``otherwise`` arithmetic, so the literal-0
+    shortcut here needs the same guard — ADVICE r10).
     """
     col = F.col(value) if isinstance(value, str) else value
     if end < start:
-        return F.lit(0).cast("bigint")
+        return F.when(col.isNotNull(), F.lit(0)).cast("bigint")
     n_edges = (end - start) // interval + 1
     bucket = F.call_function(
         "div", col.cast("bigint") - F.lit(start), F.lit(interval)

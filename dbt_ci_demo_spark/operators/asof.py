@@ -60,11 +60,19 @@ def asof_join(
     """
     lcols = left.columns
     passthrough = [c for c in lcols if c not in on and c != ts_col]
-    clash = (set(right_cols) | {"asof_ts"}) & set(passthrough)
+    # The output carries on-keys, ts_col, left passthrough, asof_ts and
+    # right_cols side by side — a right_cols entry colliding with ANY of
+    # those (not just passthrough: a join key in `on` or ts_col itself
+    # also lands verbatim in the output) would produce duplicate column
+    # names and ambiguous downstream selects (ADVICE r10).
+    clash = (set(right_cols) | {"asof_ts"}) & (
+        set(passthrough) | set(on) | {ts_col}
+    )
     if clash:
         raise ValueError(
             f"asof_join output name collision: {sorted(clash)} exist on the "
-            "left — rename or drop them before joining"
+            "left (passthrough, join key, or ts_col) — rename or drop them "
+            "before joining"
         )
     match_struct = F.struct(
         F.col(ts_col).alias("asof_ts"), *[F.col(c) for c in right_cols]

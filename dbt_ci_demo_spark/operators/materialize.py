@@ -336,6 +336,12 @@ class Warehouse:
         if full_refresh or not self.exists(name):
             self.write_table(df, name, partition_by=partition_by)
             return "ctas"
+        # Config validation BEFORE any DDL side effect (ADVICE r10): a
+        # misconfigured insert_overwrite (no partition_by) with a
+        # column-adding schema policy used to ALTER the physical table
+        # schema first and only then raise.
+        if strategy == "insert_overwrite" and not partition_by:
+            raise ValueError("insert_overwrite requires partition_by")
         target = self.read(name)
         physical_cols = set(target.columns)
         source, target = incr.apply_schema_change_policy(df, target, on_schema_change)
@@ -377,8 +383,6 @@ class Warehouse:
                 "partitionOverwriteMode", "dynamic"
             ).insertInto(f"{self.database}.{name}", overwrite=True)
             return "insert_overwrite_dynamic"
-        if strategy == "insert_overwrite":
-            raise ValueError("insert_overwrite requires partition_by")
         if strategy == "merge":
             if unique_key is None:
                 cols = self.read(name).columns

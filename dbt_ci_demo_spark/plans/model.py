@@ -93,10 +93,35 @@ class Model:
         try:
             src = inspect.getsource(self.fn)
         except (OSError, TypeError):
-            src = repr(self.fn)
+            # source unavailable (REPL / -c / builtins): the repr carries a
+            # memory address — strip it, or the checksum differs on EVERY
+            # process and state:modified always rebuilds (ADVICE r10 class)
+            src = re.sub(r" at 0x[0-9a-fA-F]+", "", repr(self.fn))
 
         def safe_repr(v) -> str:
             try:
+                # Unordered containers canonicalize BEFORE repr (ADVICE
+                # r10): set/frozenset iteration order depends on
+                # per-process hash randomization, so a raw repr of a
+                # set-valued cell made the checksum differ across runs —
+                # state:modified then saw EVERY run as modified. Lists,
+                # tuples and dict VALUES recurse so a nested set is
+                # canonicalized too (dict iteration order is insertion
+                # order — deterministic, part of the code's identity).
+                if isinstance(v, (set, frozenset)):
+                    tag = "frozenset" if isinstance(v, frozenset) else "set"
+                    return tag + "{" + ", ".join(sorted(safe_repr(x) for x in v)) + "}"
+                if isinstance(v, dict):
+                    return (
+                        "{"
+                        + ", ".join(
+                            f"{safe_repr(k)}: {safe_repr(w)}" for k, w in v.items()
+                        )
+                        + "}"
+                    )
+                if isinstance(v, (list, tuple)):
+                    opener, closer = ("[", "]") if isinstance(v, list) else ("(", ")")
+                    return opener + ", ".join(safe_repr(x) for x in v) + closer
                 # strip memory addresses ("<function f at 0x7f..>") so the
                 # checksum is stable across processes — an address-bearing
                 # repr would read as modified on EVERY run

@@ -163,18 +163,24 @@ def test_range_bucket_int64_exactness_and_inverted_bounds(spark):
     integral div is exact at any int64 magnitude; (b) the int32 result
     cast was an ANSI CAST_OVERFLOW crash for huge ordinals — the return
     type is now BIGINT like BigQuery's INT64; (c) inverted bounds (an
-    empty GENERATE_ARRAY) return 0 for every x, not a negative ordinal."""
+    empty GENERATE_ARRAY) return 0 for every x, not a negative ordinal.
+    ADVICE r10: RANGE_BUCKET(NULL, ...) IS NULL regardless of the
+    boundaries array — the inverted-bounds literal-0 shortcut must
+    propagate NULL like the non-inverted arithmetic path already does."""
     from dbt_ci_demo_spark.functions.bq_compat import range_bucket
 
     big_interval = 1 << 40
     x = (1 << 53) + big_interval - 1  # true bucket ordinal: 8192 + 1
-    df = spark.createDataFrame([(x,), (5,)], "x bigint")
-    out = df.select(range_bucket("x", 0, (1 << 54), big_interval).alias("b"))
+    df = spark.createDataFrame([(x,), (5,), (None,)], "x bigint")
+    out = df.select("x", range_bucket("x", 0, (1 << 54), big_interval).alias("b"))
     assert dict(out.dtypes)["b"] == "bigint"
-    got = {r.b for r in out.collect()}
-    assert (1 << 13) + 1 in got and 1 in got, got
-    inv = df.select(range_bucket("x", 10, 0, 1).alias("b")).collect()
-    assert all(r.b == 0 for r in inv)
+    got = {r.x: r.b for r in out.collect()}
+    assert got[x] == (1 << 13) + 1 and got[5] == 1 and got[None] is None, got
+    inv = {
+        r.x: r.b
+        for r in df.select("x", range_bucket("x", 10, 0, 1).alias("b")).collect()
+    }
+    assert inv[x] == 0 and inv[5] == 0 and inv[None] is None, inv
 
 
 def test_register_views_empty_list_registers_nothing(spark, sf_dir):

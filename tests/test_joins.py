@@ -174,6 +174,14 @@ def test_asof_null_keys_never_match_and_collision_raises(spark):
     left2 = _mk(spark, [(1, _ts("2024-01-01T02:00:00"), 1.0)], "k bigint, ts timestamp, v double")
     with pytest.raises(ValueError, match="name collision"):
         aj.asof_join(left2, right, ["k"], "ts", ["v"])
+    # ADVICE r10: a right_cols entry equal to a join key in `on` or to
+    # ts_col also lands verbatim in the output — must raise, not emit
+    # ambiguous duplicate columns.
+    left3 = _mk(spark, [(1, _ts("2024-01-01T02:00:00"))], "k bigint, ts timestamp")
+    with pytest.raises(ValueError, match="name collision"):
+        aj.asof_join(left3, right, ["k"], "ts", ["k"])
+    with pytest.raises(ValueError, match="name collision"):
+        aj.asof_join(left3, right, ["k"], "ts", ["ts"])
 
 
 def test_range_join_reversed_interval_matches_nothing(spark):

@@ -994,3 +994,69 @@ def test_model_registry_duplicate_guard_and_closure_checksum():
     a, b = make(1), make(2)
     assert a.checksum() != b.checksum()
     assert a.checksum() == make(1).checksum()  # stable across processes' reprs
+
+
+def test_write_incremental_validates_before_ddl(spark, tmp_path):
+    """ADVICE r10: a misconfigured insert_overwrite (no partition_by)
+    with a column-adding schema policy used to ALTER the physical table
+    schema first and only then raise — config validation must precede
+    every DDL side effect."""
+    import pytest as _pytest
+
+    from dbt_ci_demo_spark.operators.materialize import Warehouse
+
+    wh = Warehouse(spark, "wq_valorder", location=str(tmp_path / "wq_valorder"))
+    try:
+        base = spark.createDataFrame([("2024-01-01", 1)], "ds string, v int")
+        wh.write_incremental(base, "t", strategy="insert_overwrite", partition_by="ds")
+        widened = spark.createDataFrame(
+            [("2024-01-02", 2, 9)], "ds string, v int, extra int"
+        )
+        with _pytest.raises(ValueError, match="insert_overwrite requires partition_by"):
+            wh.write_incremental(
+                widened,
+                "t",
+                strategy="insert_overwrite",  # partition_by omitted: misconfig
+                on_schema_change="append_new_columns",
+            )
+        # the failed call must NOT have mutated the physical schema
+        assert set(wh.read("t").columns) == {"ds", "v"}
+    finally:
+        wh.drop_database()
+
+
+def test_model_checksum_set_cell_stable_across_hash_seeds(tmp_path):
+    """ADVICE r10: set/frozenset iteration order depends on per-process
+    hash randomization, so an un-canonicalized repr of a set-valued
+    closure cell or default made the checksum differ across runs —
+    state:modified then rebuilt everything every time. Computed in two
+    subprocesses with different PYTHONHASHSEED values; the checksums
+    must be identical (and differ when the set CONTENT differs)."""
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from dbt_ci_demo_spark.plans.model import Model, ModelConfig
+
+extra = sys.argv[1]
+s = {{"alpha", "bravo", "charlie", "delta", "echo", "foxtrot"}} | {{extra}}
+def fn(ctx, opts=frozenset({{"x9", "y8", "z7", "w6", "v5"}}), nested=[{{"s": s}}]):
+    return s
+print(Model(name="f", fn=fn, config=ModelConfig()).checksum())
+""".format(repo=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    script_path = tmp_path / "checksum_probe.py"
+    script_path.write_text(script)
+
+    def run(seed: str, extra: str) -> str:
+        env = dict(_os.environ, PYTHONHASHSEED=seed)
+        out = _sp.run(
+            [_sys.executable, str(script_path), extra],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        return out.stdout.strip()
+
+    assert run("1", "golf") == run("42", "golf")
+    assert run("1", "golf") != run("1", "hotel")  # content change still seen
