@@ -162,6 +162,11 @@ HEADLINE = [
     # gram-hash count + semi join + doc-bounded island merge over the
     # dup-injected corpus.
     "dedup_substring_spans",
+    # r11 registration: the composed incremental-CI entry point (prod
+    # build + state publication, marker append, state:modified+ deferred
+    # PR build with a failing test gating downstream). Cost is dominated
+    # by the two DAG builds' table writes — a writer-family row.
+    "wr_build_incremental_ci",
 ]
 
 

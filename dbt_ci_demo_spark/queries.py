@@ -1598,23 +1598,47 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: ROUND-10 ROTATION (VERDICT r09 tasks 1+4 + the
-    #    SURVEY §7.7 age policy): the two exempt verifier twins take
-    #    their ONE-TIME driver slots first (never-driver-checked — two
-    #    consecutive judges verified them independently; this inclusion
-    #    retires the evidence table's only permanent asterisk, after
-    #    which they return to permanent slate exemption), then the
-    #    computed age queue: the two rows that slipped in r09
-    #    (events_json_props, mm_features), the r02 remainder, and the 7
-    #    oldest r03 greens. The two r10 registrations
-    #    (stream_session_late_accounting, wr_build_e2e — both
-    #    sf0.001/0.01/0.1-oracle-green before promotion) jump the head
-    #    per policy; with the twins they displace emb_kmeans_converged,
-    #    mm_image_metadata, mm_resize and text_winnowing (r03) to the
-    #    r11 queue head. The late-round registration
-    #    dedup_substring_spans (exact-substring span dedup, the Lee et
-    #    al. suffix-array family) also jumps the head, displacing
-    #    emb_kmeans_step (r03) to the r11 queue head as well. --
+    # -- slots 31-50: ROUND-11 ROTATION (VERDICT r10 tasks 1+2 + the
+    #    SURVEY §7.7 age policy): the r11 registration
+    #    wr_build_incremental_ci — the COMPOSED incremental-CI entry
+    #    point, ``dbt build --select state:modified+ --defer --state``
+    #    as one oracle row (never-driver-checked, jumps the head per
+    #    policy; sf0.001/0.01/0.1-oracle-green before promotion) — then
+    #    the computed age queue verbatim from SURVEY §7.7's r11 slate:
+    #    the five r10 displacements (emb_kmeans_converged,
+    #    emb_kmeans_step, mm_image_metadata, mm_resize, text_winnowing),
+    #    the r03 remainder, and 3 of the 4 oldest r04 greens.
+    #    text_repetition slips to the r12 queue head (with
+    #    sim_ivf_kmeans_trained) to make room for the registration. The
+    #    exempt twins (dedup_jaccard_pairs / sim_topk_bruteforce) got
+    #    their one-time driver rows in r10 and are back on permanent
+    #    slate exemption. --
+    "wr_build_incremental_ci",
+    "emb_kmeans_converged",
+    "emb_kmeans_step",
+    "mm_image_metadata",
+    "mm_resize",
+    "text_winnowing",
+    "text_langid",
+    "events_salted_user_join",
+    "events_salted_distinct",
+    "stream_sessionize",
+    "stream_foreachbatch_merge",
+    "stream_stateful_totals",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q21_sole_late_supplier",
+    "olap_grouping_sets",
+    "win_percent_rank_cume",
+    "incr_cdc_apply",
+    "stream_interval_join",
+    "dedup_incremental_minhash",
+    # -- tail: driver-green in r01..r10 (rotated out of the window;
+    #    newest evidence first — the r10 window, then the r09/r08
+    #    windows; the r12 queue head is text_repetition (displaced from
+    #    this window by the wr_build_incremental_ci registration) and
+    #    sim_ivf_kmeans_trained (the r11 slip), then the remaining r04+
+    #    greens oldest-check-first) --
     "dedup_substring_spans",
     "stream_session_late_accounting",
     "wr_build_e2e",
@@ -1635,13 +1659,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_groups",
     "dedup_cluster_components",
     "sim_embedding_neardup",
-    # -- tail: driver-green in r01..r09 (rotated out of the window;
-    #    newest evidence first — the r09 window, then the r08 window;
-    #    the r11 queue head is emb_kmeans_step (displaced from this
-    #    window by the dedup_substring_spans registration), mm_resize,
-    #    text_winnowing (the r03 slips), then the remaining r03 greens
-    #    and r04+) --
-    "emb_kmeans_step",
     "snap_check_all",
     "stream_late_data_accounting",
     "win_ntile_highcard",
@@ -1742,9 +1759,6 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue_share",
     "q16_unsold_parts",
     "q20_excess_suppliers",
-    "incr_cdc_apply",
-    "stream_interval_join",
-    "dedup_incremental_minhash",
     "text_repetition",
     "sim_ivf_kmeans_trained",
     "mm_audio_chunks",
@@ -1762,21 +1776,6 @@ _PRIORITY: list[str] = [
     "ts_date_spine_gapfill",
     "samp_hash_fraction",
     "pipe_embedding_end_to_end",
-    "emb_kmeans_converged",
-    "mm_image_metadata",
-    "mm_resize",
-    "text_winnowing",
-    "text_langid",
-    "events_salted_user_join",
-    "events_salted_distinct",
-    "stream_sessionize",
-    "stream_foreachbatch_merge",
-    "stream_stateful_totals",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q21_sole_late_supplier",
-    "olap_grouping_sets",
-    "win_percent_rank_cume",
 ]
 
 

@@ -993,3 +993,227 @@ def wr_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "seq int, node string, resource_type string, status string, n_rows bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# B32+B33+B34+B35 COMPOSED: the reference's incremental-CI entry point —
+# ``dbt build --select state:modified+ --defer --state <dir>`` — as ONE row.
+# ---------------------------------------------------------------------------
+
+_SLIM_CI_ORACLE = """
+    WITH stg AS (
+      -- prod stg_orders_ci: the orders slice PLUS the marker row appended
+      -- directly to the prod table after the prod build. The marker is the
+      -- deferral witness: only a read of prod's MATERIALIZED table sees it;
+      -- a PR-local recomputation of the staging model would not.
+      SELECT o_custkey FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT (SELECT min(c_custkey) FROM customer)
+    ),
+    mart AS (
+      SELECT c.c_mktsegment AS segment, count(*) AS n_orders
+      FROM stg s JOIN customer c ON s.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    bad AS (
+      -- the accepted_values list excludes exactly the marker custkey's
+      -- segment, which the marker row guarantees is present in the mart —
+      -- so the test fails with exactly one violating group at ANY sf
+      SELECT count(*) AS n FROM mart WHERE segment IN (
+        SELECT c_mktsegment FROM customer
+        WHERE c_custkey = (SELECT min(c_custkey) FROM customer)
+      )
+    )
+    SELECT * FROM (
+      SELECT 1 AS seq, 'mart_seg_ci' AS node, 'model' AS resource_type,
+             'success' AS status, (SELECT count(*) FROM mart) AS n_rows
+      UNION ALL SELECT 2, 'accepted_values_mart_seg_ci_segment', 'test',
+             'fail', (SELECT n FROM bad)
+      UNION ALL SELECT 3, 'audit_seg_ci', 'model', 'skipped',
+             CAST(NULL AS BIGINT)
+      UNION ALL SELECT 4, 'audit_seg_ci', 'selection', 'downstream', NULL
+      UNION ALL SELECT 5, 'mart_seg_ci', 'selection', 'modified', NULL
+      UNION ALL SELECT 6, 'stg_customer_ci', 'selection', 'deferred', NULL
+      UNION ALL SELECT 7, 'stg_orders_ci', 'selection', 'deferred', NULL
+      UNION ALL SELECT 7 + CAST(row_number() OVER (ORDER BY segment) AS INTEGER),
+             segment, 'mart_row', 'data', n_orders
+      FROM mart
+    )
+"""
+
+
+def _slim_ci_models(v2_mart: bool = False) -> dict[str, Model]:
+    reg: dict[str, Model] = {}
+
+    def _stg_orders_ci(ctx):
+        return (
+            ctx.source("orders")
+            .filter(F.col("o_orderkey") % 4 == 1)
+            .select("o_orderkey", "o_custkey")
+        )
+
+    model("stg_orders_ci", sources=["orders"], registry=reg)(_stg_orders_ci)
+
+    def _stg_customer_ci(ctx):
+        return ctx.source("customer").select("c_custkey", "c_mktsegment")
+
+    model("stg_customer_ci", sources=["customer"], registry=reg)(_stg_customer_ci)
+
+    def _mart_v1(ctx):
+        o, c = ctx.ref("stg_orders_ci"), ctx.ref("stg_customer_ci")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count(F.lit(1)).alias("n_orders_dup"),  # v1-only column
+            )
+        )
+
+    def _mart_v2(ctx):
+        # the PR's one-line business change: drops the duplicate column —
+        # different source text => different checksum => state:modified
+        o, c = ctx.ref("stg_orders_ci"), ctx.ref("stg_customer_ci")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    model(
+        "mart_seg_ci",
+        refs=["stg_orders_ci", "stg_customer_ci"],
+        registry=reg,
+    )(_mart_v2 if v2_mart else _mart_v1)
+
+    def _audit_seg_ci(ctx):
+        return ctx.ref("mart_seg_ci").select("segment", "n_orders")
+
+    model("audit_seg_ci", refs=["mart_seg_ci"], registry=reg)(_audit_seg_ci)
+    return reg
+
+
+@query("wr_build_incremental_ci", oracle=_SLIM_CI_ORACLE)
+def wr_build_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental-CI entry point COMPOSED as one row
+    (r11, VERDICT r10 #1) — ``dbt build --select state:modified --defer
+    --state <dir>`` (.github/workflows/ci_incr_test_w_container.yml:34;
+    ci_incr_test_checkout_master_no_container.yml:44). The pieces have
+    separate driver rows (wr_build_e2e: build semantics; wr_state_cycle:
+    selection; wr_defer: deferral); this row runs the composition the
+    reference CI actually executes:
+
+    1. PROD: build the 4-node DAG (staging x2 -> mart -> audit) into the
+       prod namespace and publish the state manifest (B35).
+    2. MARKER: append one row (o_orderkey=-1, min custkey) directly to
+       prod's materialized ``stg_orders_ci``. Only a DEFERRED read of the
+       prod relation can see it — recomputing the staging model (or
+       reading a PR-namespace copy) cannot, so every downstream count
+       derives the deferral from data, not from an assert.
+    3. PR: modify exactly one model (the mart), build with
+       ``select='state:modified+', defer=True`` into the PR namespace
+       (generate_schema_name_for_env: ``<prefix>_pr_<N>``). The graph
+       selects {mart, audit}; the mart's ``ref('stg_*')`` calls resolve
+       via the manifest to PROD relations (the staging tables are never
+       built in the PR database — asserted); its accepted_values test —
+       whose value list excludes exactly the marker custkey's segment —
+       FAILS, so the downstream audit comes out ``skipped`` (the ``dbt
+       build`` test-gating contract inside the slim-CI composition).
+
+    Returns one table with three fact groups, every count data-derived in
+    the oracle: the ordered PR run-results (seq 1-3: mart success with
+    its row count, the failing test with its violating-group count, the
+    skipped audit), the selection facts (seq 4-7: both staging nodes
+    'deferred', the mart 'modified', the audit 'downstream'), and the PR
+    mart's CONTENTS (seq 8+: per-segment order counts INCLUDING the +1
+    marker in the marker segment — the value proof that the mart read
+    prod's materialized staging through the deferral seam).
+    threads=1 — waves are name-sorted, so the step order is exact."""
+    from dbt_ci_demo_spark.operators.quality import test_accepted_values
+
+    prefix = "wq_slim_ci"
+    prod_env = EnvConfig(env="prod", database_prefix=prefix, threads=1)
+    pr_env = EnvConfig(env="pr", pr_number=7, database_prefix=prefix, threads=1)
+    # idempotency: drop both namespaces' tables from earlier runs
+    for env in (prod_env, pr_env):
+        wh = Warehouse(spark, env.database(), location=os.path.join(_wh_root(), env.database()))
+        for t in wh.list_tables():
+            wh.drop(t)
+
+    # -- phase 1: prod build + state publication (B35) --------------------
+    prod = Runner(
+        spark,
+        _slim_ci_models(v2_mart=False),
+        env=prod_env,
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), prod_env.database()),
+    )
+    state_path = os.path.join(_wh_root(), "state", "slim_ci_manifest.json")
+    results = prod.build(state_out=state_path)
+    assert all(r.status == "success" for r in results.values()), results
+    state = StateManifest.load(state_path)
+
+    # -- phase 2: the deferral marker -------------------------------------
+    customer = _t(spark, sf_dir, "customer")
+    min_ck = customer.agg(F.min("c_custkey")).first()[0]
+    marker_seg = (
+        customer.filter(F.col("c_custkey") == min_ck).select("c_mktsegment").first()[0]
+    )
+    spark.createDataFrame(
+        [(-1, int(min_ck))], "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("append").saveAsTable(f"{prod_env.database()}.stg_orders_ci")
+
+    # -- phase 3: PR build, state:modified+ with deferral ------------------
+    pr = Runner(
+        spark,
+        _slim_ci_models(v2_mart=True),
+        env=pr_env,
+        sources=SourceCatalog(spark, sf_dir),
+        warehouse_location=os.path.join(_wh_root(), pr_env.database()),
+    )
+    modified = pr.graph.modified_against(state)
+    selected = pr.graph.select(state, "state:modified+")
+    assert modified == {"mart_seg_ci"}, modified
+    assert selected == {"mart_seg_ci", "audit_seg_ci"}, selected
+    # the accepted list excludes exactly the marker segment (5-row collect
+    # on the dimension — bounded), so the test fails with ONE bad group
+    segments = sorted(
+        r.c_mktsegment for r in customer.select("c_mktsegment").distinct().collect()
+    )
+    accepted = [s for s in segments if s != marker_seg]
+    tests = {
+        "mart_seg_ci": [
+            (
+                "accepted_values_mart_seg_ci_segment",
+                lambda df: test_accepted_values(df, "segment", accepted),
+            )
+        ]
+    }
+    steps: list = []
+    pr.build(
+        select="state:modified+", state=state, defer=True,
+        tests=tests, build_steps=steps,
+    )
+    # deferral contract: parents were never built in the PR namespace
+    assert not pr.warehouse.exists("stg_orders_ci"), "deferral must not build parents"
+    assert not pr.warehouse.exists("stg_customer_ci"), "deferral must not build parents"
+
+    rows = [(s.seq, s.node, s.resource_type, s.status, s.n_rows) for s in steps]
+    base = len(rows)
+    for i, name in enumerate(sorted(pr.models)):
+        status = (
+            "modified" if name in modified
+            else "downstream" if name in selected
+            else "deferred" if state.relation(name) else "unknown"
+        )
+        rows.append((base + i + 1, name, "selection", status, None))
+    mart_rows = sorted(
+        (r.segment, r.n_orders)
+        for r in pr.warehouse.read("mart_seg_ci").collect()
+    )
+    base = len(rows)
+    for i, (seg, n) in enumerate(mart_rows):
+        rows.append((base + i + 1, seg, "mart_row", "data", n))
+    return spark.createDataFrame(
+        rows, "seq int, node string, resource_type string, status string, n_rows bigint"
+    )
