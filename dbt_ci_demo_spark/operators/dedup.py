@@ -153,7 +153,18 @@ def banded_buckets(
     bands of ``n_hashes // bands`` rows, each band hashed to a bucket key.
     This is the precomputable, storable artifact of LSH — a production
     corpus keeps its band table materialized and new batches join against
-    it (see :func:`minhash_near_duplicates_against`)."""
+    it (see :func:`minhash_near_duplicates_against`).
+
+    ``bands`` must divide ``n_hashes`` exactly: a remainder would
+    silently drop the trailing signature rows from every band key,
+    weakening LSH recall with no visible symptom (the no-silent-caps
+    discipline; r11 review)."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide n_hashes={n_hashes} "
+            "exactly — a remainder silently drops trailing signature rows "
+            "from every band"
+        )
     rows = n_hashes // bands
 
     def band_hash(cols: list[Column]) -> Column:

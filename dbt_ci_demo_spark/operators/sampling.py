@@ -242,14 +242,20 @@ def pack_token_windows(
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     out = staged.withColumn("start_offset", start)
-    wt = float(window_tokens)
+    # Integral `div`, not double-divide-then-floor: a shard's running
+    # token offset is a long, and double division floors WRONG past 2^53
+    # (the range_bucket r10 defect class — ~36 PB of text per shard is
+    # far off today, but exactness is claimed, so the arithmetic is
+    # exact). Operands are non-negative, so div == floor division.
     return out.select(
         key_col,
         "shard",
         "n_tokens",
         "start_offset",
-        F.floor(F.col("start_offset") / wt).cast("long").alias("first_window"),
-        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / wt)
+        F.expr(f"start_offset div {int(window_tokens)}")
+        .cast("long")
+        .alias("first_window"),
+        F.expr(f"(start_offset + n_tokens - 1) div {int(window_tokens)}")
         .cast("long")
         .alias("last_window"),
     )

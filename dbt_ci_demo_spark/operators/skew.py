@@ -40,7 +40,28 @@ def salted_join(
     *within* a join key (e.g. an event id). Hashing the key itself would
     give every row of a hot key the same salt — no skew mitigation while
     still paying the ``n_salts``× build-side replication — so that is
-    rejected rather than silently accepted."""
+    rejected rather than silently accepted.
+
+    ``how`` must be probe-preserving (inner / left / left_semi /
+    left_anti): the build side is REPLICATED once per salt, so a right or
+    full outer join would emit every unmatched build row ``n_salts``
+    times — not the unsalted join's result. Those join types are
+    rejected loudly (r11 review); salt the other side by swapping the
+    arguments instead."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not probe-preserving — the "
+            f"replicated build side would duplicate unmatched build rows "
+            f"{n_salts}x under a right/full outer join; swap the sides "
+            "or use a plain join"
+        )
     if salt_from is None or salt_from == key:
         raise ValueError(
             "salted_join: pass salt_from= a probe-side column that varies "
@@ -62,6 +83,8 @@ def salted_count_distinct(
     salt = hash(value) % S ⇒ each distinct value belongs to exactly one
     (key, salt) group ⇒ the partial distinct counts are disjoint and sum
     to the exact answer. Output: (key, n_distinct)."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salt = F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).cast("int")
     partial = (
         df.select(F.col(key), F.col(value), salt.alias("__salt"))

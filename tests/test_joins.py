@@ -141,6 +141,25 @@ def test_salted_join_spreads_hot_key(spark):
         skew.salted_join(probe, build, key="k", n_salts=n_salts)
     with _pytest.raises(ValueError, match="salt_from"):
         skew.salted_join(probe, build, key="k", n_salts=n_salts, salt_from="k")
+    # r11 review: the replicated build side would emit every unmatched
+    # build row n_salts times under a right/full outer join — rejected
+    # loudly instead of silently diverging from the plain join.
+    for bad_how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="probe-preserving"):
+            skew.salted_join(
+                probe, build, key="k", salt_from="row_id", how=bad_how
+            )
+    with _pytest.raises(ValueError, match="n_salts"):
+        skew.salted_join(probe, build, key="k", n_salts=0, salt_from="row_id")
+    # probe-preserving non-inner types still equal the plain join
+    left_out = skew.salted_join(
+        probe, build.filter("k = 2"), key="k", salt_from="row_id", how="left"
+    )
+    assert left_out.count() == 800 and left_out.filter("label is null").count() == 800
+    anti = skew.salted_join(
+        probe, build, key="k", salt_from="row_id", how="left_anti"
+    )
+    assert anti.count() == 0
 
 
 def test_asof_null_value_carried_atomically(spark):

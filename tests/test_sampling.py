@@ -312,3 +312,43 @@ def test_pin_corpus_keeps_lineage_and_spills(spark):
         assert "Scan ExistingRDD" not in plan, plan
     finally:
         pinned.unpersist()
+
+
+def test_pack_token_windows_int64_exact_past_double_floor(spark):
+    """r11 review (the range_bucket r10 defect class): window indices are
+    integral `div`, so offsets past 2^53 — where double division floors
+    to the WRONG window — stay exact."""
+    big = (1 << 53) + 1023  # first_window must be (2^53 + 1023) // 1024
+    d = spark.createDataFrame(
+        [("a", big), ("b", 10)], "doc_id string, t long"
+    )
+    out = sp.pack_token_windows(d, "doc_id", "t", window_tokens=1024, shards=1)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc order within the single shard is doc_id asc: a then b
+    assert rows["a"].start_offset == 0
+    assert rows["b"].start_offset == big
+    assert rows["b"].first_window == big // 1024
+    assert rows["b"].last_window == (big + 10 - 1) // 1024
+    # the double-floor would read one window too high here: float(big)
+    # rounds 2^53+1023 up to 2^53+1024, whose /1024 floor is exact+1
+    import math
+
+    assert math.floor(float(big) / 1024.0) == big // 1024 + 1
+
+
+def test_banded_buckets_rejects_non_divisible_bands(spark):
+    """r11 review: a bands value that does not divide n_hashes silently
+    dropped the trailing signature rows from every band key (weaker LSH
+    with no symptom) — now a loud ValueError."""
+    import pytest as _pytest
+
+    from dbt_ci_demo_spark.operators import dedup as dd
+
+    sig = spark.createDataFrame(
+        [(1, *range(32))], "doc_id int, " + ", ".join(f"sig_{i} int" for i in range(32))
+    )
+    with _pytest.raises(ValueError, match="divide n_hashes"):
+        dd.banded_buckets(sig, "doc_id", n_hashes=32, bands=5)
+    with _pytest.raises(ValueError, match="divide n_hashes"):
+        dd.banded_buckets(sig, "doc_id", n_hashes=32, bands=0)
+    assert dd.banded_buckets(sig, "doc_id", n_hashes=32, bands=8).count() == 8
