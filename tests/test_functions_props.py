@@ -50,6 +50,9 @@ def test_range_bucket_matches_bigquery_model(spark, xs, start, interval):
         )
 
 
+@pytest.mark.slow  # ~27s hypothesis sweep incl. setup: round-close tier
+# (r11 fast-tier budget; the scd_hash path is also covered every round by
+# the snap_* oracle rows)
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(

@@ -883,6 +883,9 @@ def test_streaming_session_windows(spark, sf_dir):
         q.stop()
 
 
+@pytest.mark.slow  # ~18s 3-micro-batch streaming pin: round-close tier
+# (r11 fast-tier budget; the stream_late_data_accounting oracle row
+# covers the semantics every gate run)
 def test_streaming_late_drop_semantics_tiny(spark):
     """The two empirically-pinned watermark timing facts behind
     stream_late_data_accounting (r09), on a hand-built 3-batch feed: the

@@ -90,6 +90,8 @@ def test_no_cartesian_product(spark, sf_dir, name):
             assert name in _CARTESIAN_OK, f"{name}: plan contains {killer}"
 
 
+@pytest.mark.slow  # ~22s full-registry plan sweep: round-close tier (r11
+# fast-tier budget; the per-query cartesian guard still runs fast-tier)
 def test_whitelist_is_tight(spark, sf_dir):
     """Every whitelisted query must actually need its exemption — remove
     stale entries so the whitelist can't mask future regressions."""
