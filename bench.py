@@ -162,6 +162,9 @@ HEADLINE = [
     # gram-hash count + semi join + doc-bounded island merge over the
     # dup-injected corpus.
     "dedup_substring_spans",
+    # r11 registration: the family end-to-end — detection plus the
+    # doc-keyed span join and the array-expression splice.
+    "dedup_substring_splice",
     # r11 registration: the composed incremental-CI entry point (prod
     # build + state publication, marker append, state:modified+ deferred
     # PR build with a failing test gating downstream). Cost is dominated

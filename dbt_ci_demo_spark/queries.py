@@ -1607,13 +1607,17 @@ _PRIORITY: list[str] = [
     #    the computed age queue verbatim from SURVEY §7.7's r11 slate:
     #    the five r10 displacements (emb_kmeans_converged,
     #    emb_kmeans_step, mm_image_metadata, mm_resize, text_winnowing),
-    #    the r03 remainder, and 3 of the 4 oldest r04 greens.
-    #    text_repetition slips to the r12 queue head (with
-    #    sim_ivf_kmeans_trained) to make room for the registration. The
-    #    exempt twins (dedup_jaccard_pairs / sim_topk_bruteforce) got
-    #    their one-time driver rows in r10 and are back on permanent
-    #    slate exemption. --
+    #    the r03 remainder, and 2 of the 4 oldest r04 greens. The second
+    #    r11 registration, dedup_substring_splice (the exact-substring
+    #    family END-TO-END: detect spans -> splice the cut documents,
+    #    value-checked; VERDICT r10 #7's named candidate), also jumps
+    #    the head. dedup_incremental_minhash and text_repetition slip
+    #    to the r12 queue head (with sim_ivf_kmeans_trained) to make
+    #    room. The exempt twins (dedup_jaccard_pairs /
+    #    sim_topk_bruteforce) got their one-time driver rows in r10 and
+    #    are back on permanent slate exemption. --
     "wr_build_incremental_ci",
+    "dedup_substring_splice",
     "emb_kmeans_converged",
     "emb_kmeans_step",
     "mm_image_metadata",
@@ -1632,13 +1636,13 @@ _PRIORITY: list[str] = [
     "win_percent_rank_cume",
     "incr_cdc_apply",
     "stream_interval_join",
-    "dedup_incremental_minhash",
     # -- tail: driver-green in r01..r10 (rotated out of the window;
     #    newest evidence first — the r10 window, then the r09/r08
-    #    windows; the r12 queue head is text_repetition (displaced from
-    #    this window by the wr_build_incremental_ci registration) and
-    #    sim_ivf_kmeans_trained (the r11 slip), then the remaining r04+
-    #    greens oldest-check-first) --
+    #    windows; the r12 queue head is dedup_incremental_minhash and
+    #    text_repetition (displaced from this window by the two r11
+    #    registrations) and sim_ivf_kmeans_trained (the r11 slip), then
+    #    the remaining r04+ greens oldest-check-first) --
+    "dedup_incremental_minhash",
     "dedup_substring_spans",
     "stream_session_late_accounting",
     "wr_build_e2e",

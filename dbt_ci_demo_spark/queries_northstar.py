@@ -163,6 +163,90 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_splice",
+    oracle=f"""
+    WITH docs AS ({_DOCS_DUP}),
+    toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], chr(31)) AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    marked AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 8
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      FROM islands GROUP BY doc_id, isl
+    ),
+    tok_rows AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+    ),
+    removed AS (
+      SELECT tr.doc_id, tr.pos FROM tok_rows tr JOIN spans sp
+        ON tr.doc_id = sp.doc_id
+       AND tr.pos BETWEEN sp.span_start AND sp.span_end
+      GROUP BY tr.doc_id, tr.pos
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.pos, tr.tok
+      FROM tok_rows tr LEFT JOIN removed r
+        ON tr.doc_id = r.doc_id AND tr.pos = r.pos
+      WHERE r.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_spliced,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.text_spliced, '') AS text_spliced,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_substring_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup family END-TO-END (r11, VERDICT r10 #7's
+    named candidate): detect duplicated spans (`duplicated_ngram_spans`,
+    the registered detection row's exact pipeline) and SPLICE them out of
+    every document (`remove_spans`), value-checking the CUT DOCUMENTS
+    themselves — the surface the detection-only row leaves to pytest
+    brute-force equality. Row-preserving over the dup-injected corpus:
+    every doc comes back with its reassembled survivor text (single-space
+    joins, the documented token-splice normalization), its token count,
+    and how many tokens the spans removed; a fully-duplicated doc
+    survives with empty text (the caller's drop decision), docs without
+    duplicated spans pass through with n_removed = 0.
+
+    Plan: the detection pipeline's three shuffles plus ONE doc-keyed join
+    of the (output-proportional) span table back onto the corpus; the
+    splice itself is a pure array expression (filter-with-index + exists
+    over each doc's bounded interval list) — zero additional shuffles, no
+    corpus token explode (the oracle's tok_rows explode is the DuckDB
+    replay, not the Spark plan). The oracle derives the spans from the
+    gram STRING (certifying the operator's xxhash64 keying collision-free
+    again) and splices with an independent formulation (position
+    anti-join + ordered string_agg), so the match is two independent
+    implementations of the whole detect->cut recipe."""
+    docs = _docs_dup(spark, sf_dir)
+    spans = dd.duplicated_ngram_spans(docs, "text", "doc_id", k=8)
+    return dd.remove_spans(docs, spans, "text", "doc_id")
+
+
+@query(
     "text_repetition",
     oracle="""
     WITH docs AS (
