@@ -499,3 +499,28 @@ def test_leaf_relation_ceiling(spark, sf_dir):
         "leaf-relation re-expansion (query: got > ceiling) — a corpus-derived "
         f"table is probably re-deriving its lineage per reference: {over}"
     )
+
+
+def test_remove_spans_plan_is_one_join_no_explode(spark):
+    """r11 plan pin for the splice operator's docstring claims: the span
+    application is ONE doc-keyed join plus a pure array-expression
+    projection — no Generate (the corpus token table is never exploded;
+    the per-token decision runs inside filter-with-index lambdas) and no
+    window. At 100 TB the splice therefore costs one join against the
+    output-proportional span table, nothing corpus-quadratic."""
+    from dbt_ci_demo_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y")], "doc_id bigint, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4)], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    out = remove_spans(docs, spans, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Join") == 1, plan
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].text_spliced == "a b f g h i" and got[1].n_removed == 3
+    assert got[2].text_spliced == "x y" and got[2].n_removed == 0
