@@ -1542,18 +1542,15 @@ from dbt_ci_demo_spark import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver check order. The registry is an insertion-ordered dict and the
 # driver verifies a bounded 50-slot prefix per round, so the order below is
-# the coverage budget. ROUND-9 ROTATION (VERDICT r08 task 1; the SURVEY §7.7
-# AGE-BASED RE-VERIFICATION policy now in force): slots 1-30 stay the compact
-# SURVEY-2-covering prefix (every B-operator keeps a driver-green
-# representative; dq_suite_all_tests carries B21-B25+B29 in one slot); slots
-# 31-50 = the two r09 registrations (snap_check_all — B18's check_cols='all'
-# completion — and stream_late_data_accounting; never-driver-checked, so
-# they jump the queue per policy), the two r08 registrations (their first
-# driver rows), then the computed age queue: the 6 r01 greens and the 10
-# oldest r02 greens. events_json_props / mm_features (r02) slip to the r10
-# queue head to make room for the registrations.
+# the coverage budget (SURVEY §7.7 AGE-BASED RE-VERIFICATION policy):
+# slots 1-30 stay the compact SURVEY-§2-covering prefix (every B-operator
+# keeps a driver-green representative; dq_suite_all_tests carries
+# B21-B25+B29 in one slot); slots 31-50 rotate per round — new
+# registrations jump the head, then the computed age queue
+# (oldest-driver-check-first). The current rotation is documented inline
+# at the slots-31-50 marker below and in SURVEY §7.7's per-round status.
 # Queries rotated OUT of the window carry driver-green evidence in
-# CORRECTNESS_r01..r08.json and stay in the tail; slots 31-50 re-verify
+# CORRECTNESS_r01..r{N}.json and stay in the tail; slots 31-50 re-verify
 # previously-green rows oldest-driver-check-first, so no row's green
 # evidence goes stale by more than ~6 rounds. EXEMPT:
 # dedup_jaccard_pairs / sim_topk_bruteforce (VERDICT r05 task 7) stay
