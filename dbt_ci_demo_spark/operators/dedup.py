@@ -440,15 +440,17 @@ def minhash_near_duplicates_against(
             .select(
                 F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
             )
+            # jaccard_scores references cand at least twice (index path:
+            # three times) and exchange reuse does not cover the band-join
+            # subtree — persist the tiny output-proportional pair table
+            # rather than re-run signatures + band join per use (r11; same
+            # rationale and bounded lifetime as minhash_near_duplicates).
             .distinct()
+            .persist()
         )
+        own.append(cand)
         sizes = None
         if sizes_c is not None:
-            # Index path: jaccard_scores references cand three times
-            # (broadcast id set, intersection, final join) — persist the
-            # tiny pair table rather than re-run the band join per use.
-            cand = cand.persist()
-            own.append(cand)
             sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
             sizes = sizes_c.select(id_col, "n").unionByName(sizes_b)
         out = jaccard_scores(
