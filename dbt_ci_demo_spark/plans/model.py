@@ -98,7 +98,16 @@ class Model:
             # process and state:modified always rebuilds (ADVICE r10 class)
             src = re.sub(r" at 0x[0-9a-fA-F]+", "", repr(self.fn))
 
-        def safe_repr(v) -> str:
+        def safe_repr(v, depth: int = 0) -> str:
+            # Depth guard (ADVICE r11): without it a self-referential or
+            # very deeply nested container raises RecursionError at a point
+            # that depends on the AMBIENT call-stack depth, so the
+            # truncation point — and thus the checksum — could differ
+            # between invocation contexts (spurious state:modified). A
+            # fixed cap makes the placeholder deterministic everywhere;
+            # 50 levels is far beyond any real config value.
+            if depth > 50:
+                return f"<depth-capped {type(v).__name__}>"
             try:
                 # Unordered containers canonicalize BEFORE repr (ADVICE
                 # r10): set/frozenset iteration order depends on
@@ -110,18 +119,28 @@ class Model:
                 # order — deterministic, part of the code's identity).
                 if isinstance(v, (set, frozenset)):
                     tag = "frozenset" if isinstance(v, frozenset) else "set"
-                    return tag + "{" + ", ".join(sorted(safe_repr(x) for x in v)) + "}"
+                    return (
+                        tag
+                        + "{"
+                        + ", ".join(sorted(safe_repr(x, depth + 1) for x in v))
+                        + "}"
+                    )
                 if isinstance(v, dict):
                     return (
                         "{"
                         + ", ".join(
-                            f"{safe_repr(k)}: {safe_repr(w)}" for k, w in v.items()
+                            f"{safe_repr(k, depth + 1)}: {safe_repr(w, depth + 1)}"
+                            for k, w in v.items()
                         )
                         + "}"
                     )
                 if isinstance(v, (list, tuple)):
                     opener, closer = ("[", "]") if isinstance(v, list) else ("(", ")")
-                    return opener + ", ".join(safe_repr(x) for x in v) + closer
+                    return (
+                        opener
+                        + ", ".join(safe_repr(x, depth + 1) for x in v)
+                        + closer
+                    )
                 # strip memory addresses ("<function f at 0x7f..>") so the
                 # checksum is stable across processes — an address-bearing
                 # repr would read as modified on EVERY run

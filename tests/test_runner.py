@@ -1060,3 +1060,41 @@ print(Model(name="f", fn=fn, config=ModelConfig()).checksum())
 
     assert run("1", "golf") == run("42", "golf")
     assert run("1", "golf") != run("1", "hotel")  # content change still seen
+
+
+def test_model_checksum_depth_guard_deterministic():
+    """ADVICE r11: safe_repr recursed without a depth guard, so a
+    self-referential or very deeply nested container value raised
+    RecursionError at a point depending on the AMBIENT call-stack depth —
+    the truncation point (and thus the checksum) could differ between
+    invocation contexts, causing spurious state:modified. The fixed-cap
+    guard must (a) not raise, (b) be identical when computed at
+    different ambient stack depths, (c) still see shallow content."""
+    import sys as _sys
+
+    def make(cell):
+        def fn(ctx):
+            return cell
+
+        return Model(name="f", fn=fn, config=ModelConfig())
+
+    deep: list = []
+    cur = deep
+    for _ in range(_sys.getrecursionlimit() * 2):
+        nxt: list = []
+        cur.append(nxt)
+        cur = nxt
+    cyclic: list = [1]
+    cyclic.append(cyclic)
+
+    def at_depth(n, thunk):
+        if n == 0:
+            return thunk()
+        return at_depth(n - 1, thunk)
+
+    for v in (deep, cyclic):
+        shallow_cs = make(v).checksum()  # (a) no RecursionError
+        nested_cs = at_depth(400, lambda v=v: make(v).checksum())
+        assert shallow_cs == nested_cs  # (b) ambient-depth independent
+
+    assert make([1, [2, [3]]]).checksum() != make([1, [2, [4]]]).checksum()
