@@ -170,6 +170,12 @@ HEADLINE = [
     # PR build with a failing test gating downstream). Cost is dominated
     # by the two DAG builds' table writes — a writer-family row.
     "wr_build_incremental_ci",
+    # r12 registration: the stored minhash index's production loop —
+    # corpus index build to parquet, batch-1 admission against the
+    # read-back index, O(|batch|) append-refresh, batch-2 admission
+    # against the refreshed index. Cost is dominated by the corpus index
+    # build (the two admissions are batch-sized).
+    "dedup_index_refresh_cycle",
 ]
 
 

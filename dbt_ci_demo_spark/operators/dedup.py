@@ -39,7 +39,9 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -363,6 +365,58 @@ def build_minhash_index(
         minhash_signatures(sh, id_col, n_hashes, hash_fn), id_col, n_hashes, bands, hash_fn
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return sh, bd, sizes
+
+
+_INDEX_PARTS = ("shingles", "bands", "sizes")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_path: str,
+    mode: str = "overwrite",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "md5",
+) -> None:
+    """Write (``mode="overwrite"``) or REFRESH (``mode="append"``) the
+    stored near-dup index at ``base_path`` — three parquet tables,
+    ``shingles/``, ``bands/``, ``sizes/`` (the
+    :func:`build_minhash_index` artifacts).
+
+    The append mode is the daily-admission refresh: after a batch is
+    admitted via :func:`minhash_near_duplicates_against`, appending the
+    batch's own per-doc artifacts makes the stored index serve
+    corpus ∪ batch for the NEXT admission. The refresh is EXACT, not
+    approximate, because none of the three artifacts aggregates across
+    documents — shingles are per-doc distinct rows, band hashes are
+    per-doc, sizes are per-doc counts — so
+    index(corpus ∪ batch) = index(corpus) ∪ index(batch) row-for-row,
+    and a refresh costs O(|batch|) compute + writes while the corpus
+    partitions are never read or rewritten. (This is why the index
+    never needs a rebuild for pure appends; deletions/edits still
+    require one.) Parameters must match every write to the same
+    ``base_path`` — band keys are meaningless across differing
+    (k, n_hashes, bands, hash_fn)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    parts = build_minhash_index(df, text_col, id_col, k, n_hashes, bands, hash_fn)
+    for part_df, part_name in zip(parts, _INDEX_PARTS):
+        part_df.write.mode(mode).parquet(os.path.join(base_path, part_name))
+
+
+def read_minhash_index(
+    spark: SparkSession, base_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read back the stored index written by :func:`write_minhash_index`,
+    in the (shingles, bands, sizes) order
+    :func:`minhash_near_duplicates_against` expects as ``corpus_index``."""
+    sh, bd, sizes = (
+        spark.read.parquet(os.path.join(base_path, p)) for p in _INDEX_PARTS
+    )
     return sh, bd, sizes
 
 

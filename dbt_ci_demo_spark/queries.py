@@ -1595,24 +1595,43 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: ROUND-11 ROTATION (VERDICT r10 tasks 1+2 + the
-    #    SURVEY §7.7 age policy): the r11 registration
-    #    wr_build_incremental_ci — the COMPOSED incremental-CI entry
-    #    point, ``dbt build --select state:modified+ --defer --state``
-    #    as one oracle row (never-driver-checked, jumps the head per
-    #    policy; sf0.001/0.01/0.1-oracle-green before promotion) — then
-    #    the computed age queue verbatim from SURVEY §7.7's r11 slate:
-    #    the five r10 displacements (emb_kmeans_converged,
-    #    emb_kmeans_step, mm_image_metadata, mm_resize, text_winnowing),
-    #    the r03 remainder, and 2 of the 4 oldest r04 greens. The second
-    #    r11 registration, dedup_substring_splice (the exact-substring
-    #    family END-TO-END: detect spans -> splice the cut documents,
-    #    value-checked; VERDICT r10 #7's named candidate), also jumps
-    #    the head. dedup_incremental_minhash and text_repetition slip
-    #    to the r12 queue head (with sim_ivf_kmeans_trained) to make
-    #    room. The exempt twins (dedup_jaccard_pairs /
-    #    sim_topk_bruteforce) got their one-time driver rows in r10 and
-    #    are back on permanent slate exemption. --
+    # -- slots 31-50: ROUND-12 ROTATION (VERDICT r11 tasks 1+5 + the
+    #    SURVEY §7.7 age policy): the r12 registration
+    #    dedup_index_refresh_cycle — the stored minhash index's full
+    #    production loop (build index on parquet → admit batch 1 against
+    #    the read-back index → APPEND-REFRESH with batch 1's per-doc
+    #    artifacts → admit batch 2, whose batch-1-range matches witness
+    #    the refresh) as one oracle row (never-driver-checked, jumps the
+    #    head per policy; sf0.001/0.01-oracle-green before promotion) —
+    #    then SURVEY §7.7's computed r12 slate verbatim: the three r11
+    #    displacements (dedup_incremental_minhash, text_repetition,
+    #    sim_ivf_kmeans_trained), the r04-green remainder, and the
+    #    oldest r05 green (incr_cdc_versioned). dedup_cluster_star slips
+    #    to the r13 queue head to make room. --
+    "dedup_index_refresh_cycle",
+    "dedup_incremental_minhash",
+    "text_repetition",
+    "sim_ivf_kmeans_trained",
+    "mm_audio_chunks",
+    "samp_source_mixture",
+    "samp_pack_token_windows",
+    "text_unigram_logprob",
+    "text_line_dedup",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "olap_rollup_pricing",
+    "stats_exact_moments",
+    "ts_date_spine_gapfill",
+    "samp_hash_fraction",
+    "pipe_embedding_end_to_end",
+    "incr_cdc_versioned",
+    # -- tail: driver-green in r01..r11 (rotated out of the window;
+    #    newest evidence first — the r11 window, then the r10/r09/r08
+    #    windows; the r13 queue head is dedup_cluster_star (the r12
+    #    slip), then the remaining r05+ greens oldest-check-first) --
     "wr_build_incremental_ci",
     "dedup_substring_splice",
     "emb_kmeans_converged",
@@ -1633,13 +1652,6 @@ _PRIORITY: list[str] = [
     "win_percent_rank_cume",
     "incr_cdc_apply",
     "stream_interval_join",
-    # -- tail: driver-green in r01..r10 (rotated out of the window;
-    #    newest evidence first — the r10 window, then the r09/r08
-    #    windows; the r12 queue head is dedup_incremental_minhash and
-    #    text_repetition (displaced from this window by the two r11
-    #    registrations) and sim_ivf_kmeans_trained (the r11 slip), then
-    #    the remaining r04+ greens oldest-check-first) --
-    "dedup_incremental_minhash",
     "dedup_substring_spans",
     "stream_session_late_accounting",
     "wr_build_e2e",
@@ -1740,7 +1752,6 @@ _PRIORITY: list[str] = [
     "pipe_mixture_from_quality",
     "q2_min_cost_supplier",
     "q15_top_supplier",
-    "incr_cdc_versioned",
     "dedup_cluster_star",
     "dedup_containment",
     "text_source_quality",
@@ -1760,23 +1771,6 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue_share",
     "q16_unsold_parts",
     "q20_excess_suppliers",
-    "text_repetition",
-    "sim_ivf_kmeans_trained",
-    "mm_audio_chunks",
-    "samp_source_mixture",
-    "samp_pack_token_windows",
-    "text_unigram_logprob",
-    "text_line_dedup",
-    "q9_product_profit",
-    "q13_order_count_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "olap_rollup_pricing",
-    "stats_exact_moments",
-    "ts_date_spine_gapfill",
-    "samp_hash_fraction",
-    "pipe_embedding_end_to_end",
 ]
 
 

@@ -15,6 +15,9 @@ engines.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -343,7 +346,11 @@ _MINHASH_K = 3
 _MINHASH_THRESHOLD = 0.7
 
 
-def _minhash_oracle(incremental: bool = False) -> str:
+def _minhash_band_ctes() -> str:
+    """The shared DuckDB replay of the engine's shingle → signature → band
+    pipeline (identical md5-affine constants), as the CTE chain
+    ``toks, shingles, sigs, bands`` over a preceding ``docs(doc_id, text)``
+    CTE — used by every minhash oracle below."""
     n, bands, k = _MINHASH_N, _MINHASH_BANDS, _MINHASH_K
     rows = n // bands
     prime = dd._MINHASH_PRIME
@@ -357,16 +364,7 @@ def _minhash_oracle(incremental: bool = False) -> str:
         )
         for b in range(bands)
     )
-    # Incremental mode: candidates only BETWEEN the corpus (original ids)
-    # and the batch (seeded ids >= 1000000), mirroring
-    # minhash_near_duplicates_against; full mode: ordered self-join pairs.
-    pair_cond = (
-        "l.doc_id < 1000000 AND r.doc_id >= 1000000"
-        if incremental
-        else "l.doc_id < r.doc_id"
-    )
     return f"""
-    WITH docs AS ({_DOCS_DUP}),
     toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM docs
     ),
@@ -392,7 +390,21 @@ def _minhash_oracle(incremental: bool = False) -> str:
         {band_structs}
         ]) AS b FROM sigs
       )
-    ),
+    )"""
+
+
+def _minhash_oracle(incremental: bool = False) -> str:
+    # Incremental mode: candidates only BETWEEN the corpus (original ids)
+    # and the batch (seeded ids >= 1000000), mirroring
+    # minhash_near_duplicates_against; full mode: ordered self-join pairs.
+    pair_cond = (
+        "l.doc_id < 1000000 AND r.doc_id >= 1000000"
+        if incremental
+        else "l.doc_id < r.doc_id"
+    )
+    return f"""
+    WITH docs AS ({_DOCS_DUP}),
+    {_minhash_band_ctes()},
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
@@ -457,6 +469,127 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
         threshold=_MINHASH_THRESHOLD,
+    )
+
+
+_IDX_ROOT: str | None = None
+
+
+def _idx_path(sf_dir: str) -> str:
+    """One temp directory per process for stored-index artifacts, keyed by
+    scale factor so oracle runs at different sf never share an index."""
+    global _IDX_ROOT
+    if _IDX_ROOT is None:
+        _IDX_ROOT = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_idx_")
+    return os.path.join(_IDX_ROOT, os.path.basename(os.path.normpath(sf_dir)) or "sf")
+
+
+def _refresh_oracle() -> str:
+    # Admission 1 sees corpus-vs-batch1 candidates; admission 2 sees
+    # (corpus ∪ batch1)-vs-batch2 — the refreshed-index semantics. UNION
+    # (not UNION ALL) plays the engine's per-admission DISTINCT: the two
+    # arms are disjoint (id_b ranges differ), so the global dedup equals
+    # per-arm dedup.
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' near duplicate trailing marker' AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' near duplicate trailing marker' AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    {_minhash_band_ctes()},
+    cand AS (
+      SELECT 1 AS admission, l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < 1000000
+       AND r.doc_id >= 1000000 AND r.doc_id < 2000000
+      UNION
+      SELECT 2 AS admission, l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < 2000000 AND r.doc_id >= 2000000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM (SELECT DISTINCT id_a, id_b FROM cand) c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+      SELECT c.admission, c.id_a, c.id_b,
+             round(coalesce(i.n_inter, 0)::DOUBLE /
+                   (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+    )
+    SELECT admission, id_a, id_b, jaccard
+    FROM scored WHERE jaccard >= {_MINHASH_THRESHOLD}
+    """
+
+
+@query("dedup_index_refresh_cycle", oracle=_refresh_oracle)
+def dedup_index_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored near-dup index's full production loop as ONE row:
+    build the corpus index to parquet (operators/dedup.write_minhash_index),
+    admit batch 1 against the READ-BACK index (no corpus-side compute:
+    corpus=None), REFRESH the index by appending batch 1's own per-doc
+    artifacts (mode="append" — exact because no index artifact aggregates
+    across documents; O(|batch|) work, corpus partitions untouched), then
+    admit batch 2 against the refreshed index. Batch 2 duplicates docs that
+    exist in BOTH the original corpus and batch 1, so admission 2's pairs
+    with id_a in the batch-1 range [1000000, 2000000) are the refresh
+    witness — an unrefreshed index cannot produce them (batch 1 ids enter
+    the stored band table only via the append). Closes the
+    rebuild-vs-refresh gap VERDICT r11 #5 named: the index is
+    append-refreshable for admissions, rebuild-only for deletes/edits."""
+    par = spark.sparkContext.defaultParallelism
+    d = _docs_raw(spark, sf_dir)
+    corpus = d.repartition(par)
+    batch1 = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate trailing marker")).alias("text"),
+        )
+        .repartition(par)
+    )
+    batch2 = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate trailing marker")).alias("text"),
+        )
+        .repartition(par)
+    )
+    base = _idx_path(sf_dir)
+    kw = dict(k=_MINHASH_K, n_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
+    # Admission pairs are eagerly checkpointed by the operator, so pairs1
+    # is materialized BEFORE the refresh mutates the parquet artifacts.
+    pairs1 = dd.minhash_near_duplicates_against(
+        None, batch1, "text", "doc_id",
+        corpus_index=dd.read_minhash_index(spark, base),
+        threshold=_MINHASH_THRESHOLD, **kw,
+    )
+    dd.write_minhash_index(batch1, "text", "doc_id", base, mode="append", **kw)
+    pairs2 = dd.minhash_near_duplicates_against(
+        None, batch2, "text", "doc_id",
+        corpus_index=dd.read_minhash_index(spark, base),
+        threshold=_MINHASH_THRESHOLD, **kw,
+    )
+    return (
+        pairs1.select(F.lit(1).alias("admission"), "id_a", "id_b", "jaccard")
+        .unionByName(pairs2.select(F.lit(2).alias("admission"), "id_a", "id_b", "jaccard"))
     )
 
 

@@ -351,6 +351,48 @@ def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
     assert via_legacy == direct
 
 
+def test_minhash_index_append_refresh_equals_rebuild(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 #5): ``write_minhash_index(mode="append")`` after a
+    batch admission must serve EXACTLY the index rebuilt from scratch over
+    corpus ∪ batch — the refresh is exact because no index artifact
+    aggregates across documents (shingles/bands/sizes are all per-doc row
+    sets). Admitting a later batch against the refreshed vs the rebuilt
+    index must return identical pairs, and the refreshed index must find
+    pairs at all (nonempty — the property isn't vacuous)."""
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(600)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    refreshed_base = str(tmp_path / "idx_refreshed")
+    dd.write_minhash_index(corpus, "text", "doc_id", refreshed_base, mode="overwrite")
+    dd.write_minhash_index(batch1, "text", "doc_id", refreshed_base, mode="append")
+
+    rebuilt_base = str(tmp_path / "idx_rebuilt")
+    dd.write_minhash_index(
+        corpus.unionByName(batch1), "text", "doc_id", rebuilt_base, mode="overwrite"
+    )
+
+    def admit(base: str) -> set:
+        return {
+            tuple(r)
+            for r in dd.minhash_near_duplicates_against(
+                None, batch2, "text", "doc_id",
+                corpus_index=dd.read_minhash_index(spark, base),
+                threshold=0.5,
+            ).collect()
+        }
+
+    via_refresh = admit(refreshed_base)
+    assert via_refresh == admit(rebuilt_base)
+    assert via_refresh  # injected dups guarantee matches
+
+    with pytest.raises(ValueError, match="mode must be"):
+        dd.write_minhash_index(corpus, "text", "doc_id", refreshed_base, mode="replace")
+
+
 def test_admission_jaccard_plan_uses_index_sizes(spark, sf_dir, tmp_path):
     """VERDICT r04 task 2: on the index admission path the Jaccard
     verifier must (a) semi-join the corpus shingle index down to
