@@ -160,6 +160,9 @@ def test_cdc_versioned_random_batches_order_invariant(spark, rows, rnd):
     assert frozenset(tuple(r) for r in replayed.collect()) == fwd
 
 
+@pytest.mark.slow  # ~8s hypothesis sweep: round-close tier (precedent: the
+# scd_hash property sweep; the inverted-bounds NULL contract also has oracle
+# coverage via fx_scalar_idioms)
 def test_range_bucket_int64_exactness_and_inverted_bounds(spark):
     """r10 review findings (confirmed live pre-fix): (a) the double-
     division floor returned bucket+1 once |x-start| exceeded 2^53 —

@@ -12,6 +12,8 @@ from dbt_ci_demo_spark.operators import similarity as sim
 from dbt_ci_demo_spark.sources.catalog import load_table
 
 
+@pytest.mark.slow  # ~7s recall sweep: round-close tier (the minhash oracle rows
+# value-check the full pipeline every gate run)
 def test_minhash_finds_injected_dups(spark, sf_dir):
     from dbt_ci_demo_spark.queries_northstar import _docs_dup
 
@@ -111,6 +113,7 @@ def test_star_round_count_logarithmic_vs_minlabel_linear(spark):
     assert s_star["rounds"] * 2 < s_min["rounds"], (s_star, s_min)
 
 
+@pytest.mark.slow  # ~5s synthetic supernode property run: round-close tier
 def test_star_components_skewed_supernode(spark):
     """r06 (VERDICT r05 finding #1): a degree-10^5 supernode must not
     wedge the star steps. The neighborhood min is now a map-side-
@@ -140,6 +143,7 @@ def test_connected_components_empty_and_bound(spark):
         dd.connected_components(chain, max_iter=1)
 
 
+@pytest.mark.slow  # ~5s equivalence-vs-md5-path: round-close tier
 def test_minhash_xxhash64_production_path(spark, sf_dir):
     """The xxhash64 production path must recover the same injected
     near-dup pairs as the md5 oracle path (verification is hash-agnostic
@@ -167,6 +171,7 @@ def test_minhash_xxhash64_production_path(spark, sf_dir):
     assert all(found[p] == md5_found[p] for p in common)
 
 
+@pytest.mark.slow  # ~5s storage-hygiene pin: round-close tier
 def test_minhash_leaves_no_storage_pinned(spark, sf_dir):
     """VERDICT r03 task 3: the minhash pipelines persist their shingle
     tables internally; after the call returns, nothing new may remain in
@@ -187,6 +192,7 @@ def test_minhash_leaves_no_storage_pinned(spark, sf_dir):
     assert full.count() >= 0 and incr.count() >= 0
 
 
+@pytest.mark.slow  # ~4s lazy-vs-eager equivalence: round-close tier
 def test_minhash_lazy_mode_composes_without_persist(spark, sf_dir):
     """materialize=False returns a lazy, persist-free plan with the same
     pairs as the eager path."""
@@ -307,6 +313,9 @@ def test_containment_blind_spot_and_staged_recovery(spark):
     assert contained_pairs(survivors) == {(1, 2)}
 
 
+@pytest.mark.slow  # ~12s parquet roundtrip equivalence: round-close tier (the
+# stored-index admission semantics are driver-checked every gate run via the
+# dedup_index_refresh_cycle oracle row)
 def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
     """The corpus near-dup index is a real storable artifact: build it
     once, write shingles+bands to parquet, read them back, and admission
@@ -351,6 +360,8 @@ def test_incremental_minhash_index_artifact_roundtrip(spark, sf_dir, tmp_path):
     assert via_legacy == direct
 
 
+@pytest.mark.slow  # ~12s refresh-vs-rebuild equivalence: round-close tier (same
+# oracle-row coverage as the roundtrip test above)
 def test_minhash_index_append_refresh_equals_rebuild(spark, sf_dir, tmp_path):
     """r12 (VERDICT r11 #5): ``write_minhash_index(mode="append")`` after a
     batch admission must serve EXACTLY the index rebuilt from scratch over
@@ -423,6 +434,7 @@ def test_admission_jaccard_plan_uses_index_sizes(spark, sf_dir, tmp_path):
     assert str(tmp_path / "sizes") in plan, "precomputed sizes artifact unused"
 
 
+@pytest.mark.slow  # ~4s equivalence-vs-bruteforce: round-close tier
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
     sig = dd.simhash32(docs, "text", "doc_id")
@@ -478,6 +490,8 @@ def test_cluster_oracle_poison_on_nonconvergence(duck, sf_dir):
     assert not ((converged.doc_id == -1) & (converged.cluster_id == -1)).any()
 
 
+@pytest.mark.slow  # ~5s equivalence check: round-close tier (both sides carry
+# oracle rows: dedup_minhash_lsh / dedup_incremental_minhash)
 def test_incremental_minhash_equals_crossside_subset(spark, sf_dir):
     """Batch-vs-corpus MinHash must equal the full self-join pipeline
     restricted to cross-side pairs: banding is per-document, so splitting
@@ -505,6 +519,7 @@ def test_incremental_minhash_equals_crossside_subset(spark, sf_dir):
     assert incr, "fixture produced no cross-side near-dups"
 
 
+@pytest.mark.slow  # ~4s equivalence-vs-md5-path: round-close tier
 def test_simhash_xxhash64_production_path(spark, sf_dir):
     """hash_fn='xxhash64' (the production hash, VERDICT r02 task 2) must
     keep the banded-candidates == brute-force guarantee — the pigeonhole
@@ -551,6 +566,7 @@ def test_resize_clamps_extreme_aspect_ratios(spark, sf_dir):
         assert r.out_width == 1 or r.out_height == 1
 
 
+@pytest.mark.slow  # ~3s recall-vs-bruteforce sweep: round-close tier
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -573,6 +589,8 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+@pytest.mark.slow  # ~4s closed-form semantics check: round-close tier
+# (graph_pagerank is oracle-checked every gate run)
 def test_pagerank_star_graph_semantics(spark):
     """PageRank sanity on a hub graph: all spokes point at the hub, the
     hub points at one spoke — the hub must out-rank every spoke, spokes
@@ -885,6 +903,7 @@ def test_multimodal_decode_error_path(spark):
         mm.decode_image_metadata(media).collect()
 
 
+@pytest.mark.slow  # ~3s streaming-vs-batch equivalence: round-close tier
 def test_streaming_tumbling_matches_batch(spark, sf_dir):
     from dbt_ci_demo_spark.queries import events_tumbling_hourly
     from dbt_ci_demo_spark.streaming import events_stream as es
@@ -1223,6 +1242,8 @@ def test_kmeans_assign_expr_matches_bruteforce_argmin(spark):
     assert got == {vid: brute(q) for vid, q in vectors}
 
 
+@pytest.mark.slow  # ~8s two-path equivalence: round-close tier (both assignment
+# paths carry their own oracle rows: emb_assign_matrix / emb_kmeans_*)
 def test_kmeans_assign_matrix_path_matches_literal_path(spark):
     """r07 (VERDICT r06 #3): the broadcast-matrix assignment
     (_kmeans_assign_matrix_expr — one nested-array literal, O(1) plan
@@ -1376,6 +1397,7 @@ def test_substring_spans_boundaries_and_merge(spark):
     assert got == _py_substring_spans(docs, k)
 
 
+@pytest.mark.slow  # ~3s randomized bruteforce equivalence: round-close tier
 def test_substring_spans_match_bruteforce_random(spark):
     """Randomized equality vs the brute-force reference: tiny vocab +
     short docs force organic cross-doc and WITHIN-doc duplicated grams
@@ -1433,6 +1455,7 @@ def test_remove_spans_splices_and_preserves_rows(spark):
     }
 
 
+@pytest.mark.slow  # ~4s randomized bruteforce equivalence: round-close tier
 def test_remove_spans_matches_bruteforce_random(spark):
     """Randomized splice equality vs a pure-Python reference over the
     same corpora as the span-detection property test."""

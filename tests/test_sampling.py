@@ -230,6 +230,8 @@ def test_allocate_budget_exact_past_long_overflow(spark):
     assert sum(got.values()) == big
 
 
+@pytest.mark.slow  # ~7s equivalence-vs-window-sampler: round-close tier
+# (samp_quota_threshold is oracle-checked every gate run)
 def test_quota_threshold_sampler_matches_window_sampler(spark, sf_dir):
     """r07 (VERDICT r06 task-1 stretch): the histogram-threshold quota
     enforcement must select EXACTLY the window sampler's rows — same
@@ -262,6 +264,8 @@ def test_quota_threshold_sampler_matches_window_sampler(spark, sf_dir):
     assert out.filter(F.col("lang") == langs[0]).count() == 0
 
 
+@pytest.mark.slow  # ~8s level-2 equivalence sweep: round-close tier (the level-1
+# variant below stays default-tier; samp_quota_threshold2 is oracle-checked)
 def test_quota_threshold_recursion_matches_window_sampler(spark, sf_dir):
     """r08 (VERDICT r07 task 5b): the RECURSIVE histogram levels must not
     change the kept set — n_levels=2 and 3 select exactly the window

@@ -9,6 +9,7 @@ from __future__ import annotations
 import itertools
 
 import duckdb
+import pytest
 
 from dbt_ci_demo_spark.operators import snapshot as snap
 
@@ -53,6 +54,8 @@ def test_check_strategy_null_grid_matches_duckdb(spark):
     assert got == want
 
 
+@pytest.mark.slow  # ~5s full SCD2 cycle: round-close tier (snap_check_all is
+# oracle-checked every gate run)
 def test_check_cols_all_introspection_and_cycle(spark):
     """check_cols='all' (r09, VERDICT r08 #3): tracked columns come from
     the source∩snapshot intersection with dbt_* excluded; a change in a

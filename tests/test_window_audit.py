@@ -470,6 +470,8 @@ def test_ntile_histogram_heavy_bin_is_multi_partition(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # ~6s two-path equivalence: round-close tier (both paths carry
+# oracle + bench rows)
 def test_ntile_threshold_equals_ntile_highcard(spark):
     """The >1024-strata path ntile_histogram's ceiling guard points to:
     fully-declarative thresholds must equal ntile bit-for-bit across tie
