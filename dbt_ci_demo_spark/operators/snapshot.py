@@ -22,7 +22,14 @@ Change detection strategies (strategy_dispatch @112892):
 Hashing: dbt_scd_id = md5(key|version) via functions.scd_hash, matching
 bigquery__snapshot_hash_arguments (@31511). For oracle determinism,
 timestamp args are hashed via their epoch-microsecond integer rather than a
-locale/engine-dependent string rendering.
+locale/engine-dependent string rendering. One precondition follows from
+that deviation (r12 review): the reference's check strategy versions rows
+with updated_at = snapshot_get_time() (the run clock), so a re-versioned
+row always gets a FRESH scd_id; here updated_at is a source column, so a
+check-strategy source must advance updated_at whenever a tracked column
+changes — versioning a row with an unchanged (key, updated_at) pair would
+mint a new row with the SAME scd_id as the row it closes. All registered
+snapshot fixtures honor this (their changesets bump updated_at).
 
 Scale notes: the changeset is built from three joins of source vs *open
 rows only* (dbt_valid_to IS NULL) — at 100 TB the open subset is the
@@ -89,6 +96,12 @@ def check_strategy(check_cols: list[str]):
     (snapshot_check_strategy @122973): (a<>b) OR (a NULL XOR b NULL).
     Spark's null-safe equality ``<=>`` negated covers all three reference
     conditions in one expression."""
+
+    if not check_cols:
+        # reduce() over an empty list raises an opaque TypeError deep in
+        # the changeset build; fail at config time like the reference's
+        # compiler error (r12 review).
+        raise ValueError("check_cols must be a non-empty list of column names")
 
     def changed(src: DataFrame, snap: DataFrame) -> Column:
         return reduce(or_, [~src[c].eqNullSafe(snap[c]) for c in check_cols])
@@ -185,6 +198,19 @@ def snapshot_changeset(
     out = insertions.unionByName(updates)
     if invalidate_hard_deletes:
         delete_stamp = source.agg(F.max(updated_at)).first()[0]
+        # Empty-source full invalidation (r12 review): with no source rows
+        # there is no max(updated_at), and a NULL close stamp would leave
+        # every "deleted" row OPEN (apply_changeset sets valid_to to the
+        # stamp — NULL means still current). Fall back to the reference's
+        # own semantics for exactly this case: snapshot_get_time() = now()
+        # (manifest.json:1@102012 uses the run timestamp). Determinism is
+        # unaffected whenever the source has any row, which is every
+        # oracle-checked path.
+        stamp_col = (
+            F.lit(delete_stamp).cast(ts_type)
+            if delete_stamp is not None
+            else F.current_timestamp().cast(ts_type)
+        )
         deletes = (
             open_rows.join(src, key_eq, "left_anti")
             .select(
@@ -193,7 +219,7 @@ def snapshot_changeset(
                 F.col("snap.dbt_scd_id").alias("dbt_scd_id"),
                 F.col("snap.dbt_updated_at").alias("dbt_updated_at"),
                 F.col("snap.dbt_valid_from").alias("dbt_valid_from"),
-                F.lit(delete_stamp).cast(ts_type).alias("dbt_valid_to"),
+                stamp_col.alias("dbt_valid_to"),
             )
         )
         out = out.unionByName(deletes)
@@ -220,12 +246,20 @@ def apply_changeset(snapshot: DataFrame, changeset: DataFrame) -> DataFrame:
     so the two compose into the reference's full dropped-column
     posture.)
     """
+    # One close row per scd_id (r12 review): a source with DUPLICATE
+    # unique keys stages one update row per duplicate, all carrying the
+    # same old dbt_scd_id — joined raw, each duplicate would MULTIPLY the
+    # matching history rows (silent corruption). The reference's MERGE
+    # fails loudly on multi-match ("UPDATE/MERGE must match at most one
+    # source row"); a lazy DataFrame op cannot raise data-dependently, so
+    # the deterministic guard is max(valid_to) per scd_id — identical to
+    # the raw join for every well-formed (unique-key) source, and
+    # row-count-preserving for corrupt ones. The dbt_unique_key test
+    # (operators/quality.py) remains the loud detector.
     closes = (
         changeset.filter(F.col("dbt_change_type").isin("update", "delete"))
-        .select(
-            F.col("dbt_scd_id").alias("__close_id"),
-            F.col("dbt_valid_to").alias("__close_to"),
-        )
+        .groupBy(F.col("dbt_scd_id").alias("__close_id"))
+        .agg(F.max("dbt_valid_to").alias("__close_to"))
     )
     closed = (
         snapshot.join(closes, snapshot["dbt_scd_id"] == closes["__close_id"], "left")

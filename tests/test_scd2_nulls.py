@@ -10,6 +10,7 @@ import itertools
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_ci_demo_spark.operators import snapshot as snap
 
@@ -202,3 +203,50 @@ def test_snapshot_cycle_invalid_strategy(spark):
     # the gate fires on the first build too (config error, not data)
     with pytest.raises(ValueError, match="Invalid value for 'strategy'"):
         snap.snapshot_cycle(v1, None, "k", "updated_at", strategy="chekc")
+
+
+def test_empty_source_hard_delete_closes_with_real_stamp(spark):
+    """r12 review: a FULL invalidation (empty source, invalidate_hard_deletes)
+    has no max(updated_at) to stamp deletes with; a NULL stamp would leave
+    every "deleted" row open. The fallback is the reference's own
+    snapshot_get_time() semantics — every open row must come out CLOSED
+    with a non-null dbt_valid_to."""
+    src0 = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00"), (2, "y", "2024-01-02 00:00:00")],
+        "k int, v string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    hist = snap.snapshot_cycle(src0, None, "k", "updated_at")
+    empty = src0.limit(0)
+    out = snap.snapshot_cycle(
+        empty, hist, "k", "updated_at", invalidate_hard_deletes=True
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.dbt_valid_to is not None for r in rows)
+
+
+def test_duplicate_key_source_does_not_multiply_history(spark):
+    """r12 review: a source with a DUPLICATE unique key stages two update
+    rows carrying the same old dbt_scd_id; joined raw they would multiply
+    the matching history rows. The reference's MERGE fails loudly on
+    multi-match; the engine's deterministic guard (one max-stamp close per
+    scd_id) must keep the history row count at closed + inserts."""
+    src0 = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")], "k int, v string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    hist = snap.snapshot_cycle(src0, None, "k", "updated_at")
+    dup = spark.createDataFrame(
+        [(1, "x2", "2024-01-02 00:00:00"), (1, "x3", "2024-01-03 00:00:00")],
+        "k int, v string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    out = snap.snapshot_cycle(dup, hist, "k", "updated_at")
+    # 1 original (now closed once, with the max duplicate stamp) + 2 inserts
+    assert out.count() == 3
+    closed = [r for r in out.collect() if r.dbt_valid_to is not None]
+    assert len(closed) == 1
+    assert str(closed[0].dbt_valid_to) == "2024-01-03 00:00:00"
+
+
+def test_check_strategy_empty_cols_raises(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        snap.check_strategy([])
