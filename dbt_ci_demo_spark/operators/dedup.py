@@ -403,9 +403,25 @@ def write_minhash_index(
     (k, n_hashes, bands, hash_fn)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
-    parts = build_minhash_index(df, text_col, id_col, k, n_hashes, bands, hash_fn)
-    for part_df, part_name in zip(parts, _INDEX_PARTS):
-        part_df.write.mode(mode).parquet(os.path.join(base_path, part_name))
+    # The three artifacts all derive from the shingle table, whose
+    # tokenize+explode+distinct is the dominant stage — written naively,
+    # each artifact's write re-derives it (3× the dominant cost per index
+    # build; the lineage re-expansion class). Persist it across the three
+    # writes instead (the module's minhash_near_duplicates precedent):
+    # the shingle write itself populates the cache, the band and size
+    # writes consume it, and nothing outlives the call.
+    sh = word_shingles(df, text_col, id_col, k).persist()
+    try:
+        sh.write.mode(mode).parquet(os.path.join(base_path, _INDEX_PARTS[0]))
+        banded_buckets(
+            minhash_signatures(sh, id_col, n_hashes, hash_fn),
+            id_col, n_hashes, bands, hash_fn,
+        ).write.mode(mode).parquet(os.path.join(base_path, _INDEX_PARTS[1]))
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")).write.mode(
+            mode
+        ).parquet(os.path.join(base_path, _INDEX_PARTS[2]))
+    finally:
+        sh.unpersist()
 
 
 def read_minhash_index(
