@@ -180,7 +180,15 @@ class Runner:
         a hard test failure (should_error) SKIPS every downstream node —
         the behavioral contract distinguishing `dbt build` from
         `dbt run; dbt test` — and every resource lands as an ordered
-        step with its written-row / failure count."""
+        step with its written-row / failure count.
+
+        ``state_out`` publishes old-state ∪ this run's built nodes. Like
+        the reference — which commits manifest.json only from full
+        master builds (update_project_state.yml:37-51) — a SUBSET build
+        without a base ``state`` publishes a manifest covering only the
+        subset; defer/state:modified against such a partial manifest
+        treats every absent model as new. Pass the previous manifest as
+        ``state`` (the normal CI shape) to carry unbuilt nodes forward."""
         selected = self.graph.select(state, select)
         defer_state = state if defer else None
         if tests is not None and build_steps is None:
@@ -231,11 +239,21 @@ class Runner:
                     if m.config.materialized in ("seed", "snapshot")
                     else "model"
                 )
-                n_rows = (
-                    self.warehouse.read(name).count()
-                    if res.status == "success"
-                    else None
-                )
+                n_rows = None
+                if res.status == "success":
+                    try:
+                        n_rows = self.warehouse.read(name).count()
+                    except Exception as e:  # noqa: BLE001
+                        # A successfully-materialized relation that cannot
+                        # be read back is a broken node, not a bookkeeping
+                        # detail (r12 review): unguarded, this count
+                        # ABORTED the whole build mid-ledger (later waves,
+                        # remaining steps and the state publication all
+                        # lost). Demote the node to error so downstream
+                        # skips, and keep building.
+                        results[name] = res = RunResult(
+                            name, "error", error=f"post-build read failed: {e}"
+                        )
                 build_steps.append(
                     BuildStep(len(build_steps) + 1, name, rtype, res.status, n_rows)
                 )

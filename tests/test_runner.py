@@ -1098,3 +1098,35 @@ def test_model_checksum_depth_guard_deterministic():
         assert shallow_cs == nested_cs  # (b) ambient-depth independent
 
     assert make([1, [2, [3]]]).checksum() != make([1, [2, [4]]]).checksum()
+
+
+def test_build_survives_unreadable_relation_in_bookkeeping(spark, sf_dir, env, tmp_path):
+    """r12 review: in build-steps mode the post-build row count read an
+    unguarded warehouse.read(name).count() — one unreadable relation
+    ABORTED the whole build mid-ledger (later waves, remaining steps and
+    the state publication all lost). The node must instead demote to
+    error, downstream must skip, and the build must return a complete
+    ledger."""
+    runner = make_runner(spark, sf_dir, env, make_models(sf_dir), tmp_path)
+    try:
+        orig_read = runner.warehouse.read
+
+        def flaky_read(name, *a, **kw):
+            if name == "stg_orders":
+                raise RuntimeError("relation vanished")
+            return orig_read(name, *a, **kw)
+
+        runner.warehouse.read = flaky_read
+        steps: list = []
+        state_path = tmp_path / "state.json"
+        results = runner.build(build_steps=steps, state_out=str(state_path))
+        assert results["stg_orders"].status == "error"
+        assert "post-build read failed" in results["stg_orders"].error
+        assert results["cust_totals"].status == "skipped"
+        assert [(s.node, s.status, s.n_rows) for s in steps] == [
+            ("stg_orders", "error", None),
+            ("cust_totals", "skipped", None),
+        ]
+        assert state_path.exists()  # publication still lands
+    finally:
+        runner.warehouse.drop_database()
