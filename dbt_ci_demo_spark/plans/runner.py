@@ -254,6 +254,19 @@ class Runner:
                         results[name] = res = RunResult(
                             name, "error", error=f"post-build read failed: {e}"
                         )
+                        # run_one already recorded the node into new_state
+                        # (checksum + relation) before this demotion — left
+                        # there, state_out would publish the BROKEN node as
+                        # current, so the next state:modified run treats it
+                        # as unmodified (never rebuilt) and --defer resolves
+                        # refs to the unreadable relation (ADVICE r12).
+                        # Restore the prior manifest entry if one exists
+                        # (defer keeps pointing at the last GOOD relation),
+                        # else drop it so the next run sees the node as new.
+                        if state is not None and name in state.nodes:
+                            new_state.nodes[name] = state.nodes[name]
+                        else:
+                            new_state.nodes.pop(name, None)
                 build_steps.append(
                     BuildStep(len(build_steps) + 1, name, rtype, res.status, n_rows)
                 )

@@ -1128,5 +1128,34 @@ def test_build_survives_unreadable_relation_in_bookkeeping(spark, sf_dir, env, t
             ("cust_totals", "skipped", None),
         ]
         assert state_path.exists()  # publication still lands
+        # ADVICE r12: the demoted node must NOT be published as current —
+        # run_one recorded it into new_state before the demotion, and an
+        # unreverted entry makes the next state:modified run treat the
+        # broken node as unmodified (never rebuilt) while --defer resolves
+        # refs to the unreadable relation.
+        published = StateManifest.load(str(state_path))
+        assert "stg_orders" not in published.nodes
+        assert "cust_totals" not in published.nodes  # skipped, never recorded
+
+        # With a prior manifest carrying the node, demotion must RESTORE
+        # the prior entry (defer keeps pointing at the last good relation)
+        # instead of publishing the broken build.
+        prior = StateManifest(
+            {
+                "stg_orders": {
+                    "checksum": "old-cs",
+                    "relation": "prod.stg_orders",
+                    "config": {},
+                }
+            }
+        )
+        state_path2 = tmp_path / "state2.json"
+        steps2: list = []
+        results2 = runner.build(
+            state=prior, build_steps=steps2, state_out=str(state_path2)
+        )
+        assert results2["stg_orders"].status == "error"
+        published2 = StateManifest.load(str(state_path2))
+        assert published2.nodes["stg_orders"] == prior.nodes["stg_orders"]
     finally:
         runner.warehouse.drop_database()
