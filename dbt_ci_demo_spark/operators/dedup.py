@@ -39,7 +39,9 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -371,6 +373,16 @@ def build_minhash_index(
 _INDEX_PARTS = ("shingles", "bands", "sizes")
 
 
+def _index_fs(spark: SparkSession, base_path: str):
+    """Hadoop FileSystem + Path factory for the index location (works on
+    any scheme, not just local disk — the materialize._scrub_location
+    idiom)."""
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(base_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
 def write_minhash_index(
     df: DataFrame,
     text_col: str,
@@ -381,6 +393,7 @@ def write_minhash_index(
     n_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "md5",
+    batch_id: str | None = None,
 ) -> None:
     """Write (``mode="overwrite"``) or REFRESH (``mode="append"``) the
     stored near-dup index at ``base_path`` — three parquet tables,
@@ -400,9 +413,50 @@ def write_minhash_index(
     never needs a rebuild for pure appends; deletions/edits still
     require one.) Parameters must match every write to the same
     ``base_path`` — band keys are meaningless across differing
-    (k, n_hashes, bands, hash_fn)."""
+    (k, n_hashes, bands, hash_fn).
+
+    Failure / retry contract (ADVICE r12): an append never writes into
+    the live artifact dirs directly. The three artifacts are staged to
+    ``_staging-<token>/`` under ``base_path``, then PROMOTED by per-file
+    rename (cheap metadata ops; each promoted file carries the batch
+    token as a name prefix), and — when ``batch_id`` is supplied — a
+    commit marker lands at ``_appends/<token>`` last. With a
+    ``batch_id``, the append is idempotent and retry-exact: a repeated
+    call whose marker exists is a no-op, and a retry after a mid-promote
+    failure first scrubs the exact files its token promoted before
+    re-staging, so no duplicate per-doc rows can survive (duplicate
+    sizes rows would otherwise multiply pairs in jaccard_scores on the
+    admission path). WITHOUT a ``batch_id`` a failed append cannot be
+    retried exactly — rebuild with ``mode="overwrite"`` (which is itself
+    retry-idempotent: it replaces every artifact). The marker is O(1)
+    metadata; no corpus partition is ever read for the guard."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    spark = df.sparkSession
+    staging: str | None = None
+    write_mode = "overwrite"
+    if mode == "append":
+        fs, path_cls = _index_fs(spark, base_path)
+        # File-name-safe token: hash the caller's batch_id (any string)
+        # so it can never escape the marker/prefix namespace.
+        token = (
+            hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:16]
+            if batch_id is not None
+            else uuid.uuid4().hex[:16]
+        )
+        marker = path_cls(os.path.join(base_path, "_appends", token))
+        if batch_id is not None and fs.exists(marker):
+            return  # this batch already committed — idempotent repeat
+        prefix = f"b-{token}-"
+        # Scrub any files a prior PARTIAL promote of this token left in
+        # the live dirs (exact: promoted names carry the prefix).
+        for part in _INDEX_PARTS:
+            live = path_cls(os.path.join(base_path, part))
+            if fs.exists(live):
+                for st in fs.listStatus(live):
+                    if st.getPath().getName().startswith(prefix):
+                        fs.delete(st.getPath(), False)
+        staging = os.path.join(base_path, f"_staging-{token}")
     # The three artifacts all derive from the shingle table, whose
     # tokenize+explode+distinct is the dominant stage — written naively,
     # each artifact's write re-derives it (3× the dominant cost per index
@@ -410,18 +464,36 @@ def write_minhash_index(
     # writes instead (the module's minhash_near_duplicates precedent):
     # the shingle write itself populates the cache, the band and size
     # writes consume it, and nothing outlives the call.
+    out_base = staging if staging is not None else base_path
     sh = word_shingles(df, text_col, id_col, k).persist()
     try:
-        sh.write.mode(mode).parquet(os.path.join(base_path, _INDEX_PARTS[0]))
+        sh.write.mode(write_mode).parquet(os.path.join(out_base, _INDEX_PARTS[0]))
         banded_buckets(
             minhash_signatures(sh, id_col, n_hashes, hash_fn),
             id_col, n_hashes, bands, hash_fn,
-        ).write.mode(mode).parquet(os.path.join(base_path, _INDEX_PARTS[1]))
+        ).write.mode(write_mode).parquet(os.path.join(out_base, _INDEX_PARTS[1]))
         sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")).write.mode(
-            mode
-        ).parquet(os.path.join(base_path, _INDEX_PARTS[2]))
+            write_mode
+        ).parquet(os.path.join(out_base, _INDEX_PARTS[2]))
     finally:
         sh.unpersist()
+    if staging is not None:
+        # Promote: move each staged data file into its live dir under the
+        # token prefix (pure renames — a failure here is repaired by the
+        # scrub on retry with the same batch_id), then commit the marker.
+        for part in _INDEX_PARTS:
+            src_dir = path_cls(os.path.join(staging, part))
+            dst_dir = path_cls(os.path.join(base_path, part))
+            fs.mkdirs(dst_dir)
+            for st in fs.listStatus(src_dir):
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue  # _SUCCESS / hidden
+                fs.rename(st.getPath(), path_cls(dst_dir, prefix + name))
+        if batch_id is not None:
+            fs.mkdirs(path_cls(os.path.join(base_path, "_appends")))
+            fs.create(marker, True).close()
+        fs.delete(path_cls(staging), True)
 
 
 def read_minhash_index(

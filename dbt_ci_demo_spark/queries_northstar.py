@@ -15,8 +15,12 @@ engines.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -475,13 +479,22 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IDX_ROOT: str | None = None
 
 
-def _idx_path(sf_dir: str) -> str:
-    """One temp directory per process for stored-index artifacts, keyed by
-    scale factor so oracle runs at different sf never share an index."""
+def _idx_path(sf_dir: str, nonce: str | None = None) -> str:
+    """Fresh index-artifact directory under one process-level temp root.
+
+    Keyed by a hash of the ABSOLUTE sf_dir (ADVICE r12: two distinct
+    directories sharing a basename must never share an index) plus a
+    per-invocation ``nonce`` so two concurrent executions in one process
+    cannot interleave their overwrite/append sequences on one path. The
+    root is removed at interpreter exit."""
     global _IDX_ROOT
     if _IDX_ROOT is None:
         _IDX_ROOT = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_idx_")
-    return os.path.join(_IDX_ROOT, os.path.basename(os.path.normpath(sf_dir)) or "sf")
+        atexit.register(shutil.rmtree, _IDX_ROOT, ignore_errors=True)
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    if nonce is not None:
+        key = f"{key}-{nonce}"
+    return os.path.join(_IDX_ROOT, key)
 
 
 def _refresh_oracle() -> str:
@@ -571,7 +584,7 @@ def dedup_index_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(par)
     )
-    base = _idx_path(sf_dir)
+    base = _idx_path(sf_dir, nonce=uuid.uuid4().hex[:12])
     kw = dict(k=_MINHASH_K, n_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
     dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
     # Admission pairs are eagerly checkpointed by the operator, so pairs1
@@ -581,7 +594,9 @@ def dedup_index_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_index=dd.read_minhash_index(spark, base),
         threshold=_MINHASH_THRESHOLD, **kw,
     )
-    dd.write_minhash_index(batch1, "text", "doc_id", base, mode="append", **kw)
+    dd.write_minhash_index(
+        batch1, "text", "doc_id", base, mode="append", batch_id="batch1", **kw
+    )
     pairs2 = dd.minhash_near_duplicates_against(
         None, batch2, "text", "doc_id",
         corpus_index=dd.read_minhash_index(spark, base),

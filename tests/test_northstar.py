@@ -3,6 +3,8 @@ LSH recall vs brute force, multimodal plumbing, streaming equivalence."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -402,6 +404,66 @@ def test_minhash_index_append_refresh_equals_rebuild(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="mode must be"):
         dd.write_minhash_index(corpus, "text", "doc_id", refreshed_base, mode="replace")
+
+
+@pytest.mark.slow  # ~15s: four index writes; failure modes covered nowhere else
+def test_minhash_index_append_idempotent_and_retry_exact(spark, sf_dir, tmp_path):
+    """ADVICE r12: an append with a ``batch_id`` must be (a) a no-op when
+    repeated after commit (duplicate per-doc sizes rows would multiply
+    pairs in jaccard_scores on the admission path), and (b) retry-EXACT
+    after a simulated mid-promote failure — the retry scrubs exactly the
+    files its token promoted before re-promoting, leaving the live index
+    row-identical to a single clean append. Staging must never leak into
+    the live artifact dirs."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(200)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    base = str(tmp_path / "idx")
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite")
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+
+    def snapshot() -> tuple:
+        sh, bd, sizes = dd.read_minhash_index(spark, base)
+        return (
+            frozenset(tuple(r) for r in sh.collect()),
+            frozenset(tuple(r) for r in bd.collect()),
+            frozenset(tuple(r) for r in sizes.collect()),
+            sizes.count(),  # multiset guard: dup per-doc rows change count
+            sh.count(),
+            bd.count(),
+        )
+
+    clean = snapshot()
+    assert clean[3] == clean[2].__len__()  # sizes: one row per doc
+
+    # (a) committed repeat is a no-op
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+    assert snapshot() == clean
+
+    # (b) mid-promote failure: the marker never landed and only SOME of
+    # the token's files were moved — drop the marker and delete one
+    # promoted bands file to simulate, then retry the same batch_id.
+    token = _hashlib.sha256(b"day-1").hexdigest()[:16]
+    os.remove(os.path.join(base, "_appends", token))
+    promoted = _glob.glob(os.path.join(base, "bands", f"b-{token}-*.parquet"))
+    assert promoted  # the prefix convention is live
+    os.remove(promoted[0])
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+    assert snapshot() == clean
+
+    # no staging debris in or beside the live dirs
+    assert not _glob.glob(os.path.join(base, "_staging-*"))
 
 
 def test_admission_jaccard_plan_uses_index_sizes(spark, sf_dir, tmp_path):
@@ -1530,6 +1592,36 @@ def test_ivf_int8_stored_centroids_match_recomputed(spark, sf_dir):
         map(tuple, sim.ivf_topk_int8(emb, q, "cl", k=3, centroids=cents).collect())
     )
     assert a == b and len(a) == 9
+
+
+def test_ivf_int8_single_scan_and_lsh_plane_guard(spark, sf_dir):
+    """r13 review findings on operators/similarity.py: (a) ivf_topk_int8
+    joined a separate cluster-column scan of the corpus back to the
+    quantized codes on id — a corpus id-self-join (two scans + a full
+    shuffle join) where a passthrough column in the quantize projection
+    suffices; the plan must now read the corpus exactly twice (probe
+    centroids + candidate scoring), with no join between two corpus-sized
+    sides. (b) lsh_bucket builds bucket bit p as 2**p LONG — ≥64 planes
+    would overflow; the guard must raise."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("cl")
+    )
+    out = sim.ivf_topk_int8(emb, emb.filter("vec_id < 3"), "cl", k=3)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # corpus reads: centroid aggregate + candidate scan; query reads:
+    # probe path + code path — exactly 4. The old shape added a FIFTH
+    # (cluster column scan) joined back to the codes on id.
+    assert optimized.count("Relation [") <= 4, optimized
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan  # all joins broadcast-able
+    assert len(out.collect()) == 9
+
+    # passthrough carries extra columns through the quantize projection
+    qz = sim.quantize_embeddings_int8(emb, passthrough=["cl"])
+    assert set(qz.columns) == {"vec_id", "scale", "q", "cl"}
+
+    with pytest.raises(ValueError, match="at most 63 planes"):
+        sim.lsh_bucket("v", [[1.0, -1.0]] * 64)
 
 
 def test_stateful_totals_skip_null_values_and_empty_frame_plan(spark):
