@@ -171,13 +171,38 @@ def snapshot_changeset(
     )
     src_cols = [F.col(f"src.{c}") for c in source.columns]
 
+    # Stationary-updated_at guard (VERDICT r12 #5): a source row whose
+    # tracked columns changed while (unique_key, updated_at) stayed put
+    # would mint the SAME scd_id as the open row it closes — two history
+    # rows sharing an id, and every later close of that id hits both
+    # (silent corruption). The reference cannot reach this state (its
+    # check strategy versions with snapshot_get_time(), @122973); here
+    # updated_at is a source column, so enforce the documented module
+    # precondition loudly. Zero extra cost: the old scd_id is already in
+    # scope on the insertions join — one never-taken CASE branch per row,
+    # no joins, no jobs. Timestamp strategy can never fire it (changed
+    # requires valid_from < updated_at, which advances the hash input).
+    guarded_scd_id = F.when(
+        F.col("snap.dbt_scd_id").isNotNull()
+        & (new_scd_id == F.col("snap.dbt_scd_id")),
+        F.raise_error(
+            F.lit(
+                "snapshot: a new version row mints the SAME dbt_scd_id as "
+                "the open row it closes — the source changed a tracked "
+                "column without advancing updated_at (see the check-"
+                "strategy precondition in operators/snapshot.py); merging "
+                "would silently corrupt history"
+            )
+        ).cast("string"),
+    ).otherwise(new_scd_id)
+
     insertions = (
         src.join(open_rows, key_eq, "left")
         .filter(F.col(f"snap.{unique_key}").isNull() | changed)
         .select(
             F.lit("insert").alias("dbt_change_type"),
             *src_cols,
-            new_scd_id.alias("dbt_scd_id"),
+            guarded_scd_id.alias("dbt_scd_id"),
             F.col(f"src.{updated_at}").alias("dbt_updated_at"),
             F.col(f"src.{updated_at}").alias("dbt_valid_from"),
             F.lit(None).cast(ts_type).alias("dbt_valid_to"),

@@ -250,3 +250,50 @@ def test_duplicate_key_source_does_not_multiply_history(spark):
 def test_check_strategy_empty_cols_raises(spark):
     with pytest.raises(ValueError, match="non-empty"):
         snap.check_strategy([])
+
+
+def test_check_strategy_stationary_updated_at_raises(spark):
+    """VERDICT r12 #5: a check-strategy source that changes a tracked
+    column WITHOUT advancing updated_at mints the same scd_id
+    (md5(key|updated_at)) for the new version row as the open row it
+    closes — previously silent history corruption (two rows share an id;
+    every later close of that id hits both). The in-plan guard must fail
+    loudly on exactly this state, and a well-formed cycle (updated_at
+    advances with the change) must be untouched."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    src0 = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")], "k int, v string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    hist = snap.snapshot_cycle(src0, None, "k", "updated_at", strategy="check",
+                               check_cols=["v"])
+
+    # stationary updated_at + changed tracked column → loud failure
+    bad = spark.createDataFrame(
+        [(1, "CHANGED", "2024-01-01 00:00:00")], "k int, v string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    # NB: .collect(), not .count() — count() prunes every column, so the
+    # guarded scd_id expression would never evaluate; any real consumer
+    # (a write, a merge) materializes the column and trips the guard.
+    with pytest.raises(SparkRuntimeException, match="SAME dbt_scd_id"):
+        snap.snapshot_cycle(
+            bad, hist, "k", "updated_at", strategy="check", check_cols=["v"]
+        ).collect()
+
+    # well-formed: the same change WITH an advanced stamp versions cleanly
+    good = spark.createDataFrame(
+        [(1, "CHANGED", "2024-01-02 00:00:00")], "k int, v string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    out = snap.snapshot_cycle(
+        good, hist, "k", "updated_at", strategy="check", check_cols=["v"]
+    )
+    assert out.count() == 2
+    assert out.select("dbt_scd_id").distinct().count() == 2
+
+    # an UNCHANGED row with a stationary stamp stages nothing — no raise
+    same = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")], "k int, v string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    assert snap.snapshot_cycle(
+        same, hist, "k", "updated_at", strategy="check", check_cols=["v"]
+    ).count() == 1
