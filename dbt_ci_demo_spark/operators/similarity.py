@@ -149,6 +149,13 @@ def lsh_bucket(vec: str, planes: list[list[int]]) -> Column:
             "Column in a projection first); Column objects can't be "
             "portably rendered back to SQL"
         )
+    if len(planes) > 63:
+        # bit p is 2**p as a LONG — plane 63 would overflow the sign bit
+        # (the zorder bits*cols ≤ 63 guard precedent; r13 review).
+        raise ValueError(
+            f"lsh_bucket supports at most 63 planes per table, got "
+            f"{len(planes)} — split into more tables instead"
+        )
     vec_sql = vec
     terms = []
     for p, plane in enumerate(planes):
@@ -227,7 +234,7 @@ def lsh_ann_topk(
 
 
 def ivf_centroids(
-    corpus: DataFrame, cluster_col: str, vec_col: str = "embedding", dim: int = 64
+    corpus: DataFrame, cluster_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-cluster centroid via positional explode + FIXED-POINT mean
     (round(v·1e6) → exact BIGINT sums, the queries_embed module rule):
@@ -265,7 +272,6 @@ def build_ivf_index(
     cluster_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """The STORABLE IVF serving artifacts (the similarity twin of
     dedup.build_minhash_index): (clustered corpus, centroid table).
@@ -278,7 +284,7 @@ def build_ivf_index(
     by tests/test_northstar.py::test_ivf_index_roundtrip_and_pruning).
     Rebuild both artifacts together — centroids are meaningless against
     a different assignment."""
-    cents = ivf_centroids(corpus, cluster_col, vec_col, dim)
+    cents = ivf_centroids(corpus, cluster_col, vec_col)
     return corpus.select(id_col, vec_col, cluster_col), cents
 
 
@@ -290,7 +296,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
-    dim: int = 64,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank clusters by query-centroid cosine, probe the top
@@ -307,7 +312,7 @@ def ivf_topk(
     cents = (
         centroids.select("cluster", "centroid")
         if centroids is not None
-        else ivf_centroids(corpus, cluster_col, vec_col, dim)
+        else ivf_centroids(corpus, cluster_col, vec_col)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
@@ -381,6 +386,7 @@ def quantize_embeddings_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retain_vec: bool = False,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|v| / 127,
     q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] — the standard
@@ -396,7 +402,12 @@ def quantize_embeddings_int8(
     codes with scale 0. ``retain_vec=True`` also emits the double-cast
     source vector as ``v``, so a caller needing codes AND source (e.g.
     reconstruction-error reporting) stays a single scan instead of
-    self-joining the output back to the input (r10 review finding)."""
+    self-joining the output back to the input (r10 review finding).
+    ``passthrough`` carries extra source columns (e.g. a cluster id)
+    through the same projection — the same single-scan discipline for
+    callers that would otherwise join the codes back to the input on id
+    (r13 review finding: ivf_topk_int8 did exactly that, a corpus
+    id-self-join where a projection suffices)."""
     v = _to_double(F.col(vec_col))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     q = F.when(
@@ -406,6 +417,8 @@ def quantize_embeddings_int8(
     cols = [F.col(id_col), scale.alias("scale"), q.alias("q")]
     if retain_vec:
         cols.insert(1, v.alias("v"))
+    for c in passthrough or []:
+        cols.append(F.col(c))
     return df.select(*cols)
 
 
@@ -461,7 +474,6 @@ def ivf_topk_int8(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
-    dim: int = 64,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF serving with int8 candidate scoring — the production ANN
@@ -482,7 +494,7 @@ def ivf_topk_int8(
     cents = (
         centroids.select("cluster", "centroid")
         if centroids is not None
-        else ivf_centroids(corpus, cluster_col, vec_col, dim)
+        else ivf_centroids(corpus, cluster_col, vec_col)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
@@ -498,14 +510,19 @@ def ivf_topk_int8(
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "cluster")
     )
-    qz_c = quantize_embeddings_int8(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq")
+    # Codes and cluster id come out of ONE corpus projection — joining a
+    # separate cluster scan back on id would be a corpus id-self-join
+    # (full shuffle of the corpus twice for what a passthrough column
+    # gives for free; r13 review finding).
+    qz_c = quantize_embeddings_int8(
+        corpus, id_col, vec_col, passthrough=[cluster_col]
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col(cluster_col).alias("cluster"),
     )
     qz_q = quantize_embeddings_int8(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("q").alias("qq")
-    )
-    clusters = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(cluster_col).alias("cluster")
     )
 
     num = _idot(F.col("qq"), F.col("cq")).cast("double")
@@ -513,8 +530,7 @@ def ivf_topk_int8(
         _idot(F.col("cq"), F.col("cq")).cast("double")
     )
     scored = (
-        qz_c.join(clusters, on="neighbor_id")
-        .join(F.broadcast(probes), on="cluster")
+        qz_c.join(F.broadcast(probes), on="cluster")
         .join(F.broadcast(qz_q), on="query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
