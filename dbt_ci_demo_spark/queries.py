@@ -1595,19 +1595,36 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: ROUND-12 ROTATION (VERDICT r11 tasks 1+5 + the
-    #    SURVEY §7.7 age policy): the r12 registration
-    #    dedup_index_refresh_cycle — the stored minhash index's full
-    #    production loop (build index on parquet → admit batch 1 against
-    #    the read-back index → APPEND-REFRESH with batch 1's per-doc
-    #    artifacts → admit batch 2, whose batch-1-range matches witness
-    #    the refresh) as one oracle row (never-driver-checked, jumps the
-    #    head per policy; sf0.001/0.01-oracle-green before promotion) —
-    #    then SURVEY §7.7's computed r12 slate verbatim: the three r11
-    #    displacements (dedup_incremental_minhash, text_repetition,
-    #    sim_ivf_kmeans_trained), the r04-green remainder, and the
-    #    oldest r05 green (incr_cdc_versioned). dedup_cluster_star slips
-    #    to the r13 queue head to make room. --
+    # -- slots 31-50: ROUND-13 ROTATION (VERDICT r12 task 1 + the
+    #    SURVEY §7.7 age policy, executed verbatim — no r13
+    #    registration, so the computed slate stands as computed): the
+    #    r12 slip dedup_cluster_star at the head, then the r05-green
+    #    remainder (dedup_containment … q20_excess_suppliers), then the
+    #    oldest r06 green (text_gopher_rules). --
+    "dedup_cluster_star",
+    "dedup_containment",
+    "text_source_quality",
+    "pipe_curation_end_to_end",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_continuous_aggregate",
+    "events_json_struct",
+    "stream_dedup_watermark",
+    "stream_sliding_windows",
+    "samp_stratified_lang",
+    "text_redact_pii",
+    "text_tfidf_topterms",
+    "emb_label_affinity",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue_share",
+    "q16_unsold_parts",
+    "q20_excess_suppliers",
+    "text_gopher_rules",
+    # -- tail: driver-green in r01..r12 (rotated out of the window;
+    #    newest evidence first — the r12 window, then the r11/r10/r09
+    #    windows; the r14 queue head is the r06-green remainder,
+    #    oldest-check-first) --
     "dedup_index_refresh_cycle",
     "dedup_incremental_minhash",
     "text_repetition",
@@ -1628,10 +1645,6 @@ _PRIORITY: list[str] = [
     "samp_hash_fraction",
     "pipe_embedding_end_to_end",
     "incr_cdc_versioned",
-    # -- tail: driver-green in r01..r11 (rotated out of the window;
-    #    newest evidence first — the r11 window, then the r10/r09/r08
-    #    windows; the r13 queue head is dedup_cluster_star (the r12
-    #    slip), then the remaining r05+ greens oldest-check-first) --
     "wr_build_incremental_ci",
     "dedup_substring_splice",
     "emb_kmeans_converged",
@@ -1732,7 +1745,6 @@ _PRIORITY: list[str] = [
     "dedup_latest_per_user",
     "dedup_exact_survivors",
     "events_tumbling_hourly",
-    "text_gopher_rules",
     "samp_budget_allocation",
     "sim_ivf_quantized",
     "sim_topk_quantized",
@@ -1752,25 +1764,6 @@ _PRIORITY: list[str] = [
     "pipe_mixture_from_quality",
     "q2_min_cost_supplier",
     "q15_top_supplier",
-    "dedup_cluster_star",
-    "dedup_containment",
-    "text_source_quality",
-    "pipe_curation_end_to_end",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "events_continuous_aggregate",
-    "events_json_struct",
-    "stream_dedup_watermark",
-    "stream_sliding_windows",
-    "samp_stratified_lang",
-    "text_redact_pii",
-    "text_tfidf_topterms",
-    "emb_label_affinity",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q14_promo_revenue_share",
-    "q16_unsold_parts",
-    "q20_excess_suppliers",
 ]
 
 
