@@ -132,10 +132,12 @@ def content_digest(df: DataFrame, columns: list[str]) -> DataFrame:
     (``len:value`` per field — without the prefix the payload is
     ambiguous when a value contains the separator: ('a|b','c') and
     ('a','b|c') both rendered 'a|b|c', so a change shifting a '|'
-    across a field boundary was invisible, r10 review finding; NULLs
-    render as a sentinel so they are distinguishable from empty
-    strings), the first 8 hex chars as a 32-bit integer, summed in
-    decimal. Any row change, insert, or delete moves the digest; row
+    across a field boundary was invisible, r10 review finding; NULL
+    renders as the impossible length ``-1:`` — no real value has a
+    negative length, so NULL is unambiguous, unlike the previous
+    string sentinel which collided with a value literally equal to it,
+    r13 review finding), the first 8 hex chars as a 32-bit integer,
+    summed in decimal. Any row change, insert, or delete moves the digest; row
     ORDER and partitioning do not (sum is commutative) — which is what
     makes this the DATA analog of the checksum-based `state:modified`
     selection: pipelines diff digests across runs to detect silent
@@ -146,8 +148,10 @@ def content_digest(df: DataFrame, columns: list[str]) -> DataFrame:
     """
 
     def lp(c: str):
-        s = F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-        return F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("-1:")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
 
     payload = F.concat_ws("|", *[lp(c) for c in columns])
     h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")

@@ -131,3 +131,15 @@ def test_catalog_ignores_temp_views_and_digest_separator_shift(spark, tmp_path):
     h1 = md.content_digest(d1, ["x", "y"]).first()["content_digest_sum"]
     h2 = md.content_digest(d2, ["x", "y"]).first()["content_digest_sum"]
     assert h1 != h2
+    # r13 review finding: NULL renders as the impossible length "-1:" —
+    # the old string sentinel ("\x00null") collided with a value
+    # literally equal to it, giving two different tables one digest.
+    d3 = spark.createDataFrame([(None, "c")], "x string, y string")
+    d4 = spark.createDataFrame([("\x00null", "c")], "x string, y string")
+    h3 = md.content_digest(d3, ["x", "y"]).first()["content_digest_sum"]
+    h4 = md.content_digest(d4, ["x", "y"]).first()["content_digest_sum"]
+    assert h3 != h4
+    # ...and NULL stays distinguishable from the empty string
+    d5 = spark.createDataFrame([("", "c")], "x string, y string")
+    h5 = md.content_digest(d5, ["x", "y"]).first()["content_digest_sum"]
+    assert h3 != h5
