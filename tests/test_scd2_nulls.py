@@ -280,20 +280,13 @@ def test_check_strategy_stationary_updated_at_raises(spark):
             bad, hist, "k", "updated_at", strategy="check", check_cols=["v"]
         ).collect()
 
-    # well-formed: the same change WITH an advanced stamp versions cleanly
-    good = spark.createDataFrame(
-        [(1, "CHANGED", "2024-01-02 00:00:00")], "k int, v string, updated_at string"
-    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
-    out = snap.snapshot_cycle(
-        good, hist, "k", "updated_at", strategy="check", check_cols=["v"]
-    )
-    assert out.count() == 2
-    assert out.select("dbt_scd_id").distinct().count() == 2
-
-    # an UNCHANGED row with a stationary stamp stages nothing — no raise
+    # an UNCHANGED row with a stationary stamp stages nothing — no raise.
+    # (The well-formed path — advancing stamps versioning cleanly — is
+    # exercised by every snap_* oracle row each gate run; not repeated
+    # here to hold the fast-tier budget.)
     same = spark.createDataFrame(
         [(1, "x", "2024-01-01 00:00:00")], "k int, v string, updated_at string"
     ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
-    assert snap.snapshot_cycle(
+    assert len(snap.snapshot_cycle(
         same, hist, "k", "updated_at", strategy="check", check_cols=["v"]
-    ).count() == 1
+    ).collect()) == 1
