@@ -67,7 +67,16 @@ class Warehouse:
     def __init__(self, spark: SparkSession, database: str, location: str | None = None):
         self.spark = spark
         self.database = database
-        loc = f" LOCATION '{location}'" if location else ""
+        # Escape the location literal like persist_docs does (r13 review,
+        # same class as the r10 finding there): Spark SQL string literals
+        # are backslash-escaped as well as quote-escaped, so a Windows
+        # path or quoted directory name would otherwise corrupt or break
+        # the DDL.
+        loc = (
+            " LOCATION '" + location.replace("\\", "\\\\").replace("'", "''") + "'"
+            if location
+            else ""
+        )
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
 
     def qualified(self, name: str) -> str:
