@@ -76,6 +76,12 @@ def range_bucket(value: Column | str, start: int, end: int, interval: int) -> Co
     shortcut here needs the same guard — ADVICE r10).
     """
     col = F.col(value) if isinstance(value, str) else value
+    if interval <= 0:
+        # BigQuery's GENERATE_ARRAY raises on a non-positive step; fail
+        # with the config error instead of a bare ZeroDivisionError
+        # (interval=0) or silently-nonsense ordinals (negative) — r13
+        # review.
+        raise ValueError(f"range_bucket interval must be positive, got {interval}")
     if end < start:
         return F.when(col.isNotNull(), F.lit(0)).cast("bigint")
     n_edges = (end - start) // interval + 1

@@ -50,6 +50,15 @@ def test_range_bucket_matches_bigquery_model(spark, xs, start, interval):
         )
 
 
+def test_range_bucket_rejects_non_positive_interval():
+    """r13 review: BigQuery's GENERATE_ARRAY raises on a non-positive
+    step; interval=0 used to surface as a bare ZeroDivisionError and a
+    negative interval produced nonsense ordinals silently."""
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="interval must be positive"):
+            range_bucket("x", 0, 10, bad)
+
+
 @pytest.mark.slow  # ~27s hypothesis sweep incl. setup: round-close tier
 # (r11 fast-tier budget; the scd_hash path is also covered every round by
 # the snap_* oracle rows)
