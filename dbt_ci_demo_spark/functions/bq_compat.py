@@ -75,13 +75,14 @@ def range_bucket(value: Column | str, start: int, end: int, interval: int) -> Co
     propagates NULL through the ``otherwise`` arithmetic, so the literal-0
     shortcut here needs the same guard — ADVICE r10).
     """
-    col = F.col(value) if isinstance(value, str) else value
     if interval <= 0:
         # BigQuery's GENERATE_ARRAY raises on a non-positive step; fail
         # with the config error instead of a bare ZeroDivisionError
         # (interval=0) or silently-nonsense ordinals (negative) — r13
-        # review.
+        # review. Validated BEFORE any Column construction so the config
+        # error surfaces even without an active SparkContext.
         raise ValueError(f"range_bucket interval must be positive, got {interval}")
+    col = F.col(value) if isinstance(value, str) else value
     if end < start:
         return F.when(col.isNotNull(), F.lit(0)).cast("bigint")
     n_edges = (end - start) // interval + 1
