@@ -183,6 +183,14 @@ HEADLINE = [
     # against the refreshed index. Cost is dominated by the corpus index
     # build (the two admissions are batch-sized).
     "dedup_index_refresh_cycle",
+    # r14 registration: the crash-retry contract witness — append under a
+    # batch_id, reproduce the mid-promote crash state, retry; then
+    # overwrite-rebuild (scrubbing markers) and replay the same batch_id;
+    # both phases admit batch 2 against the read-back index. Cost is two
+    # half-corpus index builds plus four appends and two admissions —
+    # protocol metadata ops dominate over the refresh-cycle row's single
+    # full-corpus build.
+    "dedup_index_retry_replay",
 ]
 
 

@@ -428,8 +428,27 @@ def write_minhash_index(
     sizes rows would otherwise multiply pairs in jaccard_scores on the
     admission path). WITHOUT a ``batch_id`` a failed append cannot be
     retried exactly — rebuild with ``mode="overwrite"`` (which is itself
-    retry-idempotent: it replaces every artifact). The marker is O(1)
-    metadata; no corpus partition is ever read for the guard."""
+    retry-idempotent: it replaces every artifact, INCLUDING the append
+    protocol's byproducts — commit markers under ``_appends/`` and any
+    stale ``_staging-*`` debris are scrubbed before the rewrite, so a
+    batch_id used before a rebuild can be replayed against the rebuilt
+    index and is not silently swallowed by a stale marker; ADVICE r13).
+    The marker is O(1) metadata; no corpus partition is ever read for
+    the guard.
+
+    Concurrency contract: appends with DIFFERENT batch_ids may run
+    concurrently (disjoint staging dirs, disjoint name prefixes,
+    disjoint markers), but the protocol is not a snapshot-isolated
+    commit — a reader that lists the live dirs DURING a promote can see
+    a batch's artifacts partially (e.g. its bands but not yet its
+    sizes), which silently drops that batch's pairs from an admission
+    run. Readers must therefore gate on the batch's commit marker
+    (``_appends/<sha256(batch_id)[:16]>``) or serialize reads behind
+    the append — the standard single-writer, read-after-commit contract
+    for rename-promoted parquet artifacts. Two concurrent calls with
+    the SAME batch_id are not supported (a retry must wait for the
+    failed attempt to die); the rename-failure raise below turns the
+    worst outcome of that race into a loud error instead of lost rows."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
@@ -457,6 +476,30 @@ def write_minhash_index(
                     if st.getPath().getName().startswith(prefix):
                         fs.delete(st.getPath(), False)
         staging = os.path.join(base_path, f"_staging-{token}")
+        # Scrub this token's own staging debris from a crashed prior
+        # attempt before re-staging (the per-part parquet overwrite
+        # would clear the part dirs anyway; this also removes files a
+        # partial promote already renamed OUT of, and stray leftovers
+        # the part writes would never touch). ADVICE r13.
+        fs.delete(path_cls(staging), True)
+    else:
+        # overwrite == full rebuild: every prior artifact AND every
+        # append-protocol byproduct is invalid. Scrub commit markers
+        # (a replayed append with a previously-used batch_id must NOT
+        # no-op against the rebuilt index — ADVICE r13 medium) and all
+        # stale _staging-* debris (nameless failed appends leak them
+        # forever otherwise — ADVICE r13 low) BEFORE the rewrite:
+        # overwrite is retry-idempotent, so a crash after this scrub
+        # just means another overwrite, whereas scrubbing AFTER the
+        # writes would reopen the stale-marker window on a crash
+        # between the writes and the cleanup.
+        fs, path_cls = _index_fs(spark, base_path)
+        base = path_cls(base_path)
+        if fs.exists(base):
+            fs.delete(path_cls(os.path.join(base_path, "_appends")), True)
+            for st in fs.listStatus(base):
+                if st.getPath().getName().startswith("_staging-"):
+                    fs.delete(st.getPath(), True)
     # The three artifacts all derive from the shingle table, whose
     # tokenize+explode+distinct is the dominant stage — written naively,
     # each artifact's write re-derives it (3× the dominant cost per index
@@ -489,7 +532,19 @@ def write_minhash_index(
                 name = st.getPath().getName()
                 if name.startswith("_") or name.startswith("."):
                     continue  # _SUCCESS / hidden
-                fs.rename(st.getPath(), path_cls(dst_dir, prefix + name))
+                dst = path_cls(dst_dir, prefix + name)
+                # Hadoop rename reports failure by returning False, not
+                # raising — an unchecked False here would leave the file
+                # in staging, then commit the marker and delete staging,
+                # silently losing rows with the marker blocking any
+                # retry (ADVICE r13). Raise so the marker is never
+                # committed over a partial promote.
+                if not fs.rename(st.getPath(), dst):
+                    raise IOError(
+                        f"minhash index promote failed: rename {st.getPath()} -> "
+                        f"{dst} returned false; the commit marker was NOT "
+                        "written — retry with the same batch_id to repair"
+                    )
         if batch_id is not None:
             fs.mkdirs(path_cls(os.path.join(base_path, "_appends")))
             fs.create(marker, True).close()

@@ -1595,12 +1595,36 @@ _PRIORITY: list[str] = [
     "wr_defer",
     "wr_compile_schemas",
     "fx_scalar_idioms",
-    # -- slots 31-50: ROUND-13 ROTATION (VERDICT r12 task 1 + the
-    #    SURVEY §7.7 age policy, executed verbatim — no r13
-    #    registration, so the computed slate stands as computed): the
-    #    r12 slip dedup_cluster_star at the head, then the r05-green
-    #    remainder (dedup_containment … q20_excess_suppliers), then the
-    #    oldest r06 green (text_gopher_rules). --
+    # -- slots 31-50: ROUND-14 ROTATION (VERDICT r13 task 1 + the
+    #    SURVEY §7.7 age policy): the r14 registration
+    #    dedup_index_retry_replay jumps the head, then the computed r14
+    #    slate's first 19 names — the r06-green remainder head-to-tail
+    #    (samp_budget_allocation … q15_top_supplier);
+    #    stats_sketch_quantiles slips to the r15 queue head. --
+    "dedup_index_retry_replay",
+    "samp_budget_allocation",
+    "sim_ivf_quantized",
+    "sim_topk_quantized",
+    "emb_quantize_int8",
+    "text_sentence_chunks",
+    "meta_content_digest",
+    "text_ccnet_buckets",
+    "dq_volume_anomaly",
+    "graph_pagerank",
+    "wr_zorder_cluster",
+    "text_badwords_filter",
+    "text_url_domains",
+    "stream_cdc_versioned",
+    "incr_cdc_compact",
+    "samp_quality_weighted",
+    "pipe_decontaminate",
+    "pipe_mixture_from_quality",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    # -- tail: driver-green in r01..r13 (rotated out of the window;
+    #    newest evidence first — the r13 window, then the r12/r11/r10
+    #    windows; the r15 queue head is stats_sketch_quantiles, then
+    #    the r07-green remainder, oldest-check-first) --
     "dedup_cluster_star",
     "dedup_containment",
     "text_source_quality",
@@ -1621,10 +1645,6 @@ _PRIORITY: list[str] = [
     "q16_unsold_parts",
     "q20_excess_suppliers",
     "text_gopher_rules",
-    # -- tail: driver-green in r01..r12 (rotated out of the window;
-    #    newest evidence first — the r12 window, then the r11/r10/r09
-    #    windows; the r14 queue head is the r06-green remainder,
-    #    oldest-check-first) --
     "dedup_index_refresh_cycle",
     "dedup_incremental_minhash",
     "text_repetition",
@@ -1745,25 +1765,6 @@ _PRIORITY: list[str] = [
     "dedup_latest_per_user",
     "dedup_exact_survivors",
     "events_tumbling_hourly",
-    "samp_budget_allocation",
-    "sim_ivf_quantized",
-    "sim_topk_quantized",
-    "emb_quantize_int8",
-    "text_sentence_chunks",
-    "meta_content_digest",
-    "text_ccnet_buckets",
-    "dq_volume_anomaly",
-    "graph_pagerank",
-    "wr_zorder_cluster",
-    "text_badwords_filter",
-    "text_url_domains",
-    "stream_cdc_versioned",
-    "incr_cdc_compact",
-    "samp_quality_weighted",
-    "pipe_decontaminate",
-    "pipe_mixture_from_quality",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
 ]
 
 

@@ -16,6 +16,7 @@ engines.
 from __future__ import annotations
 
 import atexit
+import glob
 import hashlib
 import os
 import shutil
@@ -605,6 +606,142 @@ def dedup_index_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs1.select(F.lit(1).alias("admission"), "id_a", "id_b", "jaccard")
         .unionByName(pairs2.select(F.lit(2).alias("admission"), "id_a", "id_b", "jaccard"))
+    )
+
+
+def _retry_replay_oracle() -> str:
+    # Both phases must serve the identical admission — batch2 against the
+    # refreshed (corpus ∪ batch1) index — so the oracle is ONE scored CTE
+    # emitted twice under phase 1 (retry after a partial promote) and
+    # phase 2 (replayed batch_id after an overwrite rebuild). A surviving
+    # protocol defect breaks exactly one phase: a non-exact retry leaves
+    # duplicate per-doc rows that multiply pairs/shift jaccard in phase 1;
+    # a stale commit marker makes the replayed append a silent no-op, so
+    # phase 2 loses every pair with id_a in the batch-1 range.
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' near duplicate trailing marker' AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' near duplicate trailing marker' AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    {_minhash_band_ctes()},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < 2000000 AND r.doc_id >= 2000000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(coalesce(i.n_inter, 0)::DOUBLE /
+                   (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+    ),
+    kept AS (SELECT id_a, id_b, jaccard FROM scored
+             WHERE jaccard >= {_MINHASH_THRESHOLD})
+    SELECT 1 AS phase, id_a, id_b, jaccard FROM kept
+    UNION ALL
+    SELECT 2 AS phase, id_a, id_b, jaccard FROM kept
+    """
+
+
+@query("dedup_index_retry_replay", oracle=_retry_replay_oracle)
+def dedup_index_retry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible witness of the stored index's crash-retry contract
+    (r14; VERDICT r13 #4's named candidate — ADVICE r13 found two real
+    holes in this protocol, so the contract joins the permanent
+    correctness surface instead of living only in pytest simulations).
+
+    Phase 1 — retry-exactness: append batch 1 under a ``batch_id``, then
+    reproduce EXACTLY the on-disk state a crash between the promote
+    renames and the marker write leaves behind (commit marker absent,
+    one of the token's promoted files missing), retry the same append,
+    and admit batch 2 against the read-back index. A non-exact retry
+    (duplicate per-doc sizes/shingle rows) multiplies admission pairs or
+    shifts jaccard; a non-repairing retry loses candidates.
+
+    Phase 2 — rebuild-replay: overwrite-rebuild the corpus index (which
+    must scrub the append protocol's commit markers and staging debris —
+    the ADVICE r13 medium), replay the SAME ``batch_id``, and admit
+    batch 2 again. A stale marker would make the replay a silent no-op:
+    every phase-2 pair whose id_a is in the batch-1 range [1000000,
+    2000000) would vanish while the caller believes the batch committed.
+
+    Both phases must return the identical pair set — the oracle emits
+    one scored CTE twice. Corpus is the even-id half of ``documents``
+    (the witness needs protocol coverage, not corpus scale; batch 2's
+    seeds at doc_id % 50 are even, so every batch-2 doc near-duplicates
+    BOTH a corpus doc and a batch-1 doc)."""
+    par = spark.sparkContext.defaultParallelism
+    d = _docs_raw(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0).repartition(par)
+
+    def seeded(mod: int, offset: int) -> DataFrame:
+        return (
+            d.filter(F.col("doc_id") % mod == 0)
+            .select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" near duplicate trailing marker")
+                ).alias("text"),
+            )
+            .repartition(par)
+        )
+
+    batch1, batch2 = seeded(25, 1000000), seeded(50, 2000000)
+    base = _idx_path(sf_dir, nonce=uuid.uuid4().hex[:12])
+    kw = dict(k=_MINHASH_K, n_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+    token = hashlib.sha256(b"b1").hexdigest()[:16]
+
+    def admit(batch: DataFrame) -> DataFrame:
+        return dd.minhash_near_duplicates_against(
+            None, batch, "text", "doc_id",
+            corpus_index=dd.read_minhash_index(spark, base),
+            threshold=_MINHASH_THRESHOLD, **kw,
+        )
+
+    # phase 1: append, simulate the mid-promote crash state, retry, admit
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
+    dd.write_minhash_index(
+        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
+    )
+    os.remove(os.path.join(base, "_appends", token))
+    promoted = sorted(glob.glob(os.path.join(base, "bands", f"b-{token}-*.parquet")))
+    os.remove(promoted[0])
+    dd.write_minhash_index(
+        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
+    )
+    pairs_retry = admit(batch2)  # eagerly checkpointed by the operator
+
+    # phase 2: overwrite rebuild (must scrub markers), replay batch_id
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
+    dd.write_minhash_index(
+        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
+    )
+    pairs_replay = admit(batch2)
+
+    return (
+        pairs_retry.select(F.lit(1).alias("phase"), "id_a", "id_b", "jaccard")
+        .unionByName(
+            pairs_replay.select(F.lit(2).alias("phase"), "id_a", "id_b", "jaccard")
+        )
     )
 
 

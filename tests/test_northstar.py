@@ -466,6 +466,137 @@ def test_minhash_index_append_idempotent_and_retry_exact(spark, sf_dir, tmp_path
     assert not _glob.glob(os.path.join(base, "_staging-*"))
 
 
+@pytest.mark.slow  # ~10s: three index writes; ADVICE r13 failure modes
+def test_minhash_index_overwrite_scrubs_markers_and_staging(spark, sf_dir, tmp_path):
+    """ADVICE r13 (medium + low): ``mode="overwrite"`` is a FULL rebuild,
+    so it must scrub the append protocol's byproducts too — commit
+    markers under ``_appends/`` (else a replayed append with a
+    previously-used batch_id silently no-ops and the rebuilt index
+    misses the batch while the caller believes it committed) and stale
+    ``_staging-*`` debris from nameless failed appends (which nothing
+    else ever cleans)."""
+    import glob as _glob
+
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(120)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    base = str(tmp_path / "idx")
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite")
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+    # stale debris from a hypothetical nameless failed append
+    debris = os.path.join(base, "_staging-deadbeefdeadbeef")
+    os.makedirs(os.path.join(debris, "bands"))
+    with open(os.path.join(debris, "bands", "part-orphan.parquet"), "w") as f:
+        f.write("junk")
+
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite")
+    assert not os.path.exists(os.path.join(base, "_appends"))
+    assert not _glob.glob(os.path.join(base, "_staging-*"))
+
+    # sizes has one row per SHINGLE-ELIGIBLE doc (docs with < k tokens
+    # produce no shingles and no sizes row)
+    def eligible(d) -> int:
+        return dd.word_shingles(d, "text", "doc_id").select("doc_id").distinct().count()
+
+    corpus_docs = eligible(corpus)
+    _, _, sizes = dd.read_minhash_index(spark, base)
+    assert sizes.count() == corpus_docs  # rebuilt index is corpus-only
+
+    # the replayed batch_id must actually append against the rebuilt index
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+    _, _, sizes = dd.read_minhash_index(spark, base)
+    assert sizes.count() == corpus_docs + eligible(batch)
+
+
+@pytest.mark.slow  # ~10s: failed-promote raise + retry; ADVICE r13 low
+def test_minhash_index_promote_rename_failure_raises_and_retries(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r13 (low): Hadoop ``rename`` reports failure by returning
+    False — the promote loop must RAISE on it so the commit marker is
+    never written over a partial promote (silently losing rows with the
+    marker blocking any retry). A retry with the same batch_id after the
+    failed attempt must scrub the leftover staging dir and leave the
+    index row-identical to a single clean append."""
+    import glob as _glob
+
+    from dbt_ci_demo_spark.queries_northstar import _docs_dup
+
+    docs = _docs_dup(spark, sf_dir).limit(120)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    base = str(tmp_path / "idx")
+    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite")
+
+    real_index_fs = dd._index_fs
+
+    class _RenameFails:
+        """Delegates to the real Hadoop FS but fails every rename the way
+        Hadoop does — by returning False, not raising."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def rename(self, src, dst):
+            return False
+
+    def broken_index_fs(s, p):
+        fs, path_cls = real_index_fs(s, p)
+        return _RenameFails(fs), path_cls
+
+    monkeypatch.setattr(dd, "_index_fs", broken_index_fs)
+    with pytest.raises(IOError, match="promote failed"):
+        dd.write_minhash_index(
+            batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+        )
+    monkeypatch.undo()
+
+    # marker never committed; the staging dir is the expected leftover
+    assert not os.path.exists(
+        os.path.join(base, "_appends", _hashlib_sha16("day-1"))
+    )
+    assert _glob.glob(os.path.join(base, "_staging-*"))
+
+    # retry with the same batch_id: scrubs its staging debris, promotes,
+    # commits — row-identical to a clean single append on a fresh base
+    dd.write_minhash_index(
+        batch, "text", "doc_id", base, mode="append", batch_id="day-1"
+    )
+    assert not _glob.glob(os.path.join(base, "_staging-*"))
+    assert os.path.exists(os.path.join(base, "_appends", _hashlib_sha16("day-1")))
+
+    clean_base = str(tmp_path / "idx_clean")
+    dd.write_minhash_index(corpus, "text", "doc_id", clean_base, mode="overwrite")
+    dd.write_minhash_index(
+        batch, "text", "doc_id", clean_base, mode="append", batch_id="day-1"
+    )
+
+    def rows(b: str) -> tuple:
+        sh, bd, sizes = dd.read_minhash_index(spark, b)
+        return (
+            sorted(tuple(r) for r in sh.collect()),
+            sorted(tuple(r) for r in bd.collect()),
+            sorted(tuple(r) for r in sizes.collect()),
+        )
+
+    assert rows(base) == rows(clean_base)
+
+
+def _hashlib_sha16(batch_id: str) -> str:
+    import hashlib as _hashlib
+
+    return _hashlib.sha256(batch_id.encode("utf-8")).hexdigest()[:16]
+
+
 def test_admission_jaccard_plan_uses_index_sizes(spark, sf_dir, tmp_path):
     """VERDICT r04 task 2: on the index admission path the Jaccard
     verifier must (a) semi-join the corpus shingle index down to
