@@ -1306,19 +1306,38 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = base.select(
         "vec_id", "v", _kmeans_assign(seed_items).alias("cluster_id")
     )
+    # Per-pair cosine evaluates THREE 64-element folds (dot + both norms);
+    # the norms depend only on the row, so they are precomputed once per
+    # SIDE and the pair stage pays one fold (r14, guide §1.2 per-task
+    # work: the Σ|c|² pair stage is this row's dominant cost). Float math
+    # is bit-identical to sim.cosine — same den = norm_a·norm_b guard,
+    # same fold order, same division — so every oracle value is unchanged.
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     left = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm.alias("na"),
     )
     right = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm.alias("nb"),
     )
+    den = F.col("na") * F.col("nb")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pair_cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
     dropped = (
         left.join(right, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
-            >= F.lit(_SEM_THRESHOLD)
-        )
+        .filter(F.round(pair_cos, 6) >= F.lit(_SEM_THRESHOLD))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

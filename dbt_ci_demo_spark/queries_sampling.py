@@ -546,29 +546,50 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Scale shape: two corpus-sized passes (the quality
     aggregate feeding counts, the rank window on lang), both
     AQE-managed hash exchanges; everything else is k-row."""
+    from dbt_ci_demo_spark.operators.sampling import _pin_corpus
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        tx.quality_metrics(F.col("text"))["quality_score"].alias("quality_score"),
+    # Pin the SLIM scored projection (doc_id, lang, quality_score — no
+    # text): the chain references ``kept`` from several subtrees (the
+    # apportionment counts, the quota join's embedded quota subtree, the
+    # rank window), and un-pinned each one re-derives the full regex
+    # quality scan — measured 4.15 s vs 0.80 s for ONE scoring pass at
+    # sf0.1; pinned the row reads 1.30 s (r14, guide §5: cache only what
+    # is reused and expensive to recompute). At 100 TB the pin is a
+    # 3-column table against N extra corpus-text regex passes — the
+    # text_ccnet_buckets precedent, with the same owned lifetime: eager
+    # checkpoint, then release the pin.
+    scored = _pin_corpus(
+        d.select(
+            "doc_id",
+            "lang",
+            tx.quality_metrics(F.col("text"))["quality_score"].alias("quality_score"),
+        )
     )
-    kept = scored.filter(F.col("quality_score") >= 0.5)
-    quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
-        F.col("stratum").alias("lang"), "quota"
-    )
-    out = sp.stratified_sample_by_quota(
-        kept,
-        ["lang"],
-        "doc_id",
-        quotas,
-        seed="bcur",
-        # Skew guard (r07): every largest-remainder quota is <= the total
-        # budget, so the budget is the plan-time literal that lets Spark
-        # plan a map-side WindowGroupLimit — without it the whole
-        # surviving majority-language stratum sorts in ONE reduce task.
-        max_quota=_CURATION_BUDGET,
-    )
-    return out.select("doc_id", "lang", "quality_score", "quota")
+    try:
+        kept = scored.filter(F.col("quality_score") >= 0.5)
+        quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
+            F.col("stratum").alias("lang"), "quota"
+        )
+        out = sp.stratified_sample_by_quota(
+            kept,
+            ["lang"],
+            "doc_id",
+            quotas,
+            seed="bcur",
+            # Skew guard (r07): every largest-remainder quota is <= the total
+            # budget, so the budget is the plan-time literal that lets Spark
+            # plan a map-side WindowGroupLimit — without it the whole
+            # surviving majority-language stratum sorts in ONE reduce task.
+            max_quota=_CURATION_BUDGET,
+        )
+        return out.select("doc_id", "lang", "quality_score", "quota").checkpoint(
+            eager=True
+        )
+    finally:
+        scored.unpersist()
 
 
 _QTH_BUDGET = 137  # odd on purpose: exercises largest-remainder leftovers
