@@ -192,14 +192,15 @@ def banded_buckets(
     ).select(id_col, "b.band_id", "b.band_hash")
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 32, bands: int = 8,
-    hash_fn: str = "md5",
-) -> DataFrame:
-    """LSH banding: document pairs sharing any (band_id, band_hash)
-    bucket. The self-join shuffles on the band hash — bucket sizes are
-    the scale knob, not corpus size²."""
-    banded = banded_buckets(signatures, id_col, n_hashes, bands, hash_fn)
+def lsh_pairs_from_buckets(banded: DataFrame, id_col: str) -> DataFrame:
+    """The band-bucket self-join of :func:`lsh_candidate_pairs`, factored
+    over an already-built (id, band_id, band_hash) table so callers that
+    hold the band table (a pin, or the stored index artifact) pay the
+    signature aggregation ONCE: the self-join references its input from
+    both sides, and the two subtrees do not share execution (one side
+    plans as a BroadcastExchange — there is no exchange to reuse), so an
+    un-pinned input re-runs the whole shingle→signature→band derivation
+    per side (r14; guide §2.4 duplicated-subtree class)."""
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -214,6 +215,17 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 32, bands: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH banding: document pairs sharing any (band_id, band_hash)
+    bucket. The self-join shuffles on the band hash — bucket sizes are
+    the scale knob, not corpus size²."""
+    banded = banded_buckets(signatures, id_col, n_hashes, bands, hash_fn)
+    return lsh_pairs_from_buckets(banded, id_col)
 
 
 def jaccard_scores(
@@ -330,13 +342,27 @@ def minhash_near_duplicates(
     # cost. cand is output-proportional, never corpus-sized; unpersisted
     # in the finally, so nothing outlives the call.
     cand = None
+    banded = None
     try:
         sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
-        cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands, hash_fn).persist()
+        # Pin the slim band table (≈bands rows per doc of (id, band_id,
+        # band_hash)) before the bucket self-join: the join references it
+        # from BOTH sides and the subtrees share no execution (one side is
+        # a BroadcastExchange — nothing to reuse), so un-pinned the
+        # 32-min signature aggregate over the corpus-scale shingle cache
+        # runs TWICE per candidate materialization (r14; fresh-JVM probes
+        # read −13% on dedup_minhash_lsh, −7% on the xxhash64 row —
+        # latency-hidden locally, but at corpus scale the avoided second
+        # signature pass over the dominant intermediate is real cluster
+        # cost). Same bounded lifetime as cand.
+        banded = banded_buckets(sig, id_col, n_hashes, bands, hash_fn).persist()
+        cand = lsh_pairs_from_buckets(banded, id_col).persist()
         out = jaccard_scores(sh, id_col, cand).filter(F.col("jaccard") >= threshold)
         return out.checkpoint(eager=True)
     finally:
         sh.unpersist()
+        if banded is not None:
+            banded.unpersist()
         if cand is not None:
             cand.unpersist()
 

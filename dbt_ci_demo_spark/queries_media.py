@@ -18,6 +18,7 @@ Streaming operators a full DuckDB oracle instead of a rows-only check.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -191,9 +192,25 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _sink_seq = itertools.count()
 
 
-def _run_stream(spark: SparkSession, df: DataFrame, base: str, mode: str) -> DataFrame:
+def _events_feed(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _run_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    mode: str,
+    feed: str | None = None,
+) -> DataFrame:
     name = f"{base}_{next(_sink_seq)}"
-    return es.run_to_memory(spark, df, name, output_mode=mode)
+    # Size the state-store partition count from the feed volume when the
+    # caller names its feed (es.adaptive_state_partitions: every stateful
+    # operator pays one store load + delta + commit per shuffle partition
+    # per micro-batch, so stores are sized to state volume, capped at the
+    # session's parallelism — values are partition-count-independent).
+    sp = es.adaptive_state_partitions(spark, feed) if feed else None
+    return es.run_to_memory(spark, df, name, output_mode=mode, state_partitions=sp)
 
 
 @query(
@@ -212,7 +229,10 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow) in complete mode — value-identical to the batch window
     aggregation, so the streaming operator gets a full oracle."""
     stream = es.read_events_stream(spark, sf_dir)
-    return _run_stream(spark, es.tumbling_counts(stream), "q_stream_tumbling", "complete")
+    return _run_stream(
+        spark, es.tumbling_counts(stream), "q_stream_tumbling", "complete",
+        feed=_events_feed(sf_dir),
+    )
 
 
 @query(
@@ -230,7 +250,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the stateful path end-to-end (exact decimal-quantized
     accumulation keeps doubles engine-identical)."""
     stream = es.read_events_stream(spark, sf_dir)
-    return _run_stream(spark, es.stateful_user_totals(stream), "q_stream_stateful", "update")
+    return _run_stream(
+        spark, es.stateful_user_totals(stream), "q_stream_stateful", "update",
+        feed=_events_feed(sf_dir),
+    )
 
 
 @query(
@@ -264,7 +287,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 30 min (end-exclusive window merge), and session_end is
     last-event + gap — the oracle mirrors both exactly with lag/cumsum."""
     stream = es.read_events_stream(spark, sf_dir)
-    return _run_stream(spark, es.session_windows(stream), "q_stream_session", "complete")
+    return _run_stream(
+        spark, es.session_windows(stream), "q_stream_session", "complete",
+        feed=_events_feed(sf_dir),
+    )
 
 
 @query(
@@ -284,7 +310,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, which must equal the batch count(DISTINCT user_id)."""
     stream = es.read_events_stream(spark, sf_dir)
     dedup = es.dedup_stream(stream, keys=["user_id", "event_type"])
-    survivors = _run_stream(spark, dedup, "q_stream_dedup", "append")
+    survivors = _run_stream(
+        spark, dedup, "q_stream_dedup", "append", feed=_events_feed(sf_dir)
+    )
     return survivors.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_first_events")
     )
@@ -393,7 +421,10 @@ def _late_accounting_from_feed(
     )
     agg = es.tumbling_counts(stream)  # 1h windows, 2h watermark
     name = f"q_stream_late_{next(_sink_seq)}"
-    updates, q = es.run_to_memory(spark, agg, name, "update", return_query=True)
+    updates, q = es.run_to_memory(
+        spark, agg, name, "update", return_query=True,
+        state_partitions=es.adaptive_state_partitions(spark, feed),
+    )
     # final count per window key = max of its running updates
     final = updates.groupBy("window_start", "window_end", "event_type").agg(
         F.max("n_events").alias("n_events")
@@ -510,7 +541,8 @@ def _session_accounting_from_feed(
     )
     name = f"q_stream_sess_late_{next(_sink_seq)}"
     emitted, q = es.run_to_memory(
-        spark, es.session_windows(stream), name, "append", return_query=True
+        spark, es.session_windows(stream), name, "append", return_query=True,
+        state_partitions=es.adaptive_state_partitions(spark, feed),
     )
     n_late = late.count()
     metric = es.watermark_dropped_rows(q)
@@ -557,6 +589,7 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.tumbling_counts(stream, window="2 hours", slide="1 hour"),
         "q_stream_sliding",
         "complete",
+        feed=_events_feed(sf_dir),
     )
 
 
@@ -653,7 +686,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_stream_interval_join). The batch twin is an interval
     self-join, so the streaming operator gets a full value oracle."""
     joined = es.stream_stream_interval_join(spark, sf_dir)
-    return _run_stream(spark, joined, "q_stream_ivjoin", "append")
+    return _run_stream(
+        spark, joined, "q_stream_ivjoin", "append", feed=_events_feed(sf_dir)
+    )
 
 
 @query(

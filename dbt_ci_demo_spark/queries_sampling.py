@@ -551,16 +551,20 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_checkpoint_dir(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # Pin the SLIM scored projection (doc_id, lang, quality_score — no
-    # text): the chain references ``kept`` from several subtrees (the
-    # apportionment counts, the quota join's embedded quota subtree, the
-    # rank window), and un-pinned each one re-derives the full regex
+    # Materialize the SLIM scored projection (doc_id, lang, quality_score
+    # — no text) ONCE: the chain references ``kept`` from several subtrees
+    # (the apportionment counts, the quota join's embedded quota subtree,
+    # the rank window), and un-pinned each one re-derives the full regex
     # quality scan — measured 4.15 s vs 0.80 s for ONE scoring pass at
-    # sf0.1; pinned the row reads 1.30 s (r14, guide §5: cache only what
-    # is reused and expensive to recompute). At 100 TB the pin is a
-    # 3-column table against N extra corpus-text regex passes — the
-    # text_ccnet_buckets precedent, with the same owned lifetime: eager
-    # checkpoint, then release the pin.
+    # sf0.1; materialized the row reads ~1.9 s (r14, guide §5: cache only
+    # what is reused and expensive to recompute). At 100 TB this trades a
+    # 3-column table write against N extra corpus-text regex passes — the
+    # text_ccnet_buckets precedent, with the same owned lifetime: pin,
+    # eager checkpoint (the pin keeps the checkpoint's write job from
+    # recomputing the scan), release the pin. The checkpoint sits on the
+    # INTERMEDIATE, not the returned result, so the downstream plan —
+    # broadcast quota join, map-side WindowGroupLimit rank cap — stays
+    # inspectable and lazily composed (plan-pinned in tests/test_plans.py).
     scored = _pin_corpus(
         d.select(
             "doc_id",
@@ -569,27 +573,26 @@ def pipe_budgeted_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     try:
-        kept = scored.filter(F.col("quality_score") >= 0.5)
-        quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
-            F.col("stratum").alias("lang"), "quota"
-        )
-        out = sp.stratified_sample_by_quota(
-            kept,
-            ["lang"],
-            "doc_id",
-            quotas,
-            seed="bcur",
-            # Skew guard (r07): every largest-remainder quota is <= the total
-            # budget, so the budget is the plan-time literal that lets Spark
-            # plan a map-side WindowGroupLimit — without it the whole
-            # surviving majority-language stratum sorts in ONE reduce task.
-            max_quota=_CURATION_BUDGET,
-        )
-        return out.select("doc_id", "lang", "quality_score", "quota").checkpoint(
-            eager=True
-        )
+        scored_ck = scored.checkpoint(eager=True)
     finally:
         scored.unpersist()
+    kept = scored_ck.filter(F.col("quality_score") >= 0.5)
+    quotas = sp.allocate_budget(kept, "lang", _CURATION_BUDGET).select(
+        F.col("stratum").alias("lang"), "quota"
+    )
+    out = sp.stratified_sample_by_quota(
+        kept,
+        ["lang"],
+        "doc_id",
+        quotas,
+        seed="bcur",
+        # Skew guard (r07): every largest-remainder quota is <= the total
+        # budget, so the budget is the plan-time literal that lets Spark
+        # plan a map-side WindowGroupLimit — without it the whole
+        # surviving majority-language stratum sorts in ONE reduce task.
+        max_quota=_CURATION_BUDGET,
+    )
+    return out.select("doc_id", "lang", "quality_score", "quota")
 
 
 _QTH_BUDGET = 137  # odd on purpose: exercises largest-remainder leftovers
