@@ -234,14 +234,28 @@ def pack_token_windows(
     shard = hash_bucket(key, seed, shards)
     staged = df.select(
         key.alias(key_col), toks.alias("n_tokens"), shard.alias("shard")
-    ).filter(F.col("n_tokens") > 0)
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(key_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    out = staged.withColumn("start_offset", start)
+    # The zero-token exclusion runs AFTER the cumsum window, not before
+    # (r14, guide §4.4's duplicated-expression class): a pre-window
+    # filter on the projected tokens column gets its expression
+    # SUBSTITUTED by predicate pushdown, so a caller whose tokens_col is
+    # derived (the registered query's regex token_count over full text)
+    # pays the derivation twice per document. Above the window the
+    # column is post-shuffle and non-substitutable, and the filter
+    # cannot push through (it is not on the partition key). Results are
+    # identical for every input: greatest(n, 0) makes excluded rows
+    # (zero, negative, or null token counts) contribute exactly nothing
+    # to the running offset — precisely what excluding them pre-window
+    # did — and the post-window filter drops the same rows.
+    start = F.coalesce(
+        F.sum(F.greatest(F.col("n_tokens"), F.lit(0).cast("long"))).over(w), F.lit(0)
+    ).cast("long")
+    out = staged.withColumn("start_offset", start).filter(F.col("n_tokens") > 0)
     # Integral `div`, not double-divide-then-floor: a shard's running
     # token offset is a long, and double division floors WRONG past 2^53
     # (the range_bucket r10 defect class — ~36 PB of text per shard is

@@ -463,10 +463,18 @@ def sentence_chunks(
     sents = F.filter(
         F.split(F.col(text_col), r"[.!?]+\s+"), lambda s: s != ""
     )
-    staged = df.select(F.col(id_col), sents.alias("__s")).filter(F.size("__s") > 0)
+    # No staged `size(__s) > 0` filter (r14, guide §4.4's duplicated-
+    # expression class): predicate pushdown SUBSTITUTES the whole
+    # split+filter expression into the pushed filter, so every document
+    # paid the sentence split twice. The CASE-WHEN guard below is lazily
+    # evaluated, so sequence() never sees an empty/null bound (it throws
+    # on start > stop); transform(NULL) is NULL and explode(NULL) emits
+    # no rows — 0-sentence and null-text documents are dropped exactly
+    # as the filter dropped them, with the split evaluated once.
+    staged = df.select(F.col(id_col), sents.alias("__s"))
     n = F.size("__s")
     # chunk starts: 1, 1+stride, ... while start <= n
-    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride)))
     chunks = F.transform(
         starts,
         lambda st, i: F.struct(

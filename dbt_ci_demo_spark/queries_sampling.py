@@ -253,20 +253,45 @@ def pipe_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-safe hash split. Every stage is the same operator the
     individual queries check; the oracle replays the whole composition, so
     stage *interactions* (filter-before-dedup, dedup-before-cap) are
-    value-checked too. Plan shape: ONE scan (quality score and fingerprint
-    are inline expressions — no self-join to attach scores) and two
-    key-partitioned window shuffles (min-per-fingerprint, per-stratum
-    rank) — nothing quadratic, nothing driver-side."""
+    value-checked too. Plan shape: ONE corpus text pass (quality score
+    and fingerprint are inline expressions computed together — no
+    self-join to attach scores) materialized as a slim 4-column table,
+    then two key-partitioned window shuffles (min-per-fingerprint,
+    per-stratum rank) — nothing quadratic, nothing driver-side.
+
+    The scored projection is pinned and eager-checkpointed before the
+    quality filter (r14, guide §4.4's duplicated-expensive-expression
+    class with built-ins): composed lazily, the optimizer pushes the
+    ``quality_score >= 0.5`` filter below the projection by SUBSTITUTING
+    the scoring expression, so the ~20-regex battery runs once in the
+    pushed filter over every document and AGAIN in the projection for
+    every survivor — and the pushed filter also lands BELOW the
+    spread-the-regex-work repartition, defeating it. The checkpoint is a
+    hard barrier: one battery pass at full parallelism, and the
+    downstream filter reads a materialized double. Same lifetime
+    discipline as pipe_budgeted_curation (pin → eager checkpoint →
+    release)."""
     from pyspark.sql import Window
 
+    from dbt_ci_demo_spark.operators.sampling import _pin_corpus
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     par = spark.sparkContext.defaultParallelism
-    d = d.repartition(par)
-    kept = (
-        d.withColumn("quality_score", tx.quality_metrics(F.col("text"))["quality_score"])
-        .filter(F.col("quality_score") >= 0.5)
-        .withColumn("fp", F.md5(tx.normalized_text(F.col("text"))))
+    scored = _pin_corpus(
+        d.repartition(par).select(
+            "doc_id",
+            "lang",
+            tx.quality_metrics(F.col("text"))["quality_score"].alias("quality_score"),
+            F.md5(tx.normalized_text(F.col("text"))).alias("fp"),
+        )
     )
+    try:
+        scored_ck = scored.checkpoint(eager=True)
+    finally:
+        scored.unpersist()
+    kept = scored_ck.filter(F.col("quality_score") >= 0.5)
     # dedup = first row per fingerprint, as ONE window shuffle (equivalent
     # to min-id group + semi-join back, without the join).
     w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
@@ -391,13 +416,34 @@ def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. The score ladder {{0, .25, .5, .75, 1}} comes from the
     same quality_metrics whose cross-engine parity text_stats already
     pins, so the oracle checks every keep/drop decision bit-for-bit.
-    Scan-only: score + hash + compare all run inside the scan's codegen
-    stage; sampling 100 TB this way is one pass, zero shuffles."""
+
+    The scored slim projection is pinned + eager-checkpointed before the
+    sampler's filter (r14; the pipe_curation_end_to_end fix, same
+    duplicated-expression class): lazily composed, the optimizer pushes
+    the sampler's ``hash < floor(score·B)`` predicate below the scoring
+    projection by SUBSTITUTING the expression, so the ~20-regex battery
+    runs twice per document in one scan stage — measured 2.11 s for the
+    row vs ~0.8-1.2 s for one battery pass at sf0.1. Post-fix the
+    battery runs once per document; the sampler filters a materialized
+    3-column table. At 100 TB the trade is one slim (id, lang, double)
+    materialization against a second full-text regex pass."""
+    from dbt_ci_demo_spark.operators.sampling import _pin_corpus
+    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    scored = d.withColumn(
-        "quality_score", tx.quality_metrics(F.col("text"))["quality_score"]
+    scored = _pin_corpus(
+        d.select(
+            "doc_id",
+            "lang",
+            tx.quality_metrics(F.col("text"))["quality_score"].alias("quality_score"),
+        )
     )
-    out = sp.score_weighted_sample(scored, "doc_id", "quality_score", seed="qw")
+    try:
+        scored_ck = scored.checkpoint(eager=True)
+    finally:
+        scored.unpersist()
+    out = sp.score_weighted_sample(scored_ck, "doc_id", "quality_score", seed="qw")
     return out.select("doc_id", "lang", "quality_score")
 
 
