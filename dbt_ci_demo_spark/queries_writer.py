@@ -1154,7 +1154,12 @@ def wr_build_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mart's CONTENTS (seq 8+: per-segment order counts INCLUDING the +1
     marker in the marker segment — the value proof that the mart read
     prod's materialized staging through the deferral seam).
-    threads=1 — waves are name-sorted, so the step order is exact."""
+    threads=1 — waves are name-sorted, so the step order is exact.
+    (threads=2 was probed in r14 — step order is thread-count-invariant
+    since the runner records steps post-wave in name-sorted order — but
+    concurrent wave-1 saveAsTable calls measured 3× SLOWER (3.0 → 8.5 s
+    min5): the in-memory catalog serializes DDL and the contended
+    commits dwarf the overlapped write time at this table size.)"""
     from dbt_ci_demo_spark.operators.quality import test_accepted_values
 
     prefix = "wq_slim_ci"
@@ -1185,8 +1190,13 @@ def wr_build_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker_seg = (
         customer.filter(F.col("c_custkey") == min_ck).select("c_mktsegment").first()[0]
     )
+    # one marker row: parallelize to ONE partition so the append is one
+    # task and one parquet file, not 32 near-empty tasks whose file
+    # debris every downstream read of stg_orders_ci then rescans
+    # (guide §6: small-files; same fix as the result DF below).
     spark.createDataFrame(
-        [(-1, int(min_ck))], "o_orderkey bigint, o_custkey bigint"
+        spark.sparkContext.parallelize([(-1, int(min_ck))], 1),
+        "o_orderkey bigint, o_custkey bigint",
     ).write.mode("append").saveAsTable(f"{prod_env.database()}.stg_orders_ci")
 
     # -- phase 3: PR build, state:modified+ with deferral ------------------
@@ -1240,6 +1250,15 @@ def wr_build_incremental_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = len(rows)
     for i, (seg, n) in enumerate(mart_rows):
         rows.append((base + i + 1, seg, "mart_row", "data", n))
+    # ~15 result rows: bare createDataFrame(list) parallelizes over
+    # defaultParallelism (32) partitions, so every downstream action
+    # schedules 32 near-empty tasks each paying its own Python-worker
+    # round-trip (profiled: a 0.49 s 32-task stage for the noop sink
+    # alone; a post-hoc coalesce(1) is WORSE — one task then evaluates
+    # all 32 python-RDD parents serially, ~6 s). Parallelize the list
+    # into ONE partition up front: one task, one worker round-trip
+    # (guide §6: output partitioning sized to the data).
     return spark.createDataFrame(
-        rows, "seq int, node string, resource_type string, status string, n_rows bigint"
+        spark.sparkContext.parallelize(rows, 1),
+        "seq int, node string, resource_type string, status string, n_rows bigint",
     )
