@@ -492,6 +492,16 @@ def _kmeans_assign(seed_items: list[tuple[int, list[int]]]):
     return _kmeans_assign_matrix_expr(seed_items)
 
 
+def _round_half_up(x: float) -> int:
+    """JVM-HALF_UP-exact integer rounding of a double (see the bit-parity
+    argument at the call site in :func:`_kmeans_loop`)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def _collect_seed_items(seeds_df) -> list[tuple[int, list[int]]]:
     """Collect a (cluster_id, sq-array) seed table to driver model state:
     the sanctioned bounded read of the Lloyd loop (k rows of d ints)."""
@@ -516,14 +526,15 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
     (sorted (cluster_id, sq) tuples), and base the quantized corpus
     (vec_id, q).
 
-    Per-round state discipline (r04): the ONLY corpus-sized pinned table
-    is ``base`` (checkpointed once — iterative reuse without re-scanning
-    lineage). Each round pins just the k×d ``cent`` table: the
-    assignment is a transient stage inside the centroid-update job, NOT
-    a per-round checkpoint — through r03 every round localCheckpointed a
-    corpus-sized assignment table that Spark cannot release (unpersist
-    on a local checkpoint is a guarded no-op), so a 20-round run held 20
-    corpus-sized tables in executor storage.
+    Per-round state discipline (r04, tightened r14): the ONLY
+    corpus-sized pinned table is ``base`` (checkpointed once — iterative
+    reuse without re-scanning lineage). The assignment is a transient
+    stage inside the centroid-update job — through r03 every round
+    localCheckpointed a corpus-sized assignment table that Spark cannot
+    release (unpersist on a local checkpoint is a guarded no-op), so a
+    20-round run held 20 corpus-sized tables in executor storage. Since
+    r14 the k×d ``cent`` rows are collected per round (bounded model
+    state, like the seeds) and nothing per-round is pinned at all.
 
     Round shape (r06): the quantizer lives on the DRIVER as bounded
     model state (k×d integers — the MLlib k-means design) and each round
@@ -548,13 +559,13 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
         )
     )
 
-    cent = None
+    cent_rows, cent_schema = None, None
     for _ in range(_KM_ITERS):
         # Two selects (cluster projection, then posexplode): mixing the
         # struct-field access with a generator in ONE select trips
         # Catalyst's Generate rewrite (field names degrade to col1/col2
         # before resolution); the projections collapse into one stage.
-        cent = (
+        cent_plan = (
             base.select(
                 _kmeans_assign(seed_items).alias("cluster_id"), "q"
             )
@@ -562,32 +573,48 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
             .select("cluster_id", F.col("dim").cast("bigint").alias("dim"), "fx")
             .groupBy("cluster_id", "dim")
             .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
         )
-        # Re-quantization stays a Spark expression (F.round HALF_UP) so the
-        # seed values remain bit-identical to the unrolled oracle CTEs —
-        # only the k finished rows are read back, never recomputed.
-        new_items = _collect_seed_items(
-            cent.groupBy("cluster_id").agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("dim"),
-                                F.round(F.col("s").cast("double") / F.col("n"))
-                                .cast("long")
-                                .alias("fx"),
-                            )
-                        )
-                    ),
-                    lambda st: st["fx"],
-                ).alias("sq")
+        # cent is k×d rows — the same bounded model state as the seed
+        # table. Collect it ONCE per round and re-quantize on the driver
+        # (r14): the prior shape ran one eager localCheckpoint job plus
+        # a second aggregate-and-collect job per round, each paying its
+        # own Catalyst pass over the k·d-literal assignment plan — the
+        # round's wall was ~80% driver time (jobprof: biggest job 0.16 s
+        # of a 3.6 s row). One job per round now.
+        #
+        # Bit-parity of the driver re-quantization with the Spark
+        # expression it replaces (F.round(s.cast(double)/n) HALF_UP —
+        # the contract the unrolled oracle CTEs replay): float(s)/float(n)
+        # is the identical IEEE cast-then-divide (s ≤ 2^53 and n ≤ 2^31
+        # make both casts exact), and Decimal(x).quantize(1, HALF_UP)
+        # equals JVM HALF_UP for every finite double — Spark rounds the
+        # SHORTEST-decimal form, Python the exact-binary form, and both
+        # lie within a half-ulp interval around x that cannot contain a
+        # representable n+0.5 boundary unless x IS that boundary (then
+        # both forms are exactly n.5). Ties away from zero in both.
+        # Pinned by test_kmeans_driver_requantize_matches_spark.
+        cent_rows = cent_plan.collect()
+        if cent_schema is None:
+            cent_schema = cent_plan.schema
+        by_cluster: dict[int, list[tuple[int, int]]] = {}
+        for r in cent_rows:
+            by_cluster.setdefault(int(r["cluster_id"]), []).append(
+                (int(r["dim"]), _round_half_up(float(r["s"]) / float(r["n"])))
             )
+        new_items = sorted(
+            (cid, [fx for _, fx in sorted(vals)])
+            for cid, vals in by_cluster.items()
         )
         converged = new_items == seed_items
         seed_items = new_items
         if converged:
             break
+    # Rebuild cent as a DataFrame from the collected rows (values are the
+    # collected aggregates themselves — nothing recomputed), ONE partition
+    # so downstream actions don't schedule 32 near-empty python-RDD tasks.
+    cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(cent_rows, 1), cent_schema
+    )
     return cent, seed_items, base
 
 

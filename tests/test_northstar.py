@@ -1793,3 +1793,38 @@ def test_stateful_totals_skip_null_values_and_empty_frame_plan(spark):
     frames = mm.frame_sample_plan(media, "doc_id", every_n_bytes=1024)
     got = {(r.doc_id, r.frame_idx) for r in frames.collect()}
     assert got == {(1, 0), (1, 1)}, got  # doc 2 (zero bytes) emits nothing
+
+
+def test_kmeans_driver_requantize_matches_spark(spark):
+    """r14: _kmeans_loop re-quantizes centroids on the DRIVER
+    (float(s)/float(n) + Decimal HALF_UP) instead of a per-round Spark
+    aggregation. The replaced contract is
+    F.round(s.cast("double") / n).cast("long") — HALF_UP on a double.
+    Pin equality over adversarial (s, n): exact .5 boundaries positive
+    and negative, values a ulp either side of a boundary, large s near
+    the 2^53 exactness edge, and a random sweep."""
+    import random
+
+    from dbt_ci_demo_spark import queries_embed as qe
+
+    cases = [
+        (5, 2), (-5, 2), (3, 2), (-3, 2), (7, 2), (-7, 2),  # exact n.5 ties
+        (1, 3), (-1, 3), (2, 3), (-2, 3),
+        (4999999999999999, 2), (-4999999999999999, 2),
+        ((1 << 52) + 1, 2), (-((1 << 52) + 1), 2),
+        ((1 << 53) - 1, 3), (10**15 + 1, 7), (-(10**15 + 1), 7),
+        (0, 5), (1, 10**9), (-1, 10**9),
+    ]
+    rng = random.Random(1414)
+    cases += [
+        (rng.randint(-(10**15), 10**15), rng.randint(1, 10**6)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(cases, "s bigint, n bigint")
+    got_spark = [
+        r["fx"]
+        for r in df.select(
+            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("fx")
+        ).collect()
+    ]
+    got_driver = [qe._round_half_up(float(s) / float(n)) for s, n in cases]
+    assert got_driver == got_spark
