@@ -1563,7 +1563,9 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc
     """,
 )
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_unigram_logprob(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Cheap-LM quality scoring: per-document mean token log-probability
     under the corpus's own add-one-smoothed unigram model — the
     perplexity-filter stage of public curation pipelines (CCNet-style),
@@ -1576,12 +1578,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the module's fixed-point discipline); only the final mean
     divides in doubles. Plan: one tokenize shuffle (tf), a vocabulary
     aggregate reusing it, a broadcast 1-row total, a vocab-keyed join
-    back, one doc-keyed aggregate — the same shape as TF-IDF."""
+    back, one doc-keyed aggregate — the same shape as TF-IDF.
+
+    ``materialize`` (r14): the plan REFERENCES tf from three subtrees
+    (per_doc, vocab→lp, vocab→tot) and Spark executes the whole
+    tokenize+count derivation once per reference — the physical plan
+    holds THREE `Generate explode(split(text))` scans over the corpus
+    and zero ReusedExchange (guide §2.4 duplicated-subtree class; at
+    100 TB that is three full-text tokenize passes where one suffices).
+    True (default, the registered/bench path) pins the slim tf table
+    (doc_id, tok, c — no text), eager-checkpoints the doc-sized result,
+    and unpersists the pin — the minhash materialize contract: nothing
+    stays pinned, callers get materialized rows. False returns the lazy
+    composable plan (plan tests; zero persists)."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        from dbt_ci_demo_spark.session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)
+        tf = tf.persist()
+        try:
+            return _unigram_from_tf(tf).checkpoint(eager=True)
+        finally:
+            tf.unpersist()
+    return _unigram_from_tf(tf)
+
+
+def _unigram_from_tf(tf: DataFrame) -> DataFrame:
+    """vocab → smoothed logprob model → per-doc mean, over a (doc_id,
+    tok, c) term-frequency table (see :func:`text_unigram_logprob`)."""
     vocab = tf.groupBy("tok").agg(F.sum("c").alias("c_tok"))
     tot = vocab.agg(
         F.sum("c_tok").alias("n"), F.count(F.lit(1)).alias("v")
@@ -2014,7 +2043,11 @@ def text_ccnet_buckets(
     collects still run either way; only the corpus pass stays lazy.)"""
     from dbt_ci_demo_spark.session import ensure_checkpoint_dir
 
-    scores = text_unigram_logprob(spark, sf_dir)
+    # Thread materialize through: the eager path gets the scores already
+    # checkpointed (one tokenize pass, r14), while the lazy plan-test
+    # path keeps the full scoring lineage visible (the whitelist's
+    # InMemoryRelation-prints-the-BNLJ contract relies on it).
+    scores = text_unigram_logprob(spark, sf_dir, materialize=materialize)
     langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     if not materialize:
         return tercile_buckets(scores.join(langs, "doc_id"))
