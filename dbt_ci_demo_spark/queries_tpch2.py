@@ -486,14 +486,28 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(is_late, 1).otherwise(0)).alias("late")
     )
-    per_order = pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    # Per-order stats as WINDOW aggregates over pair instead of a second
+    # groupBy + self-join (r14, guide §2.4): `pair` referenced twice made
+    # Spark execute the whole lineitem⋈orders+aggregate subtree TWICE
+    # (the before plan holds two lineitem and two orders scans) and meet
+    # the branches in a SortMergeJoin that shuffled both. The window
+    # computes identical (n_supp, n_late) per order — count/sum over the
+    # same rows the per-order groupBy aggregated — so the filter keeps
+    # exactly the rows the inner join kept. One lineitem pass, one
+    # l_orderkey exchange, no join; the window partition is bounded by
+    # suppliers-per-order (single digits at any scale), so no skew.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = pair.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
     )
     return (
-        pair.filter(F.col("late") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            "l_orderkey",
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
