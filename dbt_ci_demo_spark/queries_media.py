@@ -663,6 +663,9 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         name,
         unique_key=["user_id", "event_type"],
+        state_partitions=es.adaptive_state_partitions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ),
     )
     return out
 
@@ -741,7 +744,8 @@ def stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed_dir)
     )
     state = es.run_foreach_batch_cdc(
-        spark, stream, f"cdcv_{next(_sink_seq)}", "user_id", "seq", "op"
+        spark, stream, f"cdcv_{next(_sink_seq)}", "user_id", "seq", "op",
+        state_partitions=es.adaptive_state_partitions(spark, feed_dir),
     )
     from dbt_ci_demo_spark.operators.incremental import cdc_live
 

@@ -444,6 +444,7 @@ def run_foreach_batch_merge(
     stream_df: DataFrame,
     name: str,
     unique_key: list[str],
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming writer via ``foreachBatch``: each micro-batch MERGEs into
     the target table with the engine's batch merge operator
@@ -473,20 +474,35 @@ def run_foreach_batch_merge(
         merged = merge_upsert(holder["target"], batch_df, unique_key)
         holder["target"] = merged.checkpoint(eager=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(upsert)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _stream_ckpt_dir(name))
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not complete within 600s - refusing to "
-            "read a partial sink as the full result (r10 review finding: "
-            "awaitTermination(timeout) returns False, it does not raise)"
+    # ``state_partitions`` (r14): same knob as run_to_memory — the
+    # override covers the streaming aggregate's state stores AND, because
+    # foreachBatch's cloned session inherits the conf, the per-batch
+    # MERGE's shuffles and the checkpointed target's layout (otherwise
+    # every batch pays 32-store commits plus a 32+32-map-task merge over
+    # key-cardinality-bounded data). Set before start, restored after
+    # termination; merge results are partition-count-independent.
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(upsert)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _stream_ckpt_dir(name))
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not complete within 600s - refusing to "
+                "read a partial sink as the full result (r10 review finding: "
+                "awaitTermination(timeout) returns False, it does not raise)"
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return holder["target"]
 
 
@@ -498,6 +514,7 @@ def run_foreach_batch_cdc(
     seq_col: str,
     op_col: str = "op",
     stats: dict | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming CDC sink: each micro-batch is applied to the accumulated
     state with the ORDER-INVARIANT versioned merge
@@ -527,20 +544,31 @@ def run_foreach_batch_cdc(
         holder["state"] = merged.checkpoint(eager=True)
         holder["batches"] += 1
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _stream_ckpt_dir(name))
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not complete within 600s - refusing to "
-            "read a partial sink as the full result (r10 review finding: "
-            "awaitTermination(timeout) returns False, it does not raise)"
+    # ``state_partitions`` (r14): see run_foreach_batch_merge — sizes the
+    # per-batch versioned-merge shuffles and the checkpointed state's
+    # layout from the feed instead of the 32-partition batch default.
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _stream_ckpt_dir(name))
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not complete within 600s - refusing to "
+                "read a partial sink as the full result (r10 review finding: "
+                "awaitTermination(timeout) returns False, it does not raise)"
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if stats is not None:
         stats["batches"] = holder["batches"]
     return holder["state"]
