@@ -1162,7 +1162,33 @@ def simhash_near_duplicates(
     (pigeonhole), so banded candidate generation has *guaranteed* recall —
     the result provably equals brute force while the join stays bucketed.
     ``hash_fn`` is forwarded to :func:`simhash32` (md5 = oracle parity,
-    xxhash64 = production)."""
+    xxhash64 = production).
+
+    Pin discipline (r14, hash-routed like the signature plan itself):
+    the bucket self-join references the block table from BOTH sides and
+    the subtrees share no execution (one side plans as a
+    BroadcastExchange — nothing to reuse; the broadcast build FINISHES
+    before the probe side streams), so the signature derivation runs
+    twice sequentially per materialization. Whether fixing that pays
+    depends on what the duplicated subtree CONTAINS, so the pin is
+    routed by ``hash_fn`` on measurement:
+
+    - ``xxhash64`` (production): the signature is the EXPLODED
+      token→groupBy plan — the duplicate re-runs a corpus token explode
+      plus a doc-keyed aggregation SHUFFLE. Pinning the slim block
+      table (id, simhash, block_id, block_val — 4 rows/doc, no text),
+      eager-checkpointing the pair result and releasing the pin (the
+      minhash_near_duplicates contract) removes the second pass:
+      fresh-JVM min5 2.00 → 1.40 (−30 %), and at 100 TB the avoided
+      pass is a full token shuffle over the corpus.
+    - ``md5`` (oracle parity): the signature is the ZERO-SHUFFLE fused
+      per-row conv battery — duplicating it costs two cheap fully
+      parallel scan stages, while a pin must serialize them behind a
+      cache materialization and pay the checkpoint round-trip.
+      Measured TWICE this round (signature-table pin: +8 %; block-table
+      pin, interleaved stash A/B: 1.95 → 2.72 min5) — the lazy form
+      stays, and the composing CC queries keep fusing the pair plan
+      into their own first checkpoint."""
     if max_hamming > 3:
         raise ValueError("4-block banding guarantees recall only for max_hamming <= 3")
     sig = simhash32(df, text_col, id_col, hash_fn=hash_fn)
@@ -1183,26 +1209,35 @@ def simhash_near_duplicates(
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.block_id", "b.block_val")
-    l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.block_id") == F.col("r.block_id"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    pin = hash_fn == "xxhash64"
+    if pin:
+        ensure_checkpoint_dir(df.sparkSession)
+        blocks = blocks.persist()
+    try:
+        l, r = blocks.alias("l"), blocks.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.block_id") == F.col("r.block_id"))
+                & (F.col("l.block_val") == F.col("r.block_val"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sim_a"),
+                F.col("r.simhash").alias("sim_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+        hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        out = cand.select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        ).filter(F.col("hamming") <= max_hamming)
+        return out.checkpoint(eager=True) if pin else out
+    finally:
+        if pin:
+            blocks.unpersist()
 
 
 def decontaminate_against(

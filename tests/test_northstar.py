@@ -744,6 +744,26 @@ def test_simhash_xxhash64_production_path(spark, sf_dir):
         dd.simhash32(docs, "text", "doc_id", hash_fn="sha1")
 
 
+@pytest.mark.slow  # executes the xxhash64 path once: round-close tier
+def test_simhash_pin_routing(spark, sf_dir):
+    """r14 change #17 internals pin: the xxhash64 path persists the slim
+    block table, eager-checkpoints the pair result, and RELEASES the pin
+    before returning (nothing may outlive the call); the md5 path stays
+    lazily composed (its zero-shuffle signature battery measured cheaper
+    to duplicate than to pin — the plan must NOT be truncated to an
+    ExistingRDD there, so the composing CC queries keep fusing it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    pinned_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out_xx = dd.simhash_near_duplicates(docs, "text", "doc_id", 3, hash_fn="xxhash64")
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before
+    plan_xx = out_xx._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan_xx, plan_xx
+    out_md5 = dd.simhash_near_duplicates(docs, "text", "doc_id", 3)
+    plan_md5 = out_md5._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_md5, plan_md5
+    assert "ExistingRDD" not in plan_md5, plan_md5
+
+
 def test_resize_clamps_extreme_aspect_ratios(spark, sf_dir):
     """resize_images must never emit a zero output dimension (ADVICE r02):
     with max_width=1 the aspect scale floors every non-dominant dimension
