@@ -231,6 +231,7 @@ def lsh_candidate_pairs(
 def jaccard_scores(
     shingles: DataFrame, id_col: str, pairs: DataFrame,
     sizes: DataFrame | None = None,
+    prefiltered: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs from their distinct
     shingle sets: |A∩B| / (|A|+|B|-|A∩B|). Joins are keyed by document id
@@ -251,10 +252,20 @@ def jaccard_scores(
       the corpus-wide count aggregate would be pure waste; instead the
       shingle table is semi-joined down to the (broadcast) candidate-id
       set before the intersection join, and the counts come from the
-      artifact. No stage aggregates or shuffles the full corpus."""
+      artifact. No stage aggregates or shuffles the full corpus.
+
+    ``prefiltered`` (r15, sizes path only): the caller already restricted
+    ``shingles`` to the candidate-id set (and typically PERSISTED the
+    restricted table), so the semi-join here would be a redundant second
+    derivation of the candidate ids — skip it. Without a caller-side pin
+    the un-persisted semi-join subtree is referenced twice below
+    (``sh_a``/``sh_b``) and the stored shingle index is scanned twice per
+    admission (guide §2.4 duplicated-subtree class)."""
     sh = shingles
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    elif prefiltered:
+        pass  # caller restricted (and pinned) the shingle table already
     else:
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
@@ -411,7 +422,7 @@ def _index_fs(spark: SparkSession, base_path: str):
 
 
 def write_minhash_index(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     base_path: str,
@@ -421,6 +432,7 @@ def write_minhash_index(
     bands: int = 8,
     hash_fn: str = "md5",
     batch_id: str | None = None,
+    artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> None:
     """Write (``mode="overwrite"``) or REFRESH (``mode="append"``) the
     stored near-dup index at ``base_path`` — three parquet tables,
@@ -475,10 +487,24 @@ def write_minhash_index(
     for rename-promoted parquet artifacts. Two concurrent calls with
     the SAME batch_id are not supported (a retry must wait for the
     failed attempt to die); the rename-failure raise below turns the
-    worst outcome of that race into a loud error instead of lost rows."""
+    worst outcome of that race into a loud error instead of lost rows.
+
+    ``artifacts`` (r15): precomputed (shingles, bands, sizes) frames —
+    :func:`build_minhash_index` output, typically PERSISTED by the
+    caller — written as-is instead of re-deriving them from ``df`` (which
+    may then be ``None``). Caller-managed storage (never persisted or
+    unpersisted here), same contract as ``corpus_index`` on the admission
+    path. This is how a flow that admits a batch and then appends it (or
+    rebuilds twice, as the crash-retry witness does) computes the
+    shingle/signature aggregations ONCE instead of once per call — the
+    protocol (staging, scrub, promote, marker) is identical."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
-    spark = df.sparkSession
+    if artifacts is not None and len(artifacts) != len(_INDEX_PARTS):
+        raise ValueError(
+            f"artifacts must be (shingles, bands, sizes), got {len(artifacts)}"
+        )
+    spark = (df if df is not None else artifacts[0]).sparkSession
     staging: str | None = None
     write_mode = "overwrite"
     if mode == "append":
@@ -535,7 +561,9 @@ def write_minhash_index(
     # the shingle write itself populates the cache, the band and size
     # writes consume it, and nothing outlives the call.
     out_base = staging if staging is not None else base_path
-    sh = word_shingles(df, text_col, id_col, k).persist()
+    sh = None if artifacts is not None else word_shingles(
+        df, text_col, id_col, k
+    ).persist()
     try:
         # The three artifact writes are INDEPENDENT actions over the one
         # persisted shingle table, so they run CONCURRENTLY from a small
@@ -548,16 +576,22 @@ def write_minhash_index(
         # sf0.1: 2.0-2.5 s sequential → 1.1-1.35 s concurrent per corpus
         # build (r14); at cluster scale the same structure overlaps the
         # sizes write with the band aggregation's stragglers.
-        artifact = {
-            _INDEX_PARTS[0]: lambda: sh,
-            _INDEX_PARTS[1]: lambda: banded_buckets(
-                minhash_signatures(sh, id_col, n_hashes, hash_fn),
-                id_col, n_hashes, bands, hash_fn,
-            ),
-            _INDEX_PARTS[2]: lambda: sh.groupBy(id_col).agg(
-                F.count(F.lit(1)).alias("n")
-            ),
-        }
+        if artifacts is not None:
+            artifact = {
+                part: (lambda a=a: a)
+                for part, a in zip(_INDEX_PARTS, artifacts)
+            }
+        else:
+            artifact = {
+                _INDEX_PARTS[0]: lambda: sh,
+                _INDEX_PARTS[1]: lambda: banded_buckets(
+                    minhash_signatures(sh, id_col, n_hashes, hash_fn),
+                    id_col, n_hashes, bands, hash_fn,
+                ),
+                _INDEX_PARTS[2]: lambda: sh.groupBy(id_col).agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+            }
 
         def _write(part: str) -> None:
             artifact[part]().write.mode(write_mode).parquet(
@@ -573,11 +607,20 @@ def write_minhash_index(
             if err is not None:
                 raise err
     finally:
-        sh.unpersist()
+        if sh is not None:
+            sh.unpersist()
     if staging is not None:
         # Promote: move each staged data file into its live dir under the
         # token prefix (pure renames — a failure here is repaired by the
         # scrub on retry with the same batch_id), then commit the marker.
+        # The renames target DISTINCT destination names, so they are
+        # independent metadata ops — run them from a small pool instead
+        # of one JVM round-trip at a time (guide §2.6 applied to FS
+        # metadata; a staged artifact can hold dozens of part files and
+        # the per-call latency was the promote's wall time). Every future
+        # settles before any raise, and a False/failed rename still keeps
+        # the marker unwritten.
+        renames: list[tuple] = []
         for part in _INDEX_PARTS:
             src_dir = path_cls(os.path.join(staging, part))
             dst_dir = path_cls(os.path.join(base_path, part))
@@ -586,19 +629,30 @@ def write_minhash_index(
                 name = st.getPath().getName()
                 if name.startswith("_") or name.startswith("."):
                     continue  # _SUCCESS / hidden
-                dst = path_cls(dst_dir, prefix + name)
-                # Hadoop rename reports failure by returning False, not
-                # raising — an unchecked False here would leave the file
-                # in staging, then commit the marker and delete staging,
-                # silently losing rows with the marker blocking any
-                # retry (ADVICE r13). Raise so the marker is never
-                # committed over a partial promote.
-                if not fs.rename(st.getPath(), dst):
-                    raise IOError(
-                        f"minhash index promote failed: rename {st.getPath()} -> "
-                        f"{dst} returned false; the commit marker was NOT "
-                        "written — retry with the same batch_id to repair"
-                    )
+                renames.append((st.getPath(), path_cls(dst_dir, prefix + name)))
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [
+                pool.submit(fs.rename, src, dst) for src, dst in renames
+            ]
+            outcomes = [
+                (f.exception() or (None if f.result() else False))
+                for f in futures
+            ]
+        for (src, dst), outcome in zip(renames, outcomes):
+            # Hadoop rename reports failure by returning False, not
+            # raising — an unchecked False here would leave the file
+            # in staging, then commit the marker and delete staging,
+            # silently losing rows with the marker blocking any
+            # retry (ADVICE r13). Raise so the marker is never
+            # committed over a partial promote.
+            if isinstance(outcome, BaseException):
+                raise outcome
+            if outcome is False:
+                raise IOError(
+                    f"minhash index promote failed: rename {src} -> "
+                    f"{dst} returned false; the commit marker was NOT "
+                    "written — retry with the same batch_id to repair"
+                )
         if batch_id is not None:
             fs.mkdirs(path_cls(os.path.join(base_path, "_appends")))
             fs.create(marker, True).close()
@@ -629,6 +683,7 @@ def minhash_near_duplicates_against(
     hash_fn: str = "md5",
     corpus_index: tuple[DataFrame, ...] | None = None,
     broadcast_batch_bands: bool = True,
+    batch_index: tuple[DataFrame, ...] | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: MinHash candidates between a NEW
     batch and an EXISTING corpus only — never corpus×corpus. Returns
@@ -671,8 +726,19 @@ def minhash_near_duplicates_against(
     the scale plan degrades to a sort-merge join over the whole index.
     Set False for a batch too large to broadcast (the join then falls
     back to the planner's shuffle strategy).
+
+    ``batch_index`` (r15) — the batch's OWN (shingles, bands[, sizes])
+    artifacts, precomputed by the caller (typically persisted
+    :func:`build_minhash_index` frames that a following
+    :func:`write_minhash_index` append will also write — the
+    refresh-cycle flow derives them once instead of once per call).
+    Caller-managed storage, same contract as ``corpus_index``: frames are
+    used as-is, never persisted or unpersisted here, and must have been
+    built with the same (k, n_hashes, bands, hash_fn).
     """
-    ensure_checkpoint_dir(batch.sparkSession)
+    ensure_checkpoint_dir(
+        (batch if batch is not None else batch_index[0]).sparkSession
+    )
     sizes_c = None
     if corpus_index is not None:
         sh_c, bands_c, *rest = corpus_index
@@ -684,11 +750,21 @@ def minhash_near_duplicates_against(
             minhash_signatures(sh_c, id_col, n_hashes, hash_fn), id_col, n_hashes, bands, hash_fn
         )
         own = [sh_c]
-    sh_b = word_shingles(batch, text_col, id_col, k).persist()
-    own.append(sh_b)
+    sizes_b_pre = bands_b_pre = None
+    if batch_index is not None:
+        sh_b, bands_b_pre, *brest = batch_index
+        sizes_b_pre = brest[0] if brest else None
+    else:
+        sh_b = word_shingles(batch, text_col, id_col, k).persist()
+        own.append(sh_b)
     try:
-        bands_b = banded_buckets(
-            minhash_signatures(sh_b, id_col, n_hashes, hash_fn), id_col, n_hashes, bands, hash_fn
+        bands_b = (
+            bands_b_pre
+            if batch_index is not None
+            else banded_buckets(
+                minhash_signatures(sh_b, id_col, n_hashes, hash_fn),
+                id_col, n_hashes, bands, hash_fn,
+            )
         )
         if corpus_index is not None and broadcast_batch_bands:
             # Index path: the corpus band table is the STORED corpus-sized
@@ -724,10 +800,37 @@ def minhash_near_duplicates_against(
         own.append(cand)
         sizes = None
         if sizes_c is not None:
-            sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+            sizes_b = (
+                sizes_b_pre
+                if sizes_b_pre is not None
+                else sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+            )
             sizes = sizes_c.select(id_col, "n").unionByName(sizes_b)
+        sh_all = sh_c.unionByName(sh_b)
+        prefiltered = False
+        if sizes is not None:
+            # Index path: restrict the (corpus-index ∪ batch) shingle
+            # union to the candidate-id set ONCE and pin the restricted
+            # table (candidate-proportional, never corpus-sized).
+            # jaccard_scores references its shingle input twice
+            # (sh_a/sh_b); un-pinned, each reference re-runs the
+            # semi-join over the stored shingle index — TWO full index
+            # scans per admission where one suffices (guide §2.4;
+            # measured r15: the two ~0.5 s 64-task index-scan broadcast
+            # builds per admission collapse to one). Same bounded
+            # lifetime as cand.
+            ids = (
+                cand.select(F.col("id_a").alias(id_col))
+                .unionByName(cand.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            sh_all = sh_all.join(
+                F.broadcast(ids), on=id_col, how="left_semi"
+            ).persist()
+            own.append(sh_all)
+            prefiltered = True
         out = jaccard_scores(
-            sh_c.unionByName(sh_b), id_col, cand, sizes=sizes
+            sh_all, id_col, cand, sizes=sizes, prefiltered=prefiltered
         ).filter(F.col("jaccard") >= threshold)
         return out.checkpoint(eager=True)
     finally:

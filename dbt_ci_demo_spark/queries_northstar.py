@@ -22,6 +22,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -498,6 +499,48 @@ def _idx_path(sf_dir: str, nonce: str | None = None) -> str:
     return os.path.join(_IDX_ROOT, key)
 
 
+def _pinned_batch_artifacts(
+    batch: DataFrame, k: int, n_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingles, bands, sizes) artifacts of one index-flow input with the
+    SHINGLE table pinned, derived once for every consumer (the admission's
+    ``batch_index`` and the append/overwrite's ``artifacts`` — VERDICT r14
+    #4: without this, each call re-runs the input's tokenize + shingle
+    distinct, the dominant stage). Only the shingle table is persisted:
+    bands/sizes are cheap aggregates over the cache, and persisting THEM
+    would freeze their 32-partition cache layout into the written
+    artifacts (AQE cannot re-coalesce cached plan output by default) —
+    tiny-file debris the admission scans would then pay for (guide §6).
+    The caller owns the unpersist (the lone persisted frame is element 0,
+    but unpersisting all three is a safe no-op)."""
+    sh = dd.word_shingles(batch, "text", "doc_id", k).persist()
+    bd = dd.banded_buckets(
+        dd.minhash_signatures(sh, "doc_id", n_hashes), "doc_id", n_hashes, bands
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return sh, bd, sizes
+
+
+def _materialize_artifacts(art: tuple[DataFrame, ...]) -> None:
+    """Force the pinned shingle cache (noop sink — full compute, no
+    output): run inside the protocol-overlap pool so artifact derivation
+    back-fills executors while the corpus index build's write jobs run
+    (guide §2.6)."""
+    art[0].write.format("noop").mode("overwrite").save()
+
+
+def _run_all_settled(*fns) -> None:
+    """Run independent Spark-action thunks concurrently; let every one
+    settle before raising (the write_minhash_index pool discipline — a
+    failure must not leave siblings racing the caller's cleanup)."""
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futures = [pool.submit(fn) for fn in fns]
+        errs = [f.exception() for f in futures]
+    for err in errs:
+        if err is not None:
+            raise err
+
+
 def _refresh_oracle() -> str:
     # Admission 1 sees corpus-vs-batch1 candidates; admission 2 sees
     # (corpus ∪ batch1)-vs-batch2 — the refreshed-index semantics. UNION
@@ -587,22 +630,46 @@ def dedup_index_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _idx_path(sf_dir, nonce=uuid.uuid4().hex[:12])
     kw = dict(k=_MINHASH_K, n_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
-    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
-    # Admission pairs are eagerly checkpointed by the operator, so pairs1
-    # is materialized BEFORE the refresh mutates the parquet artifacts.
-    pairs1 = dd.minhash_near_duplicates_against(
-        None, batch1, "text", "doc_id",
-        corpus_index=dd.read_minhash_index(spark, base),
-        threshold=_MINHASH_THRESHOLD, **kw,
-    )
-    dd.write_minhash_index(
-        batch1, "text", "doc_id", base, mode="append", batch_id="batch1", **kw
-    )
-    pairs2 = dd.minhash_near_duplicates_against(
-        None, batch2, "text", "doc_id",
-        corpus_index=dd.read_minhash_index(spark, base),
-        threshold=_MINHASH_THRESHOLD, **kw,
-    )
+    # r15 (VERDICT r14 #1/#4): each batch's per-doc artifacts are needed
+    # TWICE — batch 1 by its admission AND the append that refreshes the
+    # index; batch 2 by its admission (and its derivation is independent
+    # of every protocol phase) — so derive them ONCE, pinned, and thread
+    # them through ``batch_index``/``artifacts``. The corpus index build
+    # and both batches' artifact materializations share no state, so they
+    # run CONCURRENTLY (guide §2.6: overlap independent jobs); the
+    # admissions/append stay strictly sequential — the protocol's
+    # read-after-commit contract.
+    art1 = _pinned_batch_artifacts(batch1, **kw)
+    art2 = _pinned_batch_artifacts(batch2, **kw)
+    try:
+        _run_all_settled(
+            lambda: dd.write_minhash_index(
+                corpus, "text", "doc_id", base, mode="overwrite", **kw
+            ),
+            lambda: _materialize_artifacts(art1),
+            lambda: _materialize_artifacts(art2),
+        )
+        # Admission pairs are eagerly checkpointed by the operator, so pairs1
+        # is materialized BEFORE the refresh mutates the parquet artifacts.
+        pairs1 = dd.minhash_near_duplicates_against(
+            None, batch1, "text", "doc_id",
+            corpus_index=dd.read_minhash_index(spark, base),
+            batch_index=art1,
+            threshold=_MINHASH_THRESHOLD, **kw,
+        )
+        dd.write_minhash_index(
+            None, "text", "doc_id", base, mode="append", batch_id="batch1",
+            artifacts=art1, **kw,
+        )
+        pairs2 = dd.minhash_near_duplicates_against(
+            None, batch2, "text", "doc_id",
+            corpus_index=dd.read_minhash_index(spark, base),
+            batch_index=art2,
+            threshold=_MINHASH_THRESHOLD, **kw,
+        )
+    finally:
+        for frame in (*art1, *art2):
+            frame.unpersist()
     return (
         pairs1.select(F.lit(1).alias("admission"), "id_a", "id_b", "jaccard")
         .unionByName(pairs2.select(F.lit(2).alias("admission"), "id_a", "id_b", "jaccard"))
@@ -710,32 +777,59 @@ def dedup_index_retry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = dict(k=_MINHASH_K, n_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
     token = hashlib.sha256(b"b1").hexdigest()[:16]
 
+    # r15 (VERDICT r14 #1/#4): the witness re-runs the same derivations
+    # many times — batch 1 is appended THREE times (append, crash-retry,
+    # replay), batch 2 admitted twice, the corpus built twice — so each
+    # input's per-doc artifacts are derived ONCE, pinned, and threaded
+    # through ``artifacts``/``batch_index``. Phase 1's corpus build and
+    # both batches' artifact materializations are independent actions and
+    # run concurrently (guide §2.6); every protocol mutation and every
+    # admission stays strictly sequential, so the crash/retry/replay
+    # on-disk states are byte-identical to the sequential form.
+    artc = _pinned_batch_artifacts(corpus, **kw)
+    art1 = _pinned_batch_artifacts(batch1, **kw)
+    art2 = _pinned_batch_artifacts(batch2, **kw)
+
     def admit(batch: DataFrame) -> DataFrame:
         return dd.minhash_near_duplicates_against(
             None, batch, "text", "doc_id",
             corpus_index=dd.read_minhash_index(spark, base),
+            batch_index=art2,
             threshold=_MINHASH_THRESHOLD, **kw,
         )
 
-    # phase 1: append, simulate the mid-promote crash state, retry, admit
-    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
-    dd.write_minhash_index(
-        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
-    )
-    os.remove(os.path.join(base, "_appends", token))
-    promoted = sorted(glob.glob(os.path.join(base, "bands", f"b-{token}-*.parquet")))
-    os.remove(promoted[0])
-    dd.write_minhash_index(
-        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
-    )
-    pairs_retry = admit(batch2)  # eagerly checkpointed by the operator
+    def append_b1() -> None:
+        dd.write_minhash_index(
+            None, "text", "doc_id", base, mode="append", batch_id="b1",
+            artifacts=art1, **kw,
+        )
 
-    # phase 2: overwrite rebuild (must scrub markers), replay batch_id
-    dd.write_minhash_index(corpus, "text", "doc_id", base, mode="overwrite", **kw)
-    dd.write_minhash_index(
-        batch1, "text", "doc_id", base, mode="append", batch_id="b1", **kw
-    )
-    pairs_replay = admit(batch2)
+    def overwrite_corpus() -> None:
+        dd.write_minhash_index(
+            None, "text", "doc_id", base, mode="overwrite", artifacts=artc, **kw
+        )
+
+    try:
+        # phase 1: append, simulate the mid-promote crash state, retry, admit
+        _run_all_settled(
+            overwrite_corpus,
+            lambda: _materialize_artifacts(art1),
+            lambda: _materialize_artifacts(art2),
+        )
+        append_b1()
+        os.remove(os.path.join(base, "_appends", token))
+        promoted = sorted(glob.glob(os.path.join(base, "bands", f"b-{token}-*.parquet")))
+        os.remove(promoted[0])
+        append_b1()
+        pairs_retry = admit(batch2)  # eagerly checkpointed by the operator
+
+        # phase 2: overwrite rebuild (must scrub markers), replay batch_id
+        overwrite_corpus()
+        append_b1()
+        pairs_replay = admit(batch2)
+    finally:
+        for frame in (*artc, *art1, *art2):
+            frame.unpersist()
 
     return (
         pairs_retry.select(F.lit(1).alias("phase"), "id_a", "id_b", "jaccard")
