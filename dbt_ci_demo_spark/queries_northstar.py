@@ -1681,22 +1681,26 @@ def text_unigram_logprob(
     and zero ReusedExchange (guide §2.4 duplicated-subtree class; at
     100 TB that is three full-text tokenize passes where one suffices).
     True (default, the registered/bench path) pins the slim tf table
-    (doc_id, tok, c — no text), eager-checkpoints the doc-sized result,
-    and unpersists the pin — the minhash materialize contract: nothing
-    stays pinned, callers get materialized rows. False returns the lazy
-    composable plan (plan tests; zero persists)."""
+    (doc_id, tok, c — no text), eager LOCAL-checkpoints the doc-sized
+    result, and unpersists the pin — nothing corpus-sized stays pinned,
+    callers get materialized rows. The materialization is
+    ``localCheckpoint`` rather than a reliable checkpoint (r15, VERDICT
+    r14 #3): the r14 disk checkpoint's write+read round-trip cost more
+    locally than the single-tokenize-pass saved, and the result is
+    doc-sized with a bounded blast radius (an executor loss re-derives
+    it in one job at application level — the ``_pin_small`` precedent;
+    contrast the corpus-scale iterative operators, which stay on
+    reliable checkpoints). False returns the lazy composable plan (plan
+    tests; zero persists)."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
-        from dbt_ci_demo_spark.session import ensure_checkpoint_dir
-
-        ensure_checkpoint_dir(spark)
         tf = tf.persist()
         try:
-            return _unigram_from_tf(tf).checkpoint(eager=True)
+            return _unigram_from_tf(tf).localCheckpoint(eager=True)
         finally:
             tf.unpersist()
     return _unigram_from_tf(tf)
@@ -2135,8 +2139,6 @@ def text_ccnet_buckets(
     the bucket plan's window shapes — an eager checkpoint truncates the
     visible plan to a ``Scan ExistingRDD``. (The two bounded threshold
     collects still run either way; only the corpus pass stays lazy.)"""
-    from dbt_ci_demo_spark.session import ensure_checkpoint_dir
-
     # Thread materialize through: the eager path gets the scores already
     # checkpointed (one tokenize pass, r14), while the lazy plan-test
     # path keeps the full scoring lineage visible (the whitelist's
@@ -2145,7 +2147,6 @@ def text_ccnet_buckets(
     langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     if not materialize:
         return tercile_buckets(scores.join(langs, "doc_id"))
-    ensure_checkpoint_dir(spark)
     # The scoring pipeline is the expensive subtree and the bucket plan
     # references it several times (stats, histogram, assignment). The
     # pin is the fault-tolerant persist(MEMORY_AND_DISK) (r10, ADVICE
@@ -2161,7 +2162,12 @@ def text_ccnet_buckets(
 
     scored = _pin_corpus(scores.join(langs, "doc_id"))
     try:
-        return tercile_buckets(scored, pin_input=False).checkpoint(eager=True)
+        # Doc-sized result, bounded blast radius: localCheckpoint skips
+        # the reliable checkpoint's disk write+read round-trip (r15,
+        # the text_unigram_logprob rationale above).
+        return tercile_buckets(scored, pin_input=False).localCheckpoint(
+            eager=True
+        )
     finally:
         scored.unpersist()
 
