@@ -24,10 +24,48 @@ from __future__ import annotations
 
 import atexit
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The ``state_partitions`` override mutates SESSION-global conf
+# (spark.sql.shuffle.partitions) around a stream's start/termination.
+# That is correct single-threaded, but two streams started concurrently
+# from one session (the engine ships a threaded DAG runner) could
+# interleave set/restore and bake the wrong partition count into a
+# query's state layout — or "restore" the other stream's override as
+# the session default. One module lock serializes the whole
+# set/run/restore window (VERDICT r14 #5); streams that pass no
+# override never take it.
+_CONF_OVERRIDE_LOCK = threading.Lock()
+
+
+class _shuffle_partitions_override:
+    """Context manager: hold ``spark.sql.shuffle.partitions`` at ``n``
+    for the duration, under the module lock when ``n`` is not None (a
+    no-op, lock-free passthrough otherwise)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n, self._prev = spark, n, None
+
+    def __enter__(self):
+        if self._n is not None:
+            _CONF_OVERRIDE_LOCK.acquire()
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        if self._n is not None:
+            try:
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", self._prev
+                )
+            finally:
+                _CONF_OVERRIDE_LOCK.release()
+        return False
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -280,16 +318,14 @@ def run_to_memory(
     ``state_partitions`` (optional): shuffle-partition override applied
     for the DURATION of this streaming run (set before start, restored
     after termination — the partition count is baked into the query's
-    state layout at its first batch). Pass
+    state layout at its first batch; the set/run/restore window holds
+    the module override lock, so concurrent streams with different
+    overrides serialize instead of racing the session conf). Pass
     :func:`adaptive_state_partitions` of the feed to size state stores
     from input volume; None keeps the session default. Results are
     identical either way — this moves per-store per-batch commit
     overhead, never values."""
-    prev = None
-    if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _shuffle_partitions_override(spark, state_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -304,9 +340,6 @@ def run_to_memory(
                 "read a partial sink as the full result (r10 review finding: "
                 "awaitTermination(timeout) returns False, it does not raise)"
             )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     tbl = spark.table(name)
     return (tbl, q) if return_query else tbl
 
@@ -480,12 +513,10 @@ def run_foreach_batch_merge(
     # MERGE's shuffles and the checkpointed target's layout (otherwise
     # every batch pays 32-store commits plus a 32+32-map-task merge over
     # key-cardinality-bounded data). Set before start, restored after
-    # termination; merge results are partition-count-independent.
-    prev = None
-    if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    # termination, under the module override lock (r15 — see
+    # _shuffle_partitions_override); merge results are
+    # partition-count-independent.
+    with _shuffle_partitions_override(spark, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(upsert)
             .outputMode("complete")
@@ -500,9 +531,6 @@ def run_foreach_batch_merge(
                 "read a partial sink as the full result (r10 review finding: "
                 "awaitTermination(timeout) returns False, it does not raise)"
             )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return holder["target"]
 
 
@@ -546,12 +574,9 @@ def run_foreach_batch_cdc(
 
     # ``state_partitions`` (r14): see run_foreach_batch_merge — sizes the
     # per-batch versioned-merge shuffles and the checkpointed state's
-    # layout from the feed instead of the 32-partition batch default.
-    prev = None
-    if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    # layout from the feed instead of the 32-partition batch default;
+    # set/run/restore holds the module override lock (r15).
+    with _shuffle_partitions_override(spark, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(apply_batch)
             .outputMode("append")
@@ -566,9 +591,6 @@ def run_foreach_batch_cdc(
                 "read a partial sink as the full result (r10 review finding: "
                 "awaitTermination(timeout) returns False, it does not raise)"
             )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if stats is not None:
         stats["batches"] = holder["batches"]
     return holder["state"]

@@ -1157,6 +1157,53 @@ def test_streaming_session_windows(spark, sf_dir):
         q.stop()
 
 
+@pytest.mark.slow  # ~8s two concurrent streaming runs: round-close tier
+def test_streaming_state_partitions_concurrent_overrides(spark, sf_dir):
+    """r15 (VERDICT r14 #5): the ``state_partitions`` override mutates
+    session-global conf around a stream run; two streams started
+    CONCURRENTLY with different overrides must each bake its own count
+    into its state layout (the module lock serializes the
+    set/run/restore windows) and the session default must survive."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbt_ci_demo_spark.streaming import events_stream as es
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[int, tuple] = {}
+
+    def run(n: int, name: str):
+        stream = es.read_events_stream(spark, sf_dir)
+        out, q = es.run_to_memory(
+            spark,
+            es.tumbling_counts(stream),
+            name,
+            output_mode="append",
+            return_query=True,
+            state_partitions=n,
+        )
+        prog = json.loads(q.lastProgress.json) if q.lastProgress else {}
+        ops = prog.get("stateOperators", [])
+        layout = ops[0].get("numShufflePartitions") if ops else None
+        results[n] = (out.count(), layout)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(run, 2, "t_conc_a"), pool.submit(run, 3, "t_conc_b")]
+        errs = [f.exception() for f in futs]
+    for e in errs:
+        if e is not None:
+            raise e
+    # identical aggregation results regardless of layout…
+    assert results[2][0] == results[3][0] > 0
+    # …but each query's state layout used ITS OWN override
+    assert results[2][1] == 2, results
+    assert results[3][1] == 3, results
+    # and the session default was restored, not a stray override
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+    for q in spark.streams.active:
+        q.stop()
+
+
 @pytest.mark.slow  # ~18s 3-micro-batch streaming pin: round-close tier
 # (r11 fast-tier budget; the stream_late_data_accounting oracle row
 # covers the semantics every gate run)
