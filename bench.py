@@ -431,6 +431,12 @@ def main() -> int:
         "contaminated": contaminated,
     }
     print(json.dumps(payload))
+    # Flush immediately (VERDICT r14 #8 insurance): the driver keeps a
+    # bounded stdout tail, and an unflushed buffer at process teardown is
+    # one more way the JSON line can arrive partial. The line itself
+    # stays the contract's ONE JSON line — the full payload is also
+    # persisted below for anything the tail truncates.
+    sys.stdout.flush()
     # Machine-readable per-query artifact (VERDICT r09 #8): the driver's
     # BENCH_r{N}.json keeps only a 2000-char stdout tail, which truncates
     # the early rows of a ~70-row run — judges had to scrape partial

@@ -1308,7 +1308,14 @@ def simhash_near_duplicates(
       Measured TWICE this round (signature-table pin: +8 %; block-table
       pin, interleaved stash A/B: 1.95 → 2.72 min5) — the lazy form
       stays, and the composing CC queries keep fusing the pair plan
-      into their own first checkpoint."""
+      into their own first checkpoint.
+
+    NOTE the API consequence (ADVICE r14): with ``hash_fn="xxhash64"``
+    this function is EAGER — it runs the full pair computation and
+    writes checkpoint files at call time, so callers that only build or
+    inspect the plan still pay full materialization; the md5 path stays
+    lazy. If a lazy xxhash64 composition is ever needed, compose
+    :func:`simhash32` + the 4-block banding directly."""
     if max_hamming > 3:
         raise ValueError("4-block banding guarantees recall only for max_hamming <= 3")
     sig = simhash32(df, text_col, id_col, hash_fn=hash_fn)

@@ -121,6 +121,20 @@ def ensure_checkpoint_dir(spark: SparkSession) -> str:
     existing = sc.getCheckpointDir()
     if existing:
         return existing
+    # The fallback is a DRIVER-LOCAL temp dir — a valid reliable-
+    # checkpoint location only when executors share the driver's
+    # filesystem (local mode). On a multi-node master, silently falling
+    # back would make every eager checkpoint write to a path the
+    # executors cannot all see; fail loudly instead (ADVICE r14).
+    master = sc.master or ""
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "no checkpoint dir set and the master is non-local "
+            f"({master!r}): a driver-local temp dir is not a valid "
+            "reliable-checkpoint location on a cluster — call "
+            "sc.setCheckpointDir with an HDFS/S3 path before any query "
+            "runs (see this module's docstring)"
+        )
     path = tempfile.mkdtemp(prefix="dbt_ci_demo_spark_ckpt_")
     sc.setCheckpointDir(path)
     atexit.register(shutil.rmtree, path, ignore_errors=True)

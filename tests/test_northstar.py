@@ -753,9 +753,14 @@ def test_simhash_pin_routing(spark, sf_dir):
     to duplicate than to pin — the plan must NOT be truncated to an
     ExistingRDD there, so the composing CC queries keep fusing it)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
-    pinned_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # Compare pinned-RDD ID SETS, not raw sizes (ADVICE r14): the async
+    # ContextCleaner can unpersist a GC'd RDD from an earlier test
+    # between the two reads, so a size equality is spuriously flaky —
+    # the contract is only that THIS call leaves no NEW pin behind.
+    ids_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out_xx = dd.simhash_near_duplicates(docs, "text", "doc_id", 3, hash_fn="xxhash64")
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before
+    ids_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert ids_after - ids_before == set(), ids_after - ids_before
     plan_xx = out_xx._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan_xx, plan_xx
     out_md5 = dd.simhash_near_duplicates(docs, "text", "doc_id", 3)
