@@ -411,23 +411,31 @@ def _kmeans_assign_expr(seed_items: list[tuple[int, list[int]]]):
     return F.array_min(F.array(*structs))["cluster_id"]
 
 
-_KM_LITERAL_K_MAX = 100
-"""Routing threshold for the assignment seam (r07, VERDICT r06 #3).
+_KM_LITERAL_K_MAX = 0
+"""Routing threshold for the assignment seam (r07, VERDICT r06 #3;
+re-measured r15).
 
 :func:`_kmeans_assign_expr` builds one struct PER CENTROID — k·d literal
-leaves. That is the best plan while k is small (the registered queries
-run k ≤ 8: whole-stage codegen inlines the whole argmin), but the
-expression TREE grows with k: at k = 10⁴, d = 64 it is a ~10⁶-node plan
-whose Catalyst analysis/codegen cost explodes (and codegen falls back
-past the 64KB method limit) — a planner-side bottleneck no cluster
-fixes. Past this threshold :func:`_kmeans_assign` routes to
-:func:`_kmeans_assign_matrix_expr`, whose centroid matrix is built as
-ONE F.expr SQL string (a single py4j round trip; ConstantFolding
-collapses the parsed array-of-arrays to one Literal, which ships to
-executors inside the serialized task binary — the broadcast-matrix
-design) with a transform-with-index argmin: the per-centroid structs
-are gone from the plan. Equality of the two paths is property-tested
-(tests/test_northstar.py)."""
+leaves. At k = 10⁴, d = 64 that is a ~10⁶-node plan whose Catalyst
+analysis/codegen cost explodes (and codegen falls back past the 64KB
+method limit) — the planner-side bottleneck the seam was built around.
+r15 measured the assumption that the per-centroid tree is "the best
+plan while k is small": it is not — even at k = 8, d = 64 each Lloyd
+round pays ~512 ``F.lit`` py4j round trips plus analysis of a
+512-leaf tree, and the loop re-plans EVERY round with fresh centroid
+literals, so the row's wall was ~70 % driver time (jobprof: 9 jobs
+summing 1.1 s under a 3.4 s wall). The matrix form
+(:func:`_kmeans_assign_matrix_expr`) builds the centroid matrix as ONE
+F.expr SQL string — a single py4j round trip, ConstantFolding collapses
+it to one Literal shipped inside the task binary — and the executor-
+side difference at small k is noise (a transform over a k-element
+array vs k inlined structs, over the same integer-exact scores).
+Interleaved same-session A/B at k = 8 (warm min-of-3, alternating
+forms): literal 7.15/5.20 s vs matrix 4.17/2.23 s per emb_kmeans
+materialization. The threshold is therefore 0 — every k routes to the
+matrix plan; the literal builder stays as the property-test witness of
+the shared argmin contract (tests/test_northstar.py pins equality of
+the two forms)."""
 
 
 def _kmeans_assign_matrix_expr(seed_items: list[tuple[int, list[int]]]):
